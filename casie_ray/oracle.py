@@ -1,0 +1,85 @@
+"""Single-process reference extractor (the P/R ≥ 0.95 oracle).
+
+Plays the role of the reference pipeline run end-to-end
+(``code/link_coref.py:1954-2053``): sequential, one conversation at a
+time, plain Python over row dicts — no Ray, no Arrow batches. The
+distributed engine must reproduce this extractor's triples; the oracle
+deliberately shares only the semantic kernels (``casie_ray.semantics``)
+and lexicons with the engine, not its dataflow, so the P/R gate tests
+grouping / linking / shuffle / dedup behaviour (SURVEY §7.0).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections import defaultdict
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from .semantics import build_catalog_matcher, emit_triples, extract_conversation
+
+TRIPLE_COLS = ["subj", "pred", "obj", "subj_type", "obj_type", "conv_id",
+               "turn_idx", "ev_start", "ev_end", "weight"]
+
+
+def _read_table(path: str):
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        import pyarrow as pa
+        return pa.concat_tables([pq.read_table(f) for f in files])
+    return pq.read_table(path)
+
+
+def extract_events(corpus_dir: str):
+    """Run the full extraction sequentially; yields per-conv event lists."""
+    entities = _read_table(os.path.join(corpus_dir, "entities.parquet"))
+    catalog = build_catalog_matcher(entities)
+    transcripts = _read_table(os.path.join(corpus_dir, "transcripts"))
+    by_conv: dict[str, list[dict]] = defaultdict(list)
+    for row in transcripts.select(["conv_id", "turn_idx", "text", "ts"]).to_pylist():
+        by_conv[row["conv_id"]].append(row)
+    for conv_id in sorted(by_conv):
+        turns = sorted(by_conv[conv_id], key=lambda r: r["turn_idx"])
+        yield conv_id, extract_conversation(conv_id, turns, catalog)
+
+
+def extract_triples(corpus_dir: str) -> pd.DataFrame:
+    """All triples, exactly deduplicated on (subj, pred, obj) keeping the
+    first occurrence in (conv_id, turn_idx) order and counting
+    occurrences — the oracle equivalent of the engine's salted two-phase
+    groupby dedup (SURVEY A7)."""
+    best: dict[tuple, dict] = {}
+    counts: dict[tuple, int] = defaultdict(int)
+    for _conv, events in extract_events(corpus_dir):
+        for t in emit_triples(events):
+            key = (t["subj"], t["pred"], t["obj"])
+            counts[key] += 1
+            cur = best.get(key)
+            if cur is None or (t["conv_id"], t["turn_idx"], t["ev_start"]) < \
+                    (cur["conv_id"], cur["turn_idx"], cur["ev_start"]):
+                best[key] = t
+    rows = []
+    for key in sorted(best):
+        r = dict(best[key])
+        r["count"] = counts[key]
+        rows.append(r)
+    return pd.DataFrame(rows, columns=TRIPLE_COLS + ["count"])
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("corpus_dir")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    df = extract_triples(args.corpus_dir)
+    if args.out:
+        df.to_parquet(args.out)
+    print(f"{len(df)} unique triples")
+    print(df.head(20).to_string())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Evaluation kernels: dice-overlap mention matching and triple P/R.
+
+Engine re-expression of the reference scorer (``code/score.py``):
+``mention``-style greedy max-overlap matching with matched-prediction
+deletion (score.py:154-250, del at :196/:217) for nugget/argument F1,
+plus exact-set P/R over (subj, pred, obj) triples — the headline gate
+(BASELINE.json: triple P/R >= 0.95 vs the reference extractor).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+
+def _dice(a_start, a_end, b_start, b_end) -> float:
+    inter = max(0, min(a_end, b_end) - max(a_start, b_start))
+    la, lb = a_end - a_start, b_end - b_start
+    return 2.0 * inter / (la + lb) if (la + lb) else 0.0
+
+
+def mention_prf(gold: list[dict], pred: list[dict],
+                match_label: bool = True) -> dict:
+    """Greedy max-dice bipartite matching per (conv_id, turn_idx) group
+    with deletion of matched predictions (cf. score.py:181-217).
+
+    Mentions: {conv_id, turn_idx, start, end, label}. A pair matches when
+    dice > 0 and (labels equal, if match_label).
+    """
+    by_key_g = defaultdict(list)
+    by_key_p = defaultdict(list)
+    for m in gold:
+        by_key_g[(m["conv_id"], m["turn_idx"])].append(m)
+    for m in pred:
+        by_key_p[(m["conv_id"], m["turn_idx"])].append(m)
+    tp = 0.0
+    for key, gs in by_key_g.items():
+        ps = list(by_key_p.get(key, []))
+        for g in sorted(gs, key=lambda m: (m["start"], m["end"])):
+            best, best_d = None, 0.0
+            for i, p in enumerate(ps):
+                if match_label and p["label"] != g["label"]:
+                    continue
+                d = _dice(g["start"], g["end"], p["start"], p["end"])
+                if d > best_d:
+                    best, best_d = i, d
+            if best is not None and best_d > 0.0:
+                tp += best_d  # dice credit, as in the reference scorer
+                del ps[best]  # matched-pred deletion (score.py:196)
+    n_gold, n_pred = len(gold), len(pred)
+    p = tp / n_pred if n_pred else 0.0
+    r = tp / n_gold if n_gold else 0.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return {"precision": p, "recall": r, "f1": f1,
+            "n_gold": n_gold, "n_pred": n_pred, "tp": tp}
+
+
+def triple_prf(gold_triples, pred_triples) -> dict:
+    """Exact-set P/R/F1 over (subj, pred, obj) keys. Accepts iterables of
+    dicts or (s, p, o) tuples, or pandas DataFrames with those columns."""
+    def keys(x):
+        if hasattr(x, "itertuples"):  # DataFrame
+            return {(r.subj, r.pred, r.obj) for r in x.itertuples()}
+        out = set()
+        for t in x:
+            if isinstance(t, dict):
+                out.add((t["subj"], t["pred"], t["obj"]))
+            else:
+                out.add(tuple(t[:3]))
+        return out
+    g, p = keys(gold_triples), keys(pred_triples)
+    inter = len(g & p)
+    prec = inter / len(p) if p else 0.0
+    rec = inter / len(g) if g else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
+    return {"precision": prec, "recall": rec, "f1": f1,
+            "n_gold": len(g), "n_pred": len(p), "n_match": inter}

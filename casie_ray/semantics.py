@@ -1,0 +1,622 @@
+"""Deterministic CASIE-style extraction semantics, per conversation.
+
+This module holds the *rules* of the extractor — detection, document
+logic, role/realis assignment, event coreference, triple emission — as
+pure functions over plain Python structures for ONE conversation. The
+single-process oracle (``casie_ray.oracle``) drives these sequentially;
+the distributed engine uses them inside ``groupby(conv_id).map_groups``
+for the doc-level stages and re-implements the per-token detection as a
+vectorized Arrow stage (``casie_ray.stages.tagger``), tested for exact
+agreement with :func:`detect_turn`.
+
+The neural models of the reference (unavailable, SURVEY §3.4) are
+replaced by lexicon rules occupying the same pipeline seats:
+
+- detection       <- T1/T2 taggers (nug_arg_detection.py:111-208)
+- doc logic       <- recheck/compatible/combine/link (link_coref.py:1027-1407)
+- role rules      <- RolePair + role models (link_coref.py:1409-1457)
+- realis rules    <- GNG/AO models (link_coref.py:1459-1483)
+- coref           <- corefdiffbyevent (link_coref.py:1510-1679), same
+                     feature structure / weights / threshold / avg-linkage
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import lexicons as lx
+from .embed import embed_surface
+from .tokenize import tokenize
+
+# ---------------------------------------------------------------------------
+# Data structures (plain, picklable, small — these cross map_groups only)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Mention:
+    start: int
+    end: int
+    text: str
+    argtype: str
+    entity_id: str | None = None  # set when the catalog matched exactly
+    role: str | None = None
+    # for Number mentions: is the following noun data-ish? (drives the
+    # Databreach Number role rule, link_coref.py:1444-1455)
+    next_noun_dataish: bool = False
+
+
+@dataclass
+class Trigger:
+    tok_idx: int
+    start: int
+    end: int
+    surface: str
+    etypes: tuple[str, ...]  # candidates; resolved to one by doc logic
+    etype: str | None = None
+    imputed: bool = False
+
+
+@dataclass
+class Event:
+    event_id: str
+    conv_id: str
+    turn_idx: int
+    etype: str
+    nugget_start: int
+    nugget_end: int
+    nugget_text: str
+    realis: str | None = None
+    args: list[Mention] = field(default_factory=list)
+    cluster: str | None = None
+
+
+# ---------------------------------------------------------------------------
+# Catalog matcher (broadcast small side of the linker, SURVEY J5/T7)
+# ---------------------------------------------------------------------------
+
+
+def build_catalog_matcher(entities) -> dict:
+    """entities: list of dicts or pyarrow Table with
+    (entity_id, canonical, aliases, type). Returns
+    first_token_lower -> [(phrase_tokens_lower, n_tokens, type, entity_id)]
+    sorted longest-first then by entity_id (deterministic alias ties)."""
+    if hasattr(entities, "to_pylist"):
+        entities = entities.to_pylist()
+    index: dict[str, list] = {}
+    for e in entities:
+        surfaces = [e["canonical"]] + list(e["aliases"] or [])
+        for s in surfaces:
+            toks = tuple(t[0].lower() for t in tokenize(s))
+            if not toks:
+                continue
+            index.setdefault(toks[0], []).append(
+                (toks, len(toks), e["type"], e["entity_id"]))
+    for k in index:
+        index[k].sort(key=lambda r: (-r[1], r[3]))
+    return index
+
+
+_DAY_RE = lx.NUMERIC_RE
+_COUNT_NOUNS = set(lx.COUNT_NOUNS)
+_DATAISH_NOUNS = {"records", "files", "documents", "emails", "passwords",
+                  "credentials"}
+
+
+def detect_turn(text: str, catalog: dict):
+    """Per-turn mention + trigger-candidate detection.
+
+    Deterministic longest-match, left-to-right, priority:
+    CVE > Version > Money > catalog phrase > argument phrase lexicon >
+    month+date > number-before-count-noun; then triggers on unclaimed
+    tokens (argument wins on conflict, link_coref.py:613-614).
+
+    Returns (tokens, triggers, mentions).
+    """
+    toks = tokenize(text)
+    n = len(toks)
+    lowers = [t[0].lower() for t in toks]
+    claimed = [False] * n
+    mentions: list[Mention] = []
+
+    i = 0
+    while i < n:
+        tok, s, e = toks[i]
+        low = lowers[i]
+        span = None  # (n_tokens, argtype, entity_id)
+        if lx.CVE_RE.match(tok):
+            span = (1, "CVE", None)
+        elif lx.VERSION_RE.match(tok):
+            span = (1, "Version", None)
+        elif lx.MONEY_RE.match(tok):
+            span = (1, "Money", None)
+        if span is None and low in catalog:
+            for phrase, ln, etype, eid in catalog[low]:
+                if i + ln <= n and tuple(lowers[i:i + ln]) == phrase:
+                    span = (ln, etype, eid)
+                    break
+        if span is None:
+            for ln in range(min(lx.MAX_ARG_PHRASE_LEN, n - i), 0, -1):
+                cand = " ".join(lowers[i:i + ln])
+                argtype = lx.ARG_PHRASE_SURFACES.get(cand)
+                if argtype is not None:
+                    span = (ln, argtype, None)
+                    break
+        if span is None and low in lx.MONTHS:
+            # month [day] [year] — requires a following numeric part so
+            # bare "may" (modal) is never a Time mention
+            ln = 1
+            j = i + 1
+            if j < n and _DAY_RE.match(toks[j][0]) and len(toks[j][0]) <= 2:
+                ln += 1
+                j += 1
+            if j < n and lx.YEAR_RE.match(toks[j][0]):
+                ln = j - i + 1
+            if ln > 1:
+                span = (ln, "Time", None)
+        if span is None and lx.NUMERIC_RE.match(tok) and i + 1 < n \
+                and lowers[i + 1] in _COUNT_NOUNS:
+            span = (1, "Number", None)
+        if span is not None:
+            ln, argtype, eid = span
+            m_start = toks[i][1]
+            m_end = toks[i + ln - 1][2]
+            dataish = (argtype == "Number" and i + ln < n
+                       and lowers[i + ln] in _DATAISH_NOUNS)
+            mentions.append(Mention(m_start, m_end, text[m_start:m_end],
+                                    argtype, eid,
+                                    next_noun_dataish=dataish))
+            for k in range(i, i + ln):
+                claimed[k] = True
+            i += ln
+        else:
+            i += 1
+
+    triggers = [
+        Trigger(i, toks[i][1], toks[i][2], toks[i][0],
+                lx.TRIGGER_SURFACES[lowers[i]])
+        for i in range(n)
+        if not claimed[i] and lowers[i] in lx.TRIGGER_SURFACES
+    ]
+    return toks, triggers, mentions
+
+
+# ---------------------------------------------------------------------------
+# Document logic (recheck / compatible / link), per conversation
+# ---------------------------------------------------------------------------
+
+
+def resolve_triggers(turn_triggers: dict[int, list[Trigger]]) -> dict[str, int]:
+    """Resolve ambiguous / 'General' trigger candidates against the
+    document trigger histogram (cf. scoreH link_coref.py:941-950 and
+    recheck :1027-1126). Mutates Trigger.etype. Returns final histogram."""
+    hist: dict[str, int] = {t: 0 for t in lx.TRIGGER_TYPES}
+    ambiguous: list[Trigger] = []
+    for trigs in turn_triggers.values():
+        for tr in trigs:
+            cands = [t for t in tr.etypes if t != "General"]
+            if len(cands) == 1 and "General" not in tr.etypes:
+                tr.etype = cands[0]
+                hist[tr.etype] += 1
+            else:
+                ambiguous.append(tr)
+    for tr in ambiguous:
+        cands = [t for t in tr.etypes if t != "General"]
+        if "General" in tr.etypes and not cands:
+            cands = list(lx.TRIGGER_TYPES)
+            if all(hist[c] == 0 for c in cands):
+                tr.etype = None  # bare general noun, no doc context: drop
+                continue
+        # highest doc count wins; ties alphabetical (deterministic)
+        best = max(hist[c] for c in cands)
+        tr.etype = sorted(c for c in cands if hist[c] == best)[0]
+    final = {t: 0 for t in lx.TRIGGER_TYPES}
+    for trigs in turn_triggers.values():
+        for tr in trigs:
+            if tr.etype:
+                final[tr.etype] += 1
+    return final
+
+
+_MUST_HAVE = {"CVE": ("DiscoverVulnerability", "PatchVulnerability"),
+              "Vulnerability": ("DiscoverVulnerability", "PatchVulnerability")}
+
+
+def recheck_impute(turn_tokens, turn_triggers, turn_mentions, hist):
+    """Impute a trigger on turns that carry a must-have argument (CVE /
+    Vulnerability) but no trigger, typed from the doc histogram
+    (cf. recheck link_coref.py:1027-1126 via findanytrigger)."""
+    for ti, mentions in turn_mentions.items():
+        if turn_triggers.get(ti):
+            continue
+        musts = [m for m in mentions if m.argtype in _MUST_HAVE]
+        if not musts:
+            continue
+        cands = _MUST_HAVE[musts[0].argtype]
+        counts = [(hist.get(c, 0), c) for c in cands]
+        best_count = max(c for c, _ in counts)
+        if best_count == 0:
+            continue
+        etype = sorted(c2 for c, c2 in counts if c == best_count)[0]
+        m = min(musts, key=lambda m: m.start)
+        turn_triggers[ti] = [Trigger(-1, m.start, m.end, m.text,
+                                     (etype,), etype=etype, imputed=True)]
+        hist[etype] = hist.get(etype, 0) + 1
+
+
+def compatible_filter(turn_triggers, turn_mentions):
+    """Drop argument mentions with no compatible-type trigger within the
+    ±1 turn window (cf. compatible link_coref.py:1128-1187)."""
+    turn_ids = sorted(turn_mentions)
+    for ti in turn_ids:
+        kept = []
+        for m in turn_mentions[ti]:
+            ok = False
+            for w in (ti - 1, ti, ti + 1):
+                for tr in turn_triggers.get(w, []):
+                    if tr.etype and m.argtype in lx.PAIR[tr.etype]:
+                        ok = True
+                        break
+                if ok:
+                    break
+            if ok:
+                kept.append(m)
+        turn_mentions[ti] = kept
+
+
+def link_events(conv_id, turn_triggers, turn_mentions) -> list[Event]:
+    """One event per resolved trigger; each argument attaches to the
+    nearest compatible trigger in its own turn, else the last compatible
+    trigger of the previous turn (cf. link, link_coref.py:1223-1407)."""
+    events: dict[tuple, Event] = {}
+
+    def get_event(ti, tr) -> Event:
+        key = (ti, tr.start)
+        if key not in events:
+            events[key] = Event(
+                event_id=f"{conv_id}:{ti}:{tr.start}", conv_id=conv_id,
+                turn_idx=ti, etype=tr.etype, nugget_start=tr.start,
+                nugget_end=tr.end, nugget_text=tr.surface)
+        return events[key]
+
+    for ti in sorted(turn_triggers):
+        for tr in turn_triggers[ti]:
+            if tr.etype:
+                get_event(ti, tr)
+
+    for ti in sorted(turn_mentions):
+        for m in turn_mentions[ti]:
+            same = [tr for tr in turn_triggers.get(ti, [])
+                    if tr.etype and m.argtype in lx.PAIR[tr.etype]]
+            target = None
+            if same:
+                target = min(same, key=lambda tr: (abs(tr.start - m.start),
+                                                   tr.start))
+                t_ti = ti
+            else:
+                prev = [tr for tr in turn_triggers.get(ti - 1, [])
+                        if tr.etype and m.argtype in lx.PAIR[tr.etype]]
+                if prev:
+                    target = max(prev, key=lambda tr: tr.start)
+                    t_ti = ti - 1
+            if target is not None:
+                get_event(t_ti, target).args.append(m)
+    return [events[k] for k in sorted(events)]
+
+
+# ---------------------------------------------------------------------------
+# Role + realis rules (deterministic stand-ins for T4/T5 models)
+# ---------------------------------------------------------------------------
+
+
+def assign_roles(event: Event) -> None:
+    """RolePair-driven role assignment with deterministic disambiguation
+    (cf. roleassign link_coref.py:1409-1457 incl. the Databreach Number
+    special case :1444-1455). Args with no role mapping are dropped."""
+    kept = []
+    for m in event.args:
+        roles = lx.ROLE_PAIR[event.etype].get(m.argtype)
+        if not roles:
+            continue
+        if len(roles) == 1:
+            m.role = roles[0]
+        else:
+            rset = set(roles)
+            if {"Attacker", "Victim"} <= rset:
+                m.role = "Attacker" if m.start < event.nugget_start else "Victim"
+            elif {"Patch-Releaser", "Vulnerable-System-Owner"} <= rset:
+                m.role = ("Patch-Releaser" if m.start < event.nugget_start
+                          else "Vulnerable-System-Owner")
+            elif event.etype == "Databreach" and m.argtype == "Number":
+                # decided by the noun following the number (":1444-1455")
+                m.role = ("Number-of-Compromised-Data"
+                          if m.next_noun_dataish else "Number-of-victim")
+            else:
+                m.role = roles[0]
+        kept.append(m)
+    event.args = kept
+
+
+def assign_realis(event: Event, turn_tokens) -> None:
+    """Rule-based realis over the ±7-token context window around the
+    nugget (window size per prepare.py:276-277): modal context -> Other,
+    generic context or generic plural trigger -> Generic, else Actual."""
+    idx = 0
+    for k, (tok, s, e) in enumerate(turn_tokens):
+        if s <= event.nugget_start < e:
+            idx = k
+            break
+    lo = max(0, idx - 7)
+    hi = min(len(turn_tokens), idx + 8)
+    window = {turn_tokens[k][0].lower() for k in range(lo, hi)}
+    if window & lx.MODAL_WORDS:
+        event.realis = "Other"
+    elif (window & lx.GENERIC_WORDS
+          or event.nugget_text.lower() in lx.GENERIC_TRIGGER_SURFACES):
+        event.realis = "Generic"
+    else:
+        event.realis = "Actual"
+
+
+# ---------------------------------------------------------------------------
+# Event coreference (corefdiffbyevent, link_coref.py:1510-1679)
+# ---------------------------------------------------------------------------
+
+
+def _strdist(a: str, b: str) -> float:
+    """Cosine distance / 2 of the hashed surface embeddings — same shape
+    as strdist (link_coref.py:301-309) with w2v replaced by the
+    deterministic hashed embedding."""
+    if a == b:
+        return 0.0
+    va, vb = embed_surface(a.lower()), embed_surface(b.lower())
+    return float(max(0.0, 1.0 - float(va @ vb))) / 2.0
+
+
+_REL_DAYS = {"yesterday": -1, "today": 0, "tomorrow": 1, "last week": -7,
+             "last month": -30, "last year": -365, "this week": 0,
+             "this month": 0, "this year": 0, "earlier this year": -90,
+             "earlier this week": -3, "recently": -7}
+
+
+def parse_time_mention(text: str, turn_ts: dt.datetime | None):
+    """Time-argument surface -> ordinal day (cf. strtotime/durationtotime,
+    link_coref.py:364-497, with the turn timestamp as pubdate)."""
+    low = text.lower().strip()
+    words = low.split()
+    if words and words[0] in lx.MONTHS:
+        month = lx.MONTHS.index(words[0]) + 1
+        day, year = 15, None
+        for w in words[1:]:
+            if lx.YEAR_RE.match(w):
+                year = int(w)
+            elif w.isdigit() and int(w) <= 31:
+                day = int(w)
+        if year is None:
+            year = turn_ts.year if turn_ts else 2018
+        try:
+            return dt.date(year, month, min(day, 28)).toordinal()
+        except ValueError:
+            return None
+    base = turn_ts.date() if turn_ts else dt.date(2018, 1, 1)
+    if low in _REL_DAYS:
+        return base.toordinal() + _REL_DAYS[low]
+    if low in lx.WEEKDAYS:
+        return base.toordinal()
+    return None
+
+
+def _coref_distance_matrix(evs: list[Event], turn_ts: dict[int, dt.datetime]):
+    """7-feature weighted distance matrix for one (conv, etype) subset,
+    mirroring the reference's feature structure and its per-subset
+    min-max normalization of the count features."""
+    n = len(evs)
+    w = lx.COREF_WEIGHTS
+    args_of = [[(m.argtype, lx.normalize_surface(m.text), m.entity_id)
+                for m in e.args] for e in evs]
+    nuggetdiff = np.zeros((n, n))
+    realisdiff = np.zeros((n, n))
+    argtype_i = np.zeros((n, n))
+    argcoref = np.zeros((n, n))
+    nuggetdist = np.zeros((n, n))
+    argmiss = np.zeros((n, n))
+    timedist = np.zeros((n, n))
+    times = []
+    for e in evs:
+        tvals = [parse_time_mention(m.text, turn_ts.get(e.turn_idx))
+                 for m in e.args if m.argtype == "Time"]
+        tvals = [t for t in tvals if t is not None]
+        times.append(tvals[0] if tvals else None)
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            e1, e2 = evs[i], evs[j]
+            nuggetdiff[i, j] = _strdist(e1.nugget_text, e2.nugget_text)
+            realisdiff[i, j] = 0.0 if e1.realis == e2.realis else 1.0
+            t2 = [a[0] for a in args_of[j]]
+            inter = 0
+            for a1, _, _ in args_of[i]:
+                if a1 in t2:
+                    t2.remove(a1)
+                    inter += 1
+            argtype_i[i, j] = inter
+            argmiss[i, j] = len(args_of[i]) - inter
+            nuggetdist[i, j] = abs(e1.turn_idx - e2.turn_idx)
+            total = coref_hits = 0
+            for a1 in args_of[i]:
+                for a2 in args_of[j]:
+                    if (a1[2] is not None and a1[2] == a2[2]) or a1[1] == a2[1]:
+                        coref_hits += 1
+                    total += 1
+            argcoref[i, j] = 1.0 - coref_hits / total if total else 1.0
+            if times[i] is not None and times[j] is not None:
+                timedist[i, j] = 1.0 if abs(times[i] - times[j]) > 0 else 0.0
+
+    def minmax(m):
+        mx = m.max()
+        if mx == 0:
+            return np.zeros_like(m)
+        mn = m.min()
+        return (m - mn) / (mx - mn)
+
+    dist = (nuggetdiff * w[0] + realisdiff * w[1] + minmax(argtype_i) * w[2]
+            + argcoref * w[3] + minmax(nuggetdist) * w[4]
+            + minmax(argmiss) * w[5] + timedist * w[6])
+    np.fill_diagonal(dist, 0.0)
+    return dist
+
+
+def _average_linkage(dist: np.ndarray, threshold: float) -> list[int]:
+    """Exact average-linkage agglomerative clustering with deterministic
+    smallest-(d,i,j) tie-break; merges while min linkage < threshold
+    (matches sklearn AgglomerativeClustering(distance_threshold=...) used
+    at link_coref.py:1670 for small n)."""
+    n = dist.shape[0]
+    clusters: dict[int, list[int]] = {i: [i] for i in range(n)}
+    d = {(i, j): float(dist[i, j] + dist[j, i]) / 2.0
+         for i in range(n) for j in range(i + 1, n)}
+    while len(clusters) > 1:
+        keys = sorted(clusters)
+        best = None
+        for ai in range(len(keys)):
+            for bi in range(ai + 1, len(keys)):
+                a, b = keys[ai], keys[bi]
+                dd = d[(a, b) if a < b else (b, a)]
+                if best is None or dd < best[0] - 1e-12:
+                    best = (dd, a, b)
+        if best is None or best[0] >= threshold:
+            break
+        _, a, b = best
+        na, nb = len(clusters[a]), len(clusters[b])
+        for c in clusters:
+            if c in (a, b):
+                continue
+            ka = (min(a, c), max(a, c))
+            kb = (min(b, c), max(b, c))
+            d[ka] = (d[ka] * na + d[kb] * nb) / (na + nb)
+        clusters[a] = clusters[a] + clusters[b]
+        del clusters[b]
+    labels = [0] * n
+    for cid, (root, members) in enumerate(sorted(clusters.items())):
+        for m in members:
+            labels[m] = cid
+    return labels
+
+
+def coref_events(events: list[Event], turn_ts: dict[int, dt.datetime]) -> None:
+    """Cluster events per event type within one conversation; cluster id
+    = lexicographically smallest member event_id (content-derived — never
+    arrival order, SURVEY §7.4 determinism)."""
+    by_type: dict[str, list[Event]] = {}
+    for e in events:
+        by_type.setdefault(e.etype, []).append(e)
+    for etype in sorted(by_type):
+        evs = sorted(by_type[etype], key=lambda e: e.event_id)
+        if len(evs) == 1:
+            evs[0].cluster = evs[0].event_id
+            continue
+        dist = _coref_distance_matrix(evs, turn_ts)
+        labels = _average_linkage(dist, lx.COREF_THRESHOLD)
+        groups: dict[int, list[Event]] = {}
+        for e, lab in zip(evs, labels):
+            groups.setdefault(lab, []).append(e)
+        for members in groups.values():
+            root = min(m.event_id for m in members)
+            for m in members:
+                m.cluster = root
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization + triple emission (S8 -> graph materialization)
+# ---------------------------------------------------------------------------
+
+_LITERAL_TYPES = {"CVE", "Version", "Money", "Number", "Time"}
+
+
+def canonical_obj(m: Mention) -> str:
+    """Canonical node id for an argument mention: linked entity id when
+    the catalog matched, typed literal otherwise."""
+    if m.entity_id:
+        return m.entity_id
+    if m.argtype == "CVE":
+        return m.text.upper()
+    if m.argtype in _LITERAL_TYPES:
+        return m.text.replace(",", "")
+    return f"{m.argtype.lower()}:{lx.normalize_surface(m.text)}"
+
+
+def emit_triples(events: list[Event]) -> list[dict]:
+    """Events -> (subj, pred, obj) assertions (the engine's equivalent of
+    the brat frame emitters, report.py:260-481)."""
+    out = []
+
+    def triple(e, subj, pred, obj, st, ot, weight=1.0):
+        out.append({
+            "subj": subj, "pred": pred, "obj": obj,
+            "subj_type": st, "obj_type": ot, "conv_id": e.conv_id,
+            "turn_idx": e.turn_idx, "ev_start": e.nugget_start,
+            "ev_end": e.nugget_end, "weight": weight,
+        })
+
+    for e in events:
+        triple(e, e.event_id, "event-type", e.etype, "Event", "EventType")
+        triple(e, e.event_id, "has-realis", e.realis or "Actual",
+               "Event", "Realis")
+        role_members: dict[str, list[Mention]] = {}
+        for m in e.args:
+            triple(e, e.event_id, m.role, canonical_obj(m), "Event",
+                   m.argtype)
+            role_members.setdefault(m.role, []).append(m)
+        for pred, (subj_role, obj_role) in lx.DERIVED_PREDS.items():
+            for ms in sorted(role_members.get(subj_role, []),
+                             key=lambda m: m.start):
+                for mo in sorted(role_members.get(obj_role, []),
+                                 key=lambda m: m.start):
+                    triple(e, canonical_obj(ms), pred, canonical_obj(mo),
+                           ms.argtype, mo.argtype)
+        if e.cluster and e.cluster != e.event_id:
+            triple(e, e.event_id, "same-as", e.cluster, "Event", "Event")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Full per-conversation extraction (the kernel both sides agree on)
+# ---------------------------------------------------------------------------
+
+
+def extract_conversation(conv_id: str, turns: list[dict], catalog: dict,
+                         detections: dict | None = None) -> list[Event]:
+    """turns: [{turn_idx, text, ts}] sorted by turn_idx.
+
+    ``detections``: optional precomputed {turn_idx: (tokens, triggers,
+    mentions)} — the engine passes the vectorized tagger's output here;
+    the oracle leaves it None and detects inline.
+    """
+    turn_tokens: dict[int, list] = {}
+    turn_triggers: dict[int, list[Trigger]] = {}
+    turn_mentions: dict[int, list[Mention]] = {}
+    turn_ts: dict[int, dt.datetime] = {}
+    for t in turns:
+        ti = t["turn_idx"]
+        turn_ts[ti] = t.get("ts")
+        if detections is not None and ti in detections:
+            toks, trigs, ments = detections[ti]
+        else:
+            toks, trigs, ments = detect_turn(t["text"], catalog)
+        turn_tokens[ti] = toks
+        turn_triggers[ti] = trigs
+        turn_mentions[ti] = ments
+
+    hist = resolve_triggers(turn_triggers)
+    recheck_impute(turn_tokens, turn_triggers, turn_mentions, hist)
+    compatible_filter(turn_triggers, turn_mentions)
+    events = link_events(conv_id, turn_triggers, turn_mentions)
+    for e in events:
+        assign_roles(e)
+        assign_realis(e, turn_tokens[e.turn_idx])
+    coref_events(events, turn_ts)
+    return events

@@ -1,0 +1,471 @@
+"""Deterministic synthetic transcript corpus generator (FIXTURES.md).
+
+Produces the three tables the tests/bench run on, derived only from the
+input_hint shape in BASELINE.json plus the reference's lexicons
+(``casie_ray.lexicons``): ``transcripts`` (conv_id, turn_idx, role, text,
+tool, ts), ``entities`` (canonical catalog, the broadcast small side of the
+linker), and ``gold_events`` (planted annotations mirroring the structure of
+the reference's ``data/annotation/*.json``).
+
+Generation is a pure function of (seed, conv_index) so it can run either
+single-process (tests) or as a Ray Data ``map_batches`` over a range
+dataset (bench scale) with identical output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import os
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import lexicons as lx
+from .embed import embed_surfaces
+
+# conversations per unit scale factor: sf0.01 -> 2,000 convs (~40k turns)
+CONVS_PER_SF = 200_000
+ENTITIES_PER_SF = 200_000 // 100  # 2,000 at sf=1.0 per FIXTURES ratio... scaled below
+N_HOT_ENTITIES = 8
+
+# ---------------------------------------------------------------------------
+# Entity catalog
+# ---------------------------------------------------------------------------
+
+_SYL_A = ["Zor", "Vel", "Kor", "Nym", "Tal", "Qua", "Bri", "Dax", "Fen",
+          "Gly", "Hul", "Jor", "Lum", "Mor", "Nix", "Oth", "Pex", "Ryn",
+          "Syl", "Tro", "Ulm", "Vex", "Wyn", "Xan", "Yor", "Zen"]
+_SYL_B = ["vex", "mir", "dal", "ron", "tak", "bel", "cor", "dun", "far",
+          "gon", "hart", "ion", "kel", "lor", "nar", "pol", "quil", "rix",
+          "sun", "tor", "ven", "wick", "xel", "yar", "zor"]
+_ORG_SUFFIX = ["Inc", "Corp", "Labs", "Systems", "Group", "Networks",
+               "Technologies", "Solutions", "Holdings", "Software"]
+_FIRST = ["Alex", "Blake", "Casey", "Devon", "Ellis", "Finley", "Harper",
+          "Indra", "Jules", "Kiran", "Logan", "Mika", "Noor", "Oakley",
+          "Priya", "Quinn", "Rowan", "Sasha", "Tegan", "Uma"]
+_GPES = ["Germany", "France", "Brazil", "Japan", "Canada", "India",
+         "Australia", "Spain", "Italy", "Norway", "Poland", "Mexico",
+         "Sweden", "Austria", "Chile", "Kenya", "Vietnam", "Portugal",
+         "Ireland", "Finland"]
+
+_TYPE_CYCLE = ["Organization", "Organization", "Organization", "Person",
+               "Person", "Software", "System", "Malware", "Website",
+               "Device", "GPE", "File"]
+
+
+def _stem(rng: random.Random) -> str:
+    return rng.choice(_SYL_A) + rng.choice(_SYL_B)
+
+
+def _make_entity(i: int, seed: int) -> dict:
+    rng = random.Random(f"ent:{seed}:{i}")
+    etype = _TYPE_CYCLE[i % len(_TYPE_CYCLE)]
+    aliases: list[str] = []
+    if etype == "Organization":
+        stem = _stem(rng)
+        suffix = rng.choice(_ORG_SUFFIX)
+        canonical = f"{stem} {suffix}"
+        aliases = [stem]
+    elif etype == "Person":
+        canonical = f"{rng.choice(_FIRST)} {_stem(rng)}"
+    elif etype == "Software":
+        canonical = f"{_stem(rng)}{rng.choice(['Suite', 'Office', 'DB', 'Mail', 'CMS'])}"
+    elif etype == "System":
+        canonical = f"{_stem(rng)} {rng.choice(['Server', 'Cloud', 'Platform', 'Portal'])}"
+    elif etype == "Malware":
+        canonical = f"{_stem(rng)}{rng.choice(['Locker', 'Bot', 'Worm', 'RAT', 'Stealer'])}"
+    elif etype == "Website":
+        canonical = f"{_stem(rng).lower()}.{rng.choice(['com', 'net', 'io', 'org'])}"
+    elif etype == "Device":
+        canonical = f"{_stem(rng)} Router {rng.randint(100, 999)}"
+        aliases = [canonical.rsplit(' ', 1)[0]]
+    elif etype == "GPE":
+        canonical = _GPES[i // len(_TYPE_CYCLE) % len(_GPES)]
+    else:  # File
+        canonical = f"{_stem(rng).lower()}.{rng.choice(['exe', 'doc', 'zip', 'pdf', 'xls'])}"
+    return {"entity_id": f"E{i:06d}", "canonical": canonical,
+            "aliases": aliases, "type": etype}
+
+
+def gen_entities(n: int, seed: int = 42) -> pa.Table:
+    rows = [_make_entity(i, seed) for i in range(n)]
+    # drop canonical-surface collisions deterministically (keep first)
+    seen: set[str] = set()
+    uniq = []
+    for r in rows:
+        key = lx.normalize_surface(r["canonical"])
+        if key in seen:
+            continue
+        seen.add(key)
+        uniq.append(r)
+    emb = embed_surfaces([lx.normalize_surface(r["canonical"]) for r in uniq])
+    return pa.table({
+        "entity_id": pa.array([r["entity_id"] for r in uniq]),
+        "canonical": pa.array([r["canonical"] for r in uniq]),
+        "aliases": pa.array([r["aliases"] for r in uniq],
+                            type=pa.list_(pa.string())),
+        "type": pa.array([r["type"] for r in uniq]),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.reshape(-1), type=pa.float32()), emb.shape[1]),
+    })
+
+
+def _catalog_by_type(entities: pa.Table) -> dict[str, list[dict]]:
+    by_type: dict[str, list[dict]] = {}
+    for r in entities.to_pylist():
+        by_type.setdefault(r["type"], []).append(r)
+    return by_type
+
+
+# ---------------------------------------------------------------------------
+# Sentence templates. Each template is a list of parts; a part is either a
+# literal string (tokens joined by spaces) or a slot tuple
+# ("ARG", arg_type, role) / ("TRIG", event_type) / ("TRIGGEN",) for a
+# generic-surface trigger. Slots are filled by `_fill`.
+# ---------------------------------------------------------------------------
+
+def _untyped_trigger_surfaces() -> dict[str, list[str]]:
+    """event type -> surfaces that map unambiguously to it (and are not
+    also argument-phrase surfaces: the argument-wins rule would eat them,
+    link_coref.py:613-614)."""
+    out: dict[str, list[str]] = {t: [] for t in lx.TRIGGER_TYPES}
+    for surf, types in sorted(lx.TRIGGER_SURFACES.items()):
+        if len(types) == 1 and types[0] in out \
+                and surf not in lx.ARG_PHRASE_SURFACES:
+            out[types[0]].append(surf)
+    return out
+
+
+UNAMBIG_TRIGGERS = _untyped_trigger_surfaces()
+
+A = lambda t, r: ("ARG", t, r)  # noqa: E731
+T = ("TRIG",)
+
+# templates: (event_type, realis, parts)
+TEMPLATES: list[tuple[str, str, list]] = [
+    ("Databreach", "Actual",
+     [A("Organization", "Attacker"), T, A("Data", "Compromised-Data"),
+      "from", A("Organization", "Victim"), "in", A("Time", "Time"), "."]),
+    ("Databreach", "Actual",
+     [A("Person", "Attacker"), T, "the", A("PII", "Compromised-Data"),
+      "of", A("Number", "Number-of-victim"), "customers", "from",
+      A("System", "Victim"), "."]),
+    ("Databreach", "Other",
+     ["they", "may", "have", T, A("Data", "Compromised-Data"), "belonging",
+      "to", A("Organization", "Victim"), "."]),
+    ("Databreach", "Generic",
+     ["attackers", "typically", T, A("Data", "Compromised-Data"),
+      "through", "unsecured", "databases", "."]),
+    ("Phishing", "Actual",
+     [A("Person", "Attacker"), T, A("Person", "Victim"),
+      "with", "a", "fake", A("Website", "Trusted-Entity"), "page", "."]),
+    ("Phishing", "Actual",
+     [A("Organization", "Attacker"), T, "emails", "to",
+      A("Number", "Number-of-Victim"), "employees", "of",
+      A("Organization", "Victim"), "."]),
+    ("Phishing", "Other",
+     ["the", "group", "could", T, A("Person", "Victim"), "using",
+      A("File", "Trusted-Entity"), "."]),
+    ("Ransom", "Actual",
+     [A("Malware", "Tool"), "operators", "are", T, A("Money", "Ransom-Price"),
+      "from", A("Organization", "Victim"), "."]),
+    ("Ransom", "Actual",
+     ["attackers", "are", T, A("Money", "Ransom-Price"), "in",
+      A("PaymentMethod", "Payment-Method"), "from",
+      A("Organization", "Victim"), "."]),
+    ("Ransom", "Other",
+     ["the", "gang", "might", "be", T, A("Money", "Ransom-Price"),
+      "from", A("Device", "Victim"), "owners", "."]),
+    ("DiscoverVulnerability", "Actual",
+     [A("Person", "Discoverer"), T, "a", A("Vulnerability", "Vulnerability"),
+      "in", A("System", "Vulnerable-System"), "tracked", "as",
+      A("CVE", "CVE"), "."]),
+    ("DiscoverVulnerability", "Actual",
+     [A("Organization", "Attacker"), T, "that",
+      A("Software", "Vulnerable-System"), A("Version", "Vulnerable-System-Version"),
+      "contains", "a", A("Vulnerability", "Vulnerability"), "."]),
+    ("DiscoverVulnerability", "Other",
+     ["researchers", "suspected", "and", "later", T, "a",
+      A("Vulnerability", "Vulnerability"), "in", A("Device", "Vulnerable-System"),
+      "."]),
+    ("PatchVulnerability", "Actual",
+     [A("Organization", "Patch-Releaser"), T, "a", A("Patch", "Patch"),
+      "for", A("CVE", "CVE"), "in", A("Software", "Vulnerable-System"), "."]),
+    ("PatchVulnerability", "Actual",
+     [A("Organization", "Patch-Releaser"), T, "the",
+      A("Vulnerability", "Vulnerability"), "in",
+      A("System", "Vulnerable-System"), "with", "version",
+      A("Version", "Patch-Number"), "."]),
+    ("PatchVulnerability", "Other",
+     [A("Organization", "Patch-Releaser"), "may", T, "a",
+      A("Patch", "Patch"), "for", A("Device", "Vulnerable-System"),
+      "next", "month", "."]),
+]
+
+# trigger surfaces safe for each (etype, realis) — modal/generic realis
+# relies on context words in the template, so any unambiguous surface works.
+_FILLER = [
+    "can you check the cluster logs for anything unusual",
+    "sure, pulling the records now",
+    "the scan completed with no alerts overnight",
+    "thanks, let me know when the ticket is closed",
+    "please rotate the api keys for the staging environment",
+    "restarting the ingest workers changed nothing so far",
+    "the dashboard latency looks normal again",
+    "i opened an internal ticket with the infra team",
+    "metrics are flat over the weekend window",
+    "the on-call rotation changes at midnight",
+    "backup verification passed on all volumes",
+    "we should review the firewall rules together in the morning",
+]
+
+_TOOL_NAMES = ["search_logs", "query_siem", "fetch_ticket", "scan_host",
+               "lookup_ioc"]
+_ROLES = ["user", "assistant", "user", "assistant", "system", "tool"]
+
+
+def _fill_arg(rng: random.Random, argtype: str, cat: dict[str, list[dict]],
+              hot: list[dict]) -> str:
+    """Pick a surface for an argument slot. Catalog types draw an entity
+    (hot entities with boosted probability); literal types synthesize."""
+    if argtype in cat:
+        pool = cat[argtype]
+        hot_pool = [e for e in hot if e["type"] == argtype]
+        if hot_pool and rng.random() < 0.25:
+            ent = rng.choice(hot_pool)
+        else:
+            ent = pool[rng.randrange(len(pool))]
+        if ent["aliases"] and rng.random() < 0.3:
+            return rng.choice(ent["aliases"])
+        return ent["canonical"]
+    if argtype == "CVE":
+        return f"CVE-{rng.randint(2015, 2019)}-{rng.randint(1000, 99999)}"
+    if argtype == "Version":
+        return f"{rng.randint(1, 12)}.{rng.randint(0, 9)}.{rng.randint(0, 20)}"
+    if argtype == "Money":
+        return f"${rng.randint(1, 900) * 1000:,}"
+    if argtype == "Number":
+        return f"{rng.randint(2, 900) * 100:,}"
+    if argtype == "Time":
+        return rng.choice(lx.MONTHS).capitalize() + f" {rng.randint(2015, 2019)}"
+    if argtype == "Data":
+        return rng.choice(lx.DATA_PHRASES)
+    if argtype == "PII":
+        return rng.choice(lx.PII_PHRASES)
+    if argtype == "Vulnerability":
+        return rng.choice(lx.GENERAL_ARG["Vulnerability"][:4])
+    if argtype == "Patch":
+        return "patch"
+    if argtype == "PaymentMethod":
+        return rng.choice(lx.PAYMENT_METHODS[:3])
+    if argtype == "Capabilities":
+        return rng.choice(lx.CAPABILITY_PHRASES)
+    raise ValueError(argtype)
+
+
+def _render_event(rng: random.Random, template, cat, hot):
+    """Instantiate a template -> (text, nugget dict, [arg dicts])."""
+    etype, realis, parts = template
+    tokens: list[str] = []
+    pos = 0
+    nugget = None
+    args = []
+
+    def emit(s: str):
+        nonlocal pos
+        start = pos
+        tokens.append(s)
+        pos += len(s) + 1
+        return start, pos - 1
+
+    for part in parts:
+        if part == T:
+            surf = rng.choice(UNAMBIG_TRIGGERS[etype])
+            s, e = emit(surf)
+            nugget = {"text": surf, "start": s, "end": e}
+        elif isinstance(part, tuple) and part[0] == "ARG":
+            _, argtype, role = part
+            surf = _fill_arg(rng, argtype, cat, hot)
+            s, e = emit(surf)
+            args.append({"text": surf, "start": s, "end": e,
+                         "type": argtype, "role": role})
+        else:
+            emit(part)
+    return " ".join(tokens), etype, realis, nugget, args
+
+
+def gen_conversation(conv_index: int, cat: dict[str, list[dict]],
+                     hot: list[dict], seed: int = 42):
+    """Pure function -> (transcript rows, gold event rows) for one conv."""
+    rng = random.Random(f"conv:{seed}:{conv_index}")
+    conv_id = f"c{conv_index:08d}"
+    is_hot_conv = conv_index % 100 == 7
+    n_turns = rng.randint(5, 40) * (10 if is_hot_conv else 1)
+    start = dt.datetime(2017, 1, 1) + dt.timedelta(
+        seconds=rng.randint(0, 3 * 365 * 24 * 3600))
+
+    n_events = min(rng.randint(0, 5) + (3 if is_hot_conv else 0), n_turns)
+    event_turns = sorted(rng.sample(range(n_turns), n_events))
+
+    t_rows, g_rows = [], []
+    ts = start
+    # turn_idx -> (rendered_event, hopper_id) replayed verbatim for coref
+    pending_repeat: dict[int, tuple] = {}
+
+    for ti in range(n_turns):
+        ts += dt.timedelta(seconds=rng.randint(10, 300))
+        role = _ROLES[(conv_index + ti) % len(_ROLES)]
+        tool = rng.choice(_TOOL_NAMES) if role == "tool" else None
+        sent_parts = []
+
+        planted = None
+        if ti in event_turns:
+            template = TEMPLATES[rng.randrange(len(TEMPLATES))]
+            planted = (_render_event(rng, template, cat, hot),
+                       f"{conv_id}:h{ti}")
+        elif ti in pending_repeat:
+            planted = pending_repeat.pop(ti)
+
+        if planted is None or rng.random() < 0.5:
+            sent_parts.append(rng.choice(_FILLER) + " .")
+
+        if planted is not None:
+            rendered, hopper_id = planted
+            text, etype, realis, nugget, args = rendered
+            offset = sum(len(s) + 1 for s in sent_parts)
+            sent_parts.append(text)
+            nug_abs = {"text": nugget["text"],
+                       "start": nugget["start"] + offset,
+                       "end": nugget["end"] + offset}
+            args_abs = [{**a, "start": a["start"] + offset,
+                         "end": a["end"] + offset} for a in args]
+            g_rows.append({
+                "conv_id": conv_id, "turn_idx": ti, "hopper_id": hopper_id,
+                "event_id": f"{conv_id}:{ti}:{nug_abs['start']}",
+                "subtype": etype, "realis": realis, "nugget": nug_abs,
+                "arguments": args_abs,
+            })
+            # restate the same event soon after -> coref pair (same hopper)
+            if (ti in event_turns and realis == "Actual"
+                    and rng.random() < 0.25 and ti + 2 < n_turns):
+                later = ti + rng.randint(1, min(3, n_turns - ti - 1))
+                if later not in event_turns and later not in pending_repeat:
+                    pending_repeat[later] = (rendered, hopper_id)
+
+        text = " ".join(sent_parts) if sent_parts else rng.choice(_FILLER) + " ."
+        t_rows.append({"conv_id": conv_id, "turn_idx": ti, "role": role,
+                       "text": text, "tool": tool, "ts": ts})
+    return t_rows, g_rows
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly
+# ---------------------------------------------------------------------------
+
+TRANSCRIPT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("role", pa.string()), ("text", pa.string()), ("tool", pa.string()),
+    ("ts", pa.timestamp("us")),
+])
+
+GOLD_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("hopper_id", pa.string()), ("event_id", pa.string()),
+    ("subtype", pa.string()), ("realis", pa.string()),
+    ("nugget", pa.struct([("text", pa.string()), ("start", pa.int32()),
+                          ("end", pa.int32())])),
+    ("arguments", pa.list_(pa.struct([
+        ("text", pa.string()), ("start", pa.int32()), ("end", pa.int32()),
+        ("type", pa.string()), ("role", pa.string())]))),
+])
+
+
+def n_convs(sf: float) -> int:
+    return max(8, int(CONVS_PER_SF * sf))
+
+
+def n_entities(sf: float) -> int:
+    return max(120, int(2_000 * (sf / 0.01) ** 0.5))
+
+
+def conv_batch(conv_indices, entities: pa.Table, seed: int = 42):
+    """Generate a batch of conversations -> (transcripts, gold) tables."""
+    cat = _catalog_by_type(entities)
+    hot = entities.slice(0, N_HOT_ENTITIES).to_pylist()
+    t_all, g_all = [], []
+    for ci in conv_indices:
+        t, g = gen_conversation(int(ci), cat, hot, seed)
+        t_all.extend(t)
+        g_all.extend(g)
+    t_tbl = pa.Table.from_pylist(t_all, schema=TRANSCRIPT_SCHEMA)
+    g_tbl = pa.Table.from_pylist(g_all, schema=GOLD_SCHEMA) if g_all else \
+        GOLD_SCHEMA.empty_table()
+    return t_tbl, g_tbl
+
+
+def generate(sf: float, out_dir: str, seed: int = 42,
+             shard_rows: int = 50_000) -> dict:
+    """Write transcripts/entities/gold_events parquet under out_dir.
+
+    Single-process but shard-at-a-time (bounded memory); sharded output
+    directories so the engine reads many fragments (parallel read) —
+    mirrors how a 100 TB corpus would arrive as many parquet shards.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    entities = gen_entities(n_entities(sf), seed)
+    pq.write_table(entities, os.path.join(out_dir, "entities.parquet"))
+
+    nc = n_convs(sf)
+    tdir = os.path.join(out_dir, "transcripts")
+    gdir = os.path.join(out_dir, "gold_events")
+    os.makedirs(tdir, exist_ok=True)
+    os.makedirs(gdir, exist_ok=True)
+    # ~20 turns avg per conv -> convs per shard
+    convs_per_shard = max(64, shard_rows // 20)
+    total_turns = 0
+    shard = 0
+    for lo in range(0, nc, convs_per_shard):
+        idxs = range(lo, min(lo + convs_per_shard, nc))
+        t_tbl, g_tbl = conv_batch(idxs, entities, seed)
+        pq.write_table(t_tbl, os.path.join(tdir, f"part-{shard:05d}.parquet"))
+        pq.write_table(g_tbl, os.path.join(gdir, f"part-{shard:05d}.parquet"))
+        total_turns += t_tbl.num_rows
+        shard += 1
+    return {"conversations": nc, "turns": total_turns,
+            "entities": entities.num_rows, "shards": shard,
+            "out_dir": out_dir}
+
+
+_CACHE_ROOT = "/tmp/casie_fixtures"
+
+
+def ensure_corpus(sf: float, seed: int = 42, root: str = _CACHE_ROOT) -> str:
+    """Generate-once cache of the synthetic corpus for a scale factor."""
+    out_dir = os.path.join(root, f"sf{sf:g}_seed{seed}")
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        generate(sf, out_dir, seed)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out_dir
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=0.01)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+    if args.out:
+        info = generate(args.sf, args.out, args.seed)
+    else:
+        out = ensure_corpus(args.sf, args.seed)
+        info = {"out_dir": out}
+    print(info)
+
+
+if __name__ == "__main__":
+    main()

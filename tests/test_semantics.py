@@ -1,0 +1,163 @@
+"""Unit tests for the shared extraction kernels (SURVEY §5.2 tier 1)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from casie_ray import lexicons as lx
+from casie_ray.semantics import (
+    Mention, build_catalog_matcher, detect_turn, extract_conversation,
+    parse_time_mention,
+)
+from casie_ray.tokenize import tokenize
+
+ENTS = [
+    {"entity_id": "E1", "canonical": "Acmex Corp", "aliases": ["Acmex"],
+     "type": "Organization"},
+    {"entity_id": "E2", "canonical": "BoltLocker", "aliases": [],
+     "type": "Malware"},
+    {"entity_id": "E3", "canonical": "Norvik Server", "aliases": [],
+     "type": "System"},
+]
+CAT = build_catalog_matcher(ENTS)
+
+
+def test_tokenize_offsets_and_compounds():
+    toks = tokenize("Acmex Corp fix CVE-2017-144 in v2.3.1 for $12,000 .")
+    surfaces = [t[0] for t in toks]
+    assert "CVE-2017-144" in surfaces
+    assert "v2.3.1" in surfaces
+    assert "$12,000" in surfaces
+    text = "Acmex Corp fix CVE-2017-144 in v2.3.1 for $12,000 ."
+    for s, a, b in toks:
+        assert text[a:b] == s
+
+
+def test_detect_regex_and_catalog():
+    _, trigs, ments = detect_turn(
+        "Acmex Corp released a patch for CVE-2017-144 in Norvik Server .",
+        CAT)
+    kinds = {(m.text, m.argtype, m.entity_id) for m in ments}
+    assert ("Acmex Corp", "Organization", "E1") in kinds
+    assert ("CVE-2017-144", "CVE", None) in kinds
+    assert ("Norvik Server", "System", "E3") in kinds
+    assert ("patch", "Patch", None) in kinds
+    assert [t.surface for t in trigs] == ["released"]
+    assert trigs[0].etypes == ("PatchVulnerability",)
+
+
+def test_argument_wins_over_trigger():
+    # 'patch' is both a GENERAL_N trigger noun and the Patch argument;
+    # the argument wins (link_coref.py:613-614)
+    _, trigs, ments = detect_turn("the patch arrived .", CAT)
+    assert any(m.argtype == "Patch" for m in ments)
+    assert not any(t.surface == "patch" for t in trigs)
+
+
+def test_may_is_not_a_time_mention():
+    _, _, ments = detect_turn("they may have stolen data .", CAT)
+    assert not any(m.argtype == "Time" for m in ments)
+    _, _, ments = detect_turn("it happened in May 2018 .", CAT)
+    assert [(m.text, m.argtype) for m in ments] == [("May 2018", "Time")]
+
+
+def test_alias_links_to_same_entity():
+    _, _, m1 = detect_turn("Acmex Corp was breached .", CAT)
+    _, _, m2 = detect_turn("Acmex was breached .", CAT)
+    assert m1[0].entity_id == m2[0].entity_id == "E1"
+
+
+def test_extract_conversation_end_to_end():
+    turns = [
+        {"turn_idx": 0, "text": "hello there .", "ts": dt.datetime(2018, 1, 1)},
+        {"turn_idx": 1,
+         "text": "Acmex Corp stolen customer data from Norvik Server in March 2018 .",
+         "ts": dt.datetime(2018, 1, 1, 0, 5)},
+    ]
+    events = extract_conversation("c1", turns, CAT)
+    assert len(events) == 1
+    e = events[0]
+    assert e.etype == "Databreach"
+    assert e.realis == "Actual"
+    assert e.event_id.startswith("c1:1:")
+    roles = {(m.argtype, m.role) for m in e.args}
+    assert ("Organization", "Attacker") in roles   # before trigger
+    assert ("Data", "Compromised-Data") in roles
+    assert ("System", "Victim") in roles           # after trigger
+    assert ("Time", "Time") in roles
+    assert e.cluster == e.event_id
+
+
+def test_realis_rules():
+    base = {"turn_idx": 0, "ts": dt.datetime(2018, 1, 1)}
+    ev = extract_conversation(
+        "c", [dict(base, text="Acmex may have stolen customer data .")], CAT)
+    assert ev[0].realis == "Other"
+    ev = extract_conversation(
+        "c", [dict(base, text="attackers typically steal customer data .")], CAT)
+    assert ev[0].realis == "Generic"
+
+
+def test_compatible_filter_drops_orphan_args():
+    # Time mention with no trigger anywhere -> no events, arg dropped
+    turns = [{"turn_idx": 0, "text": "see you today .", "ts": None}]
+    assert extract_conversation("c", turns, CAT) == []
+
+
+def test_prev_turn_linking():
+    turns = [
+        {"turn_idx": 0, "text": "Acmex Corp disclosed a flaw .", "ts": None},
+        {"turn_idx": 1, "text": "it affects Norvik Server .", "ts": None},
+    ]
+    events = extract_conversation("c", turns, CAT)
+    assert len(events) == 1
+    assert {m.argtype for m in events[0].args} == {"Organization",
+                                                  "Vulnerability", "System"}
+
+
+def test_recheck_imputes_trigger_from_doc_histogram():
+    turns = [
+        {"turn_idx": 0, "text": "Acmex Corp disclosed a flaw in Norvik Server .",
+         "ts": None},
+        {"turn_idx": 5, "text": "CVE-2017-144 again .", "ts": None},
+    ]
+    events = extract_conversation("c", turns, CAT)
+    by_turn = {e.turn_idx: e for e in events}
+    assert 5 in by_turn
+    assert by_turn[5].etype == "DiscoverVulnerability"
+
+
+def test_databreach_number_role_rule():
+    turns = [{
+        "turn_idx": 0,
+        "text": "Acmex stolen 3,000 records and data of 500 customers .",
+        "ts": None}]
+    events = extract_conversation("c", turns, CAT)
+    roles = {(m.text, m.role) for e in events for m in e.args
+             if m.argtype == "Number"}
+    assert ("3,000", "Number-of-Compromised-Data") in roles
+    assert ("500", "Number-of-victim") in roles
+
+
+def test_coref_merges_restated_event():
+    txt = "BoltLocker operators are demanding $40,000 from Acmex Corp ."
+    turns = [
+        {"turn_idx": 0, "text": txt, "ts": dt.datetime(2018, 1, 1)},
+        {"turn_idx": 2, "text": txt, "ts": dt.datetime(2018, 1, 1, 1)},
+    ]
+    events = extract_conversation("c", turns, CAT)
+    assert len(events) == 2
+    assert events[0].cluster == events[1].cluster == events[0].event_id
+
+
+def test_parse_time_mention():
+    assert parse_time_mention("March 2018", None) == dt.date(2018, 3, 15).toordinal()
+    assert parse_time_mention("March 3 2018", None) == dt.date(2018, 3, 3).toordinal()
+    ts = dt.datetime(2018, 6, 10)
+    assert parse_time_mention("yesterday", ts) == dt.date(2018, 6, 9).toordinal()
+
+
+def test_role_pair_normalized_to_lists():
+    for etype, row in lx.ROLE_PAIR.items():
+        for argtype, roles in row.items():
+            assert isinstance(roles, list), (etype, argtype)

@@ -1,0 +1,197 @@
+"""The flagship pipeline: transcripts -> knowledge-graph tables.
+
+Physical plan (SURVEY §4.3), all Ray Data, streaming executor:
+
+  Stage A (per resumable group of input shards):
+    read_parquet(shards)
+      .map_batches(DetectTagger, actor pool)       # T1/T2 seat
+      .groupby("conv_id").map_groups(doc_logic)    # shuffle #1 (turns)
+      .map_batches(RoleRealisScorer, actor pool)   # T4/T5 seat
+      .groupby("conv_id").map_groups(coref)        # shuffle #2 (events)
+      .map_batches(emit_triples_batch)             # S8 -> raw triples
+      .map_batches(partial_dedup)                  # combiner (pre-shuffle)
+      .write raw triples + events (atomic dir), commit manifest
+
+  Stage B (global finalize, reruns cheaply on resume):
+    read raw triples
+      .groupby("bucket").map_groups(final_dedup)   # shuffle #3, salted
+      -> edges (unique triples), nodes (degree-aggregated)
+
+The driver owns no Ray session: callers (tests / bench / CLI) init Ray.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import pyarrow.parquet as pq
+
+from ..stages.coref import coref_group
+from ..stages.detect import DetectTagger
+from ..stages.doclogic import doc_logic_group
+from ..stages.rolerealis import role_realis_batch
+from ..stages.triples import (
+    emit_nodes_batch, emit_triples_batch, final_dedup_group,
+    final_nodes_group, partial_dedup,
+)
+from ..state import manifest
+
+
+def _ray_data():
+    import ray.data  # deferred so non-Ray callers can import the module
+    return ray.data
+
+
+def list_transcript_files(corpus_dir: str) -> list[str]:
+    tdir = os.path.join(corpus_dir, "transcripts")
+    if os.path.isdir(tdir):
+        return sorted(glob.glob(os.path.join(tdir, "*.parquet")))
+    return sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+
+
+def extract_group_ds(files: list[str], entities_ref, *,
+                     detect_concurrency=None, batch_size: int = 256):
+    """Build the stage-A Dataset (lazy) for one group of input shards."""
+    import ray
+
+    rd = _ray_data()
+    if detect_concurrency is None:
+        # fixed actor pool must leave headroom for the read / shuffle /
+        # task-pool stages or the streaming executor deadlocks
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        detect_concurrency = max(2, ncpu - max(2, ncpu // 4))
+    ds = rd.read_parquet(files,
+                         columns=["conv_id", "turn_idx", "text", "ts"])
+    ds = ds.map_batches(
+        DetectTagger,
+        fn_constructor_args=(entities_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=detect_concurrency,
+    )
+    ds = ds.groupby("conv_id").map_groups(doc_logic_group,
+                                          batch_format="pyarrow")
+    ds = ds.map_batches(role_realis_batch, batch_format="pyarrow",
+                        batch_size=batch_size)
+    ds = ds.groupby("conv_id").map_groups(coref_group,
+                                          batch_format="pyarrow")
+    return ds
+
+
+def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
+                    n_groups: int | None = None, resume: bool = True,
+                    detect_concurrency=None, batch_size: int = 256,
+                    keep_events: bool = True) -> dict:
+    """Run extraction + finalize; returns counters. Requires an active
+    Ray session (callers own init/shutdown)."""
+    import ray
+
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    files = list_transcript_files(corpus_dir)
+    if not files:
+        raise FileNotFoundError(f"no transcript shards under {corpus_dir}")
+    if n_groups is None:
+        n_groups = max(1, min(len(files), 8))
+    groups = [files[i::n_groups] for i in range(n_groups)]
+    groups = [g for g in groups if g]
+
+    entities = pq.read_table(os.path.join(corpus_dir, "entities.parquet"))
+    entities_ref = ray.put(entities.to_pylist())
+    cfg = manifest.config_hash()
+
+    raw_root = os.path.join(out_dir, "raw_triples")
+    ev_root = os.path.join(out_dir, "events")
+    os.makedirs(raw_root, exist_ok=True)
+    skipped = 0
+    for gid, gfiles in enumerate(groups):
+        if resume and manifest.is_complete(out_dir, gid, cfg, gfiles):
+            skipped += 1
+            continue
+        ds = extract_group_ds(gfiles, entities_ref,
+                              detect_concurrency=detect_concurrency,
+                              batch_size=batch_size)
+        ds = ds.materialize()  # events reused for both outputs of this group
+        n_events = ds.count()
+        trip = ds.map_batches(emit_triples_batch, batch_format="pyarrow") \
+                 .map_batches(partial_dedup, batch_format="pyarrow")
+        tmp = os.path.join(raw_root, f".group-{gid:05d}.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        trip.write_parquet(tmp)
+        manifest.atomic_dir_swap(tmp, os.path.join(raw_root,
+                                                   f"group-{gid:05d}"))
+        if keep_events:
+            tmp_e = os.path.join(ev_root, f".group-{gid:05d}.tmp")
+            shutil.rmtree(tmp_e, ignore_errors=True)
+            ds.drop_columns(["args"]).write_parquet(tmp_e)
+            manifest.atomic_dir_swap(tmp_e, os.path.join(
+                ev_root, f"group-{gid:05d}"))
+        manifest.commit(out_dir, gid, cfg, gfiles, {
+            "input_files": len(gfiles), "events": n_events,
+        })
+
+    # ---- stage B: global dedup + graph materialize ----
+    rd = _ray_data()
+    raw = rd.read_parquet(sorted(glob.glob(
+        os.path.join(raw_root, "group-*", "*.parquet"))))
+    edges = raw.groupby("bucket").map_groups(final_dedup_group,
+                                             batch_format="pyarrow")
+    edges_dir = os.path.join(out_dir, "edges")
+    tmp = edges_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    edges.write_parquet(tmp)
+    manifest.atomic_dir_swap(tmp, edges_dir)
+
+    edges2 = rd.read_parquet(sorted(glob.glob(
+        os.path.join(edges_dir, "*.parquet"))))
+    nodes = edges2.map_batches(emit_nodes_batch, batch_format="pyarrow") \
+                  .groupby("bucket").map_groups(final_nodes_group,
+                                                batch_format="pyarrow") \
+                  .drop_columns(["bucket"])
+    nodes_dir = os.path.join(out_dir, "nodes")
+    tmp = nodes_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    nodes.write_parquet(tmp)
+    manifest.atomic_dir_swap(tmp, nodes_dir)
+
+    n_edges = edges2.count()
+    return {"groups": len(groups), "groups_skipped": skipped,
+            "edges": n_edges, "out_dir": out_dir,
+            "wall_sec": round(time.time() - t0, 2)}
+
+
+def read_triples(out_dir: str):
+    """Engine triples as a pandas DataFrame (for tests / comparison)."""
+    import pandas as pd
+    files = sorted(glob.glob(os.path.join(out_dir, "edges", "*.parquet")))
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                   ignore_index=True)
+    return df.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+
+
+def main():
+    import argparse
+
+    import ray
+    ap = argparse.ArgumentParser()
+    ap.add_argument("corpus_dir")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args()
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    try:
+        info = run_kg_pipeline(args.corpus_dir, args.out,
+                               resume=not args.no_resume)
+        print(info)
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ replaced by lexicon rules occupying the same pipeline seats:
 
 from __future__ import annotations
 
+import bisect
 import datetime as dt
 from dataclasses import dataclass, field
 
@@ -58,6 +59,17 @@ class Trigger:
     etypes: tuple[str, ...]  # candidates; resolved to one by doc logic
     etype: str | None = None
     imputed: bool = False
+
+
+@dataclass
+class TurnDetection:
+    """Sufficient statistics of one turn for all downstream stages —
+    the engine ships exactly this through Arrow columns instead of the
+    reference's tab-file round-trips (SURVEY §3.1)."""
+    token_starts: list[int]          # char start of each token
+    token_flags: list[int]           # bit 1 = modal word, bit 2 = generic word
+    triggers: list[Trigger]
+    mentions: list[Mention]
 
 
 @dataclass
@@ -114,7 +126,7 @@ def detect_turn(text: str, catalog: dict):
     month+date > number-before-count-noun; then triggers on unclaimed
     tokens (argument wins on conflict, link_coref.py:613-614).
 
-    Returns (tokens, triggers, mentions).
+    Returns a :class:`TurnDetection`.
     """
     toks = tokenize(text)
     n = len(toks)
@@ -181,7 +193,9 @@ def detect_turn(text: str, catalog: dict):
         for i in range(n)
         if not claimed[i] and lowers[i] in lx.TRIGGER_SURFACES
     ]
-    return toks, triggers, mentions
+    flags = [(1 if w in lx.MODAL_WORDS else 0)
+             | (2 if w in lx.GENERIC_WORDS else 0) for w in lowers]
+    return TurnDetection([t[1] for t in toks], flags, triggers, mentions)
 
 
 # ---------------------------------------------------------------------------
@@ -225,7 +239,7 @@ _MUST_HAVE = {"CVE": ("DiscoverVulnerability", "PatchVulnerability"),
               "Vulnerability": ("DiscoverVulnerability", "PatchVulnerability")}
 
 
-def recheck_impute(turn_tokens, turn_triggers, turn_mentions, hist):
+def recheck_impute(turn_triggers, turn_mentions, hist):
     """Impute a trigger on turns that carry a must-have argument (CVE /
     Vulnerability) but no trigger, typed from the doc histogram
     (cf. recheck link_coref.py:1027-1126 via findanytrigger)."""
@@ -340,22 +354,24 @@ def assign_roles(event: Event) -> None:
     event.args = kept
 
 
-def assign_realis(event: Event, turn_tokens) -> None:
-    """Rule-based realis over the ±7-token context window around the
-    nugget (window size per prepare.py:276-277): modal context -> Other,
-    generic context or generic plural trigger -> Generic, else Actual."""
-    idx = 0
-    for k, (tok, s, e) in enumerate(turn_tokens):
-        if s <= event.nugget_start < e:
-            idx = k
-            break
+def realis_window_flags(det: TurnDetection, nugget_start: int) -> tuple[bool, bool]:
+    """(modal_in_window, generic_in_window) over the ±7-token context
+    window around the nugget (window size per prepare.py:276-277)."""
+    idx = max(0, bisect.bisect_right(det.token_starts, nugget_start) - 1)
     lo = max(0, idx - 7)
-    hi = min(len(turn_tokens), idx + 8)
-    window = {turn_tokens[k][0].lower() for k in range(lo, hi)}
-    if window & lx.MODAL_WORDS:
+    hi = min(len(det.token_flags), idx + 8)
+    modal = any(det.token_flags[k] & 1 for k in range(lo, hi))
+    generic = any(det.token_flags[k] & 2 for k in range(lo, hi))
+    return modal, generic
+
+
+def assign_realis(event: Event, modal: bool, generic: bool) -> None:
+    """Rule-based realis (deterministic stand-in for the GNG/AO realis
+    models, link_coref.py:1459-1483): modal context -> Other, generic
+    context or generic plural trigger -> Generic, else Actual."""
+    if modal:
         event.realis = "Other"
-    elif (window & lx.GENERIC_WORDS
-          or event.nugget_text.lower() in lx.GENERIC_TRIGGER_SURFACES):
+    elif generic or event.nugget_text.lower() in lx.GENERIC_TRIGGER_SURFACES:
         event.realis = "Generic"
     else:
         event.realis = "Actual"
@@ -588,35 +604,40 @@ def emit_triples(events: list[Event]) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
+def doc_logic(conv_id: str, detections: dict[int, TurnDetection]) -> list[Event]:
+    """Document-level stages over precomputed per-turn detections:
+    resolve/impute triggers, compatibility filter, link. Returns events
+    WITHOUT realis/roles/coref — those are separate pipeline seats."""
+    turn_triggers = {ti: d.triggers for ti, d in detections.items()}
+    turn_mentions = {ti: d.mentions for ti, d in detections.items()}
+    hist = resolve_triggers(turn_triggers)
+    recheck_impute(turn_triggers, turn_mentions, hist)
+    compatible_filter(turn_triggers, turn_mentions)
+    return link_events(conv_id, turn_triggers, turn_mentions)
+
+
 def extract_conversation(conv_id: str, turns: list[dict], catalog: dict,
-                         detections: dict | None = None) -> list[Event]:
+                         detections: dict[int, TurnDetection] | None = None,
+                         ) -> list[Event]:
     """turns: [{turn_idx, text, ts}] sorted by turn_idx.
 
-    ``detections``: optional precomputed {turn_idx: (tokens, triggers,
-    mentions)} — the engine passes the vectorized tagger's output here;
-    the oracle leaves it None and detects inline.
+    ``detections``: optional precomputed {turn_idx: TurnDetection} — the
+    engine passes the tagger stage's output here; the oracle leaves it
+    None and detects inline.
     """
-    turn_tokens: dict[int, list] = {}
-    turn_triggers: dict[int, list[Trigger]] = {}
-    turn_mentions: dict[int, list[Mention]] = {}
     turn_ts: dict[int, dt.datetime] = {}
+    if detections is None:
+        detections = {}
+        for t in turns:
+            detections[t["turn_idx"]] = detect_turn(t["text"], catalog)
     for t in turns:
-        ti = t["turn_idx"]
-        turn_ts[ti] = t.get("ts")
-        if detections is not None and ti in detections:
-            toks, trigs, ments = detections[ti]
-        else:
-            toks, trigs, ments = detect_turn(t["text"], catalog)
-        turn_tokens[ti] = toks
-        turn_triggers[ti] = trigs
-        turn_mentions[ti] = ments
+        turn_ts[t["turn_idx"]] = t.get("ts")
 
-    hist = resolve_triggers(turn_triggers)
-    recheck_impute(turn_tokens, turn_triggers, turn_mentions, hist)
-    compatible_filter(turn_triggers, turn_mentions)
-    events = link_events(conv_id, turn_triggers, turn_mentions)
+    events = doc_logic(conv_id, detections)
     for e in events:
         assign_roles(e)
-        assign_realis(e, turn_tokens[e.turn_idx])
+        modal, generic = realis_window_flags(detections[e.turn_idx],
+                                             e.nugget_start)
+        assign_realis(e, modal, generic)
     coref_events(events, turn_ts)
     return events

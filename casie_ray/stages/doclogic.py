@@ -1,0 +1,33 @@
+"""Doc-logic stage: per-conversation ``groupby("conv_id").map_groups``
+implementing recheck → compatible → link (SURVEY M3 milestone; reference
+semantics link_coref.py:1027-1407). Shuffle #1 of the pipeline — keyed
+on conv_id so every turn of a conversation lands in one group.
+
+Emits event rows (schema.EVENT_SCHEMA) with realis/roles/cluster still
+null — those belong to the RoleRealis and Coref seats.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..schema import EVENT_SCHEMA, event_to_row, row_to_detection
+from ..semantics import doc_logic, realis_window_flags
+
+
+def doc_logic_group(group: pa.Table) -> pa.Table:
+    rows = group.to_pylist()
+    if not rows:
+        return EVENT_SCHEMA.empty_table()
+    conv_id = rows[0]["conv_id"]
+    detections = {r["turn_idx"]: row_to_detection(r) for r in rows}
+    ts_of = {r["turn_idx"]: r["ts"] for r in rows}
+    events = doc_logic(conv_id, detections)
+    if not events:
+        return EVENT_SCHEMA.empty_table()
+    out = []
+    for e in events:
+        modal, generic = realis_window_flags(detections[e.turn_idx],
+                                             e.nugget_start)
+        out.append(event_to_row(e, ts_of[e.turn_idx], modal, generic))
+    return pa.Table.from_pylist(out, schema=EVENT_SCHEMA)

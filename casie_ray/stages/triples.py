@@ -1,0 +1,141 @@
+"""Triple emission + exact dedup + node/edge materialization.
+
+Emission is the engine equivalent of the reference's brat frame writers
+(report.py:260-481 → SURVEY S8). Dedup (SURVEY A7) is a salted
+two-phase aggregate: a vectorized per-batch Arrow ``group_by`` combine
+(pre-aggregation before the shuffle) followed by a bucketed
+``groupby("bucket").map_groups`` final — the bucket column spreads hot
+keys (e.g. hot-entity `targets` edges) across 4096 reducers, and each
+reducer is itself vectorized Arrow, never per-key Python.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import TRIPLE_SCHEMA, row_to_event
+from ..semantics import emit_triples
+
+N_BUCKETS = 4096
+
+RAW_TRIPLE_SCHEMA = pa.schema([
+    ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+    ("subj_type", pa.string()), ("obj_type", pa.string()),
+    ("prov", pa.string()), ("count", pa.int64()), ("bucket", pa.int32()),
+])
+
+
+def _prov(conv_id: str, turn_idx: int, start: int, end: int) -> str:
+    return f"{conv_id}|{turn_idx:08d}|{start:08d}|{end:08d}"
+
+
+def emit_triples_batch(batch: pa.Table) -> pa.Table:
+    """Event rows -> raw triple rows (flat_map-style expansion)."""
+    events = [row_to_event(r) for r in batch.to_pylist()]
+    trips = emit_triples(events)
+    if not trips:
+        return RAW_TRIPLE_SCHEMA.empty_table()
+    rows = [{
+        "subj": t["subj"], "pred": t["pred"], "obj": t["obj"],
+        "subj_type": t["subj_type"], "obj_type": t["obj_type"],
+        "prov": _prov(t["conv_id"], t["turn_idx"], t["ev_start"],
+                      t["ev_end"]),
+        "count": 1,
+        "bucket": zlib.crc32(
+            f"{t['subj']}\x00{t['pred']}\x00{t['obj']}".encode()) % N_BUCKETS,
+    } for t in trips]
+    return pa.Table.from_pylist(rows, schema=RAW_TRIPLE_SCHEMA)
+
+
+_AGG = [("count", "sum"), ("prov", "min"), ("subj_type", "min"),
+        ("obj_type", "min"), ("bucket", "min")]
+_RENAME = {"count_sum": "count", "prov_min": "prov",
+           "subj_type_min": "subj_type", "obj_type_min": "obj_type",
+           "bucket_min": "bucket"}
+
+
+def _dedup_table(t: pa.Table) -> pa.Table:
+    """Vectorized exact dedup of one Arrow table on (subj, pred, obj):
+    sum counts, keep the provenance-minimal row."""
+    g = t.group_by(["subj", "pred", "obj"]).aggregate(_AGG)
+    g = g.rename_columns([_RENAME.get(c, c) for c in g.column_names])
+    return g.select(RAW_TRIPLE_SCHEMA.names).cast(RAW_TRIPLE_SCHEMA)
+
+
+def partial_dedup(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner (runs before the shuffle)."""
+    if batch.num_rows == 0:
+        return RAW_TRIPLE_SCHEMA.empty_table()
+    return _dedup_table(batch)
+
+
+def final_dedup_group(group: pa.Table) -> pa.Table:
+    """Per-bucket final dedup + decode provenance -> TRIPLE_SCHEMA."""
+    if group.num_rows == 0:
+        return TRIPLE_SCHEMA.empty_table()
+    g = _dedup_table(group)
+    prov = g.column("prov").to_pylist()
+    conv, ti, st, en = [], [], [], []
+    for p in prov:
+        c, a, b, d = p.rsplit("|", 3)
+        conv.append(c)
+        ti.append(int(a))
+        st.append(int(b))
+        en.append(int(d))
+    # deterministic output order within the bucket
+    out = pa.table({
+        "subj": g.column("subj"), "pred": g.column("pred"),
+        "obj": g.column("obj"), "subj_type": g.column("subj_type"),
+        "obj_type": g.column("obj_type"),
+        "conv_id": pa.array(conv, pa.string()),
+        "turn_idx": pa.array(ti, pa.int32()),
+        "ev_start": pa.array(st, pa.int32()),
+        "ev_end": pa.array(en, pa.int32()),
+        "weight": pa.array([1.0] * g.num_rows, pa.float32()),
+        "count": g.column("count"),
+    }).cast(TRIPLE_SCHEMA)
+    return out.sort_by([("subj", "ascending"), ("pred", "ascending"),
+                        ("obj", "ascending")])
+
+
+NODE_SCHEMA = pa.schema([
+    ("node_id", pa.string()), ("type", pa.string()),
+    ("degree", pa.int64()), ("bucket", pa.int32()),
+])
+
+
+def emit_nodes_batch(batch: pa.Table) -> pa.Table:
+    """Unique-triple rows -> (node_id, type, degree=1) rows for both
+    endpoints, pre-aggregated within the batch."""
+    if batch.num_rows == 0:
+        return NODE_SCHEMA.empty_table()
+    ones = pa.array([1] * batch.num_rows, pa.int64())
+    subj = pa.table({"node_id": batch.column("subj"),
+                     "type": batch.column("subj_type"), "degree": ones})
+    obj = pa.table({"node_id": batch.column("obj"),
+                    "type": batch.column("obj_type"), "degree": ones})
+    t = pa.concat_tables([subj, obj])
+    g = t.group_by(["node_id"]).aggregate([("degree", "sum"),
+                                           ("type", "min")])
+    g = g.rename_columns(["node_id", "degree", "type"])
+    bucket = pa.array([zlib.crc32(x.encode()) % N_BUCKETS
+                       for x in g.column("node_id").to_pylist()],
+                      pa.int32())
+    return pa.table({"node_id": g.column("node_id"),
+                     "type": g.column("type"),
+                     "degree": g.column("degree"),
+                     "bucket": bucket}).cast(NODE_SCHEMA)
+
+
+def final_nodes_group(group: pa.Table) -> pa.Table:
+    if group.num_rows == 0:
+        return NODE_SCHEMA.empty_table()
+    g = group.group_by(["node_id"]).aggregate([("degree", "sum"),
+                                               ("type", "min"),
+                                               ("bucket", "min")])
+    g = g.rename_columns(["node_id", "degree", "type", "bucket"])
+    return g.select(NODE_SCHEMA.names).cast(NODE_SCHEMA) \
+        .sort_by([("node_id", "ascending")])

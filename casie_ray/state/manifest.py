@@ -1,0 +1,90 @@
+"""Per-partition checkpoint manifests for resumable runs (SURVEY §4.2).
+
+Each extraction *group* (a set of input transcript shards; conversations
+never span shards — the corpus layout is conv-partitioned, which is the
+documented partitioning assumption) writes its raw-triples output to a
+temp dir, renames it into place atomically, then commits a manifest
+recording lineage and counters. On resume, groups whose manifest exists
+and whose config hash matches are skipped by filtering the *input file
+list* before any Dataset is built (driver-side, no wasted read).
+
+A config-hash change invalidates all previous manifests (stale partial
+output is not reused across semantics changes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+
+def config_hash() -> str:
+    """Hash of the semantic configuration: lexicon tables + stage params.
+    Any change to the extraction rules changes this hash."""
+    from .. import lexicons as lx
+    payload = repr((
+        sorted(lx.TRIGGER_SURFACES.items()),
+        sorted(lx.ARG_PHRASE_SURFACES.items()),
+        sorted((k, sorted(v)) for k, v in lx.PAIR.items()),
+        sorted((k, sorted(v.items())) for k, v in lx.ROLE_PAIR.items()),
+        lx.COREF_WEIGHTS, lx.COREF_THRESHOLD,
+        sorted(lx.MODAL_WORDS), sorted(lx.GENERIC_WORDS),
+    ))
+    return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
+
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifests")
+
+
+def manifest_path(out_dir: str, group_id: int) -> str:
+    return os.path.join(manifest_dir(out_dir), f"group-{group_id:05d}.json")
+
+
+def load(out_dir: str, group_id: int) -> dict | None:
+    p = manifest_path(out_dir, group_id)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
+def is_complete(out_dir: str, group_id: int, cfg: str,
+                input_files: list[str]) -> bool:
+    m = load(out_dir, group_id)
+    return bool(m and m.get("config_hash") == cfg
+                and m.get("input_files") == sorted(input_files)
+                and m.get("status") == "complete")
+
+
+def commit(out_dir: str, group_id: int, cfg: str, input_files: list[str],
+           counters: dict) -> dict:
+    """Atomic write (temp + rename) of a completed-group manifest."""
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    m = {
+        "group_id": group_id,
+        "status": "complete",
+        "config_hash": cfg,
+        "input_files": sorted(input_files),
+        "counters": counters,
+        "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    p = manifest_path(out_dir, group_id)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1, sort_keys=True)
+    os.replace(tmp, p)
+    return m
+
+
+def atomic_dir_swap(tmp_dir: str, final_dir: str) -> None:
+    """Publish a written output directory atomically."""
+    if os.path.exists(final_dir):
+        import shutil
+        shutil.rmtree(final_dir)
+    os.replace(tmp_dir, final_dir)

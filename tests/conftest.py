@@ -22,7 +22,8 @@ def smoke_corpus(tmp_path_factory):
     """Deterministic sf0.001 synthetic corpus, generated once per session."""
     from casie_ray import synth
     out = str(tmp_path_factory.mktemp("corpus") / "sf0.001")
-    synth.generate(0.001, out, seed=42)
+    # small shards so the resumable-group tests get >=3 input files
+    synth.generate(0.001, out, seed=42, shard_rows=1200)
     return out
 
 

@@ -1,0 +1,131 @@
+"""Distributed-engine correctness: oracle parity, invariants, resume
+(SURVEY §5.2 tiers 2-3)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from casie_ray.scoring import triple_prf
+
+
+@pytest.fixture(scope="session")
+def kg_out(ray_session, smoke_corpus, tmp_path_factory):
+    from casie_ray.pipelines.kg import run_kg_pipeline
+    out = str(tmp_path_factory.mktemp("kg") / "out")
+    info = run_kg_pipeline(smoke_corpus, out, resume=False, n_groups=3)
+    assert info["edges"] > 100
+    return out
+
+
+def _triples(out_dir):
+    from casie_ray.pipelines.kg import read_triples
+    return read_triples(out_dir)
+
+
+KEY = ["subj", "pred", "obj"]
+META = ["subj_type", "obj_type", "conv_id", "turn_idx", "ev_start",
+        "ev_end", "count"]
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    out = df[KEY + META].copy()
+    for c in ("turn_idx", "ev_start", "ev_end", "count"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(KEY).reset_index(drop=True)
+
+
+def test_engine_matches_oracle_exactly(kg_out, oracle_triples):
+    """The P/R >= 0.95 gate — deterministic rules on both sides, so the
+    engine must in fact reproduce the oracle bit-for-bit."""
+    eng = _triples(kg_out)
+    res = triple_prf(oracle_triples, eng)
+    assert res["precision"] >= 0.95 and res["recall"] >= 0.95, res
+    # strict: full row equality including provenance + dedup counts
+    pd.testing.assert_frame_equal(_norm(oracle_triples), _norm(eng))
+
+
+def test_engine_invariant_under_grouping(ray_session, smoke_corpus, kg_out,
+                                         tmp_path):
+    """Triple set identical when the resumable-group partitioning and
+    batch size change (SURVEY §5.2 invariant 3)."""
+    from casie_ray.pipelines.kg import run_kg_pipeline
+    out2 = str(tmp_path / "kg2")
+    run_kg_pipeline(smoke_corpus, out2, resume=False, n_groups=1,
+                    batch_size=64)
+    pd.testing.assert_frame_equal(_norm(_triples(kg_out)),
+                                  _norm(_triples(out2)))
+
+
+def test_resume_skips_completed_groups_and_matches(ray_session, smoke_corpus,
+                                                   kg_out, tmp_path):
+    """Kill-after-K-partitions resume: drop 2 of 3 group outputs +
+    manifests, rerun with resume=True -> only missing groups rerun and
+    the final output is identical."""
+    from casie_ray.pipelines.kg import run_kg_pipeline
+    out3 = str(tmp_path / "kg3")
+    info = run_kg_pipeline(smoke_corpus, out3, resume=False, n_groups=3)
+    assert info["groups"] == 3
+    # simulate a crash that lost groups 1 and 2
+    for gid in (1, 2):
+        os.remove(os.path.join(out3, "_manifests", f"group-{gid:05d}.json"))
+        shutil.rmtree(os.path.join(out3, "raw_triples", f"group-{gid:05d}"))
+    info2 = run_kg_pipeline(smoke_corpus, out3, resume=True, n_groups=3)
+    assert info2["groups_skipped"] == 1
+    pd.testing.assert_frame_equal(_norm(_triples(kg_out)),
+                                  _norm(_triples(out3)))
+
+
+def test_resume_invalidated_by_config_change(ray_session, smoke_corpus,
+                                             kg_out, monkeypatch):
+    """A manifest whose config hash no longer matches is not trusted."""
+    from casie_ray.state import manifest
+    files = ["a.parquet"]
+    m = manifest.commit(kg_out + "_cfg", 0, "deadbeef", files, {})
+    assert m["status"] == "complete"
+    assert not manifest.is_complete(kg_out + "_cfg", 0,
+                                    manifest.config_hash(), files)
+    assert manifest.is_complete(kg_out + "_cfg", 0, "deadbeef", files)
+
+
+def test_per_turn_text_equality(ray_session, smoke_corpus):
+    """Input-hint invariant: the detect stage carries `text` through
+    untouched under stable (conv_id, turn_idx) ordering."""
+    import pyarrow.parquet as pq
+    import ray
+
+    import ray.data as rd
+    from casie_ray.pipelines.kg import list_transcript_files
+    from casie_ray.stages.detect import DetectTagger
+    files = list_transcript_files(smoke_corpus)
+    ents = pq.read_table(os.path.join(smoke_corpus, "entities.parquet"))
+    ref = ray.put(ents.to_pylist())
+    ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "text", "ts"])
+    out = ds.map_batches(DetectTagger, fn_constructor_args=(ref,),
+                         batch_format="pyarrow", concurrency=2,
+                         batch_size=128)
+    got = out.select_columns(["conv_id", "turn_idx", "text"]).to_pandas()
+    want = pd.concat([pq.read_table(f).to_pandas()[
+        ["conv_id", "turn_idx", "text"]] for f in files])
+    key = ["conv_id", "turn_idx"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    want["turn_idx"] = want["turn_idx"].astype(got["turn_idx"].dtype)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_events_written_with_manifest_counters(kg_out):
+    import json
+    mans = sorted(glob.glob(os.path.join(kg_out, "_manifests", "*.json")))
+    assert len(mans) == 3
+    for mpath in mans:
+        m = json.load(open(mpath))
+        assert m["status"] == "complete"
+        assert m["counters"]["events"] > 0
+        assert m["config_hash"]
+    assert glob.glob(os.path.join(kg_out, "events", "group-*", "*.parquet"))
+    assert glob.glob(os.path.join(kg_out, "nodes", "*.parquet"))

@@ -34,9 +34,10 @@ def test_tokenize_offsets_and_compounds():
 
 
 def test_detect_regex_and_catalog():
-    _, trigs, ments = detect_turn(
+    det = detect_turn(
         "Acmex Corp released a patch for CVE-2017-144 in Norvik Server .",
         CAT)
+    trigs, ments = det.triggers, det.mentions
     kinds = {(m.text, m.argtype, m.entity_id) for m in ments}
     assert ("Acmex Corp", "Organization", "E1") in kinds
     assert ("CVE-2017-144", "CVE", None) in kinds
@@ -49,21 +50,22 @@ def test_detect_regex_and_catalog():
 def test_argument_wins_over_trigger():
     # 'patch' is both a GENERAL_N trigger noun and the Patch argument;
     # the argument wins (link_coref.py:613-614)
-    _, trigs, ments = detect_turn("the patch arrived .", CAT)
+    det = detect_turn("the patch arrived .", CAT)
+    trigs, ments = det.triggers, det.mentions
     assert any(m.argtype == "Patch" for m in ments)
     assert not any(t.surface == "patch" for t in trigs)
 
 
 def test_may_is_not_a_time_mention():
-    _, _, ments = detect_turn("they may have stolen data .", CAT)
+    ments = detect_turn("they may have stolen data .", CAT).mentions
     assert not any(m.argtype == "Time" for m in ments)
-    _, _, ments = detect_turn("it happened in May 2018 .", CAT)
+    ments = detect_turn("it happened in May 2018 .", CAT).mentions
     assert [(m.text, m.argtype) for m in ments] == [("May 2018", "Time")]
 
 
 def test_alias_links_to_same_entity():
-    _, _, m1 = detect_turn("Acmex Corp was breached .", CAT)
-    _, _, m2 = detect_turn("Acmex was breached .", CAT)
+    m1 = detect_turn("Acmex Corp was breached .", CAT).mentions
+    m2 = detect_turn("Acmex was breached .", CAT).mentions
     assert m1[0].entity_id == m2[0].entity_id == "E1"
 
 

@@ -1,44 +1,254 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline; ``queries()`` exposes one
+callable per implemented operator family (SURVEY.md §2 + the
+training-data ops); ``oracle_sql()`` gives the DuckDB-checkable subset.
+Non-SQL-expressible extraction stages (the CASIE-semantics KG pipeline,
+heuristic lang-ID, LSH variants) are rows-only by design — their exact
+correctness gate is the in-repo oracle comparison (tests/test_engine.py,
+P/R == 1.0 vs casie_ray.oracle).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import re as _re
 from collections.abc import Callable
 from typing import Any
 
+from casie_ray.ops import ann as _ann
+from casie_ray.ops import dedup as _dedup
+from casie_ray.ops import graph as _graph
+from casie_ray.ops import relational as _rel
+from casie_ray.ops import text as _text
+
+_KG_RUNS: dict[float, str] = {}
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = _re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.01
+
+
+def _corpus_dir(sf: float) -> str:
+    from casie_ray import synth
+    return synth.ensure_corpus(sf)
+
+
+def _kg_out(sf: float) -> str:
+    """Run (or resume) the flagship pipeline for this scale; memoized."""
+    if sf in _KG_RUNS:
+        return _KG_RUNS[sf]
+    from casie_ray.pipelines.kg import run_kg_pipeline
+    corpus = _corpus_dir(sf)
+    out = f"/tmp/casie_kg/sf{sf:g}"
+    run_kg_pipeline(corpus, out)
+    _KG_RUNS[sf] = out
+    return out
+
+
+def _edges_ds(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(
+        os.path.join(_kg_out(_sf_of(sf_dir)), "edges"))
+
+
+def _nodes_ds(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(
+        os.path.join(_kg_out(_sf_of(sf_dir)), "nodes"))
+
+
+def _events_ds(sf_dir: str):
+    import ray.data
+    ds = ray.data.read_parquet(
+        os.path.join(_kg_out(_sf_of(sf_dir)), "events"))
+    return ds.select_columns(["conv_id", "turn_idx", "event_id", "etype",
+                              "nugget_text", "realis", "cluster"])
+
+
+def _transcripts_roundtrip(sf_dir: str):
+    """Per-turn text equality invariant (north rule): transcripts pushed
+    through the detection actor pool must carry text unchanged; the
+    oracle reads the same parquet directly."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+    from casie_ray.stages.detect import DetectTagger
+
+    corpus = _corpus_dir(_sf_of(sf_dir))
+    entities = pq.read_table(os.path.join(corpus, "entities.parquet"))
+    ref = ray.put(entities.to_pylist())
+    ds = ray.data.read_parquet(
+        os.path.join(corpus, "transcripts"),
+        columns=["conv_id", "turn_idx", "text", "ts"])
+    ds = ds.map_batches(DetectTagger, fn_constructor_args=(ref,),
+                        batch_format="pyarrow", concurrency=2)
+    return ds.select_columns(["conv_id", "turn_idx", "text"])
+
+
+def _dup_clusters(sf_dir: str):
+    """Near-dup clusters: exact Jaccard pairs -> distributed union-find
+    (the same connected-components primitive the KG canonicalizer
+    uses)."""
+    import pyarrow as pa
+
+    pairs = _dedup.jaccard_pairs(sf_dir)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch.column("doc_a").cast(pa.string()),
+            "dst": batch.column("doc_b").cast(pa.string()),
+        })
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    return _graph.connected_components(edges)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001-equivalent scale; returns the unique
+    (subj, pred, obj) edge table as a Ray Dataset."""
+    return _edges_ds("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # flagship KG construction (CASIE semantics; oracle = in-repo
+        # sequential reference extractor, tests/test_engine.py)
+        "kg_edges": _edges_ds,
+        "kg_nodes": _nodes_ds,
+        "kg_events": _events_ds,
+        "transcripts_roundtrip": _transcripts_roundtrip,
+        # text analysis (documents)
+        "doc_stats": _text.doc_stats,
+        "doc_token_count": _text.token_count,
+        "doc_lang_id": _text.lang_id,
+        "doc_fingerprint": _text.fingerprint,
+        # dedup family (documents / embeddings)
+        "dedup_exact": _dedup.exact_dedup,
+        "dedup_jaccard_pairs": _dedup.jaccard_pairs,
+        "dedup_minhash_lsh": _dedup.minhash_lsh_pairs,
+        "dedup_simhash_pairs": _dedup.simhash_pairs,
+        "dedup_embedding_pairs": _dedup.embedding_dup_pairs,
+        "dup_clusters": _dup_clusters,
+        # similarity search (embeddings)
+        "ann_topk": _ann.ann_topk,
+        "ann_topk_lsh": _ann.ann_topk_lsh,
+        # relational surface (star schema + events stream)
+        "lineitem_agg": _rel.lineitem_agg,
+        "segment_revenue": _rel.segment_revenue,
+        "top_customers": _rel.top_customers,
+        "events_hourly": _rel.events_hourly,
+        "distinct_users": _rel.distinct_users,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _text.STOPWORDS) + ")"
+
+_JACCARD_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pair AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS uni
+FROM pair
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 100 >= 80 * (sa.n + sb.n - inter)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # the roundtrip oracle reads the deterministic synthetic corpus the
+    # engine query ran on — generate it before the driver's DuckDB pass
+    corpus_001 = _corpus_dir(0.01)
+    return {
+        "transcripts_roundtrip": (
+            "SELECT conv_id, turn_idx, text FROM read_parquet("
+            f"'{corpus_001}/transcripts/*.parquet')"),
+        "doc_stats": f"""
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' ')))
+                       AS n_uniq_tokens,
+                   len(list_filter(string_split(text, ' '),
+                       w -> w IN {_STOP_SQL})) AS n_stopwords,
+                   CAST(len(list_filter(string_split(text, ' '),
+                       w -> w IN {_STOP_SQL})) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS stopword_ratio,
+                   length(text) AS len_chars
+            FROM documents""",
+        "doc_token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[a-z0-9]+'))
+                       AS n_bpe_tokens
+            FROM documents""",
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text""",
+        "dedup_jaccard_pairs": _JACCARD_SQL,
+        "dedup_minhash_lsh": _JACCARD_SQL,
+        "dedup_embedding_pairs": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.5""",
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings WHERE vec_id < 8
+            )
+            SELECT query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY list_cosine_similarity(qe, e.embedding) DESC,
+                              e.vec_id) AS "rank"
+            FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+            QUALIFY "rank" <= 10""",
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "segment_revenue": """
+            SELECT c_mktsegment,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        "top_customers": """
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   row_number() OVER (
+                     ORDER BY sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                              DESC, o_custkey) AS "rank"
+            FROM orders GROUP BY o_custkey
+            ORDER BY revenue_cents DESC, o_custkey LIMIT 10""",
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type""",
+    }

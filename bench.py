@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line.
+
+Default: run the headline KG-extraction pipeline (synthetic transcript
+corpus at the scale factor of $GRAFT_SF_DIR) plus the data-ops suite
+(dedup / ANN / relational over the testdata tables), timed per query.
+
+--scaling: run the headline pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and report throughput at
+both plus scaling efficiency (the sandbox substitute for an N-vs-4N-node
+`ray job submit` comparison; see BASELINE.md).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def _prepare(sf: float) -> tuple[str, int]:
+    """Generate (cached) the synthetic transcript corpus; returns
+    (corpus_dir, n_turns). Untimed fixture setup."""
+    import pyarrow.parquet as pq
+    from casie_ray import synth
+    corpus = synth.ensure_corpus(sf)
+    tdir = os.path.join(corpus, "transcripts")
+    turns = sum(pq.ParquetFile(os.path.join(tdir, f)).metadata.num_rows
+                for f in sorted(os.listdir(tdir)) if f.endswith(".parquet"))
+    return corpus, turns
+
+
+def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
+              prepare_only: bool = False) -> dict:
+    from casie_ray import synth
+    sf = synth.sf_from_dir(sf_dir)
+    _init_ray(num_cpus)
+    corpus, turns = _prepare(sf)
+    if prepare_only:
+        return {"prepared": corpus, "turns": turns, "sf": sf}
+
+    from casie_ray.pipelines.kg import run_kg_pipeline
+
+    queries: dict[str, float] = {}
+    out = f"/tmp/casie_bench/kg_sf{sf:g}_cpus{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    info = run_kg_pipeline(corpus, out, resume=False)
+    queries["kg_pipeline"] = round(time.time() - t0, 2)
+
+    if not headline_only:
+        from casie_ray.ops import ann, dedup, relational, text
+
+        def timed(name, fn):
+            t = time.time()
+            ds = fn(sf_dir)
+            n = ds.count()  # triggers full streaming execution
+            queries[name] = round(time.time() - t, 2)
+            return n
+
+        timed("dedup_minhash", dedup.minhash_lsh_pairs)
+        timed("dedup_exact", dedup.exact_dedup)
+        timed("ann_topk", ann.ann_topk)
+        timed("doc_stats", text.doc_stats)
+        timed("lineitem_agg", relational.lineitem_agg)
+        timed("events_hourly", relational.events_hourly)
+
+    total = round(sum(queries.values()), 2)
+    return {
+        "metric": "end-to-end seconds: KG triple extraction (headline) "
+                  "+ training-data ops suite",
+        "value": total, "unit": "sec", "queries": queries,
+        "sf": sf, "num_cpus": num_cpus,
+        "turns": turns,
+        "turns_per_sec": round(turns / queries["kg_pipeline"], 1),
+        "kg_edges": info.get("edges"),
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Same headline job at two parallelism levels in fresh processes."""
+    env = dict(os.environ, GRAFT_SF_DIR=sf_dir)
+    # untimed corpus prep at full parallelism so neither run pays it
+    subprocess.run([sys.executable, __file__, "--prepare-only"],
+                   env=dict(env, RAY_GRAFT_CPUS=str(hi)), check=True,
+                   stdout=subprocess.DEVNULL)
+    results = {}
+    for n in (lo, hi):
+        p = subprocess.run(
+            [sys.executable, __file__, "--headline-only"],
+            env=dict(env, RAY_GRAFT_CPUS=str(n)),
+            check=True, capture_output=True, text=True)
+        results[n] = json.loads(p.stdout.strip().splitlines()[-1])
+    tput_lo = results[lo]["turns_per_sec"]
+    tput_hi = results[hi]["turns_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": f"scaling efficiency {lo}->{hi} cpus, headline "
+                  "KG pipeline",
+        "value": round(eff, 3), "unit": "efficiency",
+        "queries": {f"kg_pipeline_cpus{n}": results[n]["queries"]["kg_pipeline"]
+                    for n in (lo, hi)},
+        "sf": results[hi]["sf"], "num_cpus": hi,
+        "turns": results[hi]["turns"],
+        "turns_per_sec": {str(n): results[n]["turns_per_sec"]
+                          for n in (lo, hi)},
+        "speedup": round(tput_hi / tput_lo, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--prepare-only", action="store_true")
+    args = ap.parse_args()
+    sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        result = run_scaling(sf_dir)
+    else:
+        result = run_bench(sf_dir, num_cpus,
+                           headline_only=args.headline_only,
+                           prepare_only=args.prepare_only)
+        import ray
+        ray.shutdown()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — numpy float32 matmul per batch
+against a broadcast query matrix (``ray.put`` once, read per actor/task,
+never re-shipped per batch), per-batch partial top-k, then a tiny
+``groupby(query_id)`` final merge. Only the partial top-k rows cross the
+shuffle (k x n_blocks x n_queries rows), not the corpus.
+
+Scale path: :func:`ann_topk_lsh` buckets the corpus by seeded
+random-hyperplane signs and probes only the queries' buckets —
+sublinear scanned fraction, approximate recall (rows-only check).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_K = 10
+DEFAULT_NQ = 8
+LSH_PLANES = 6
+LSH_SEED = 99
+
+
+def _load_queries(sf_dir: str, n_queries: int):
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc
+    tbl = tbl.filter(pc.less(tbl.column("vec_id"), n_queries))
+    tbl = tbl.sort_by("vec_id")
+    q_ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    q = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float32)
+    qn = np.linalg.norm(q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    return q_ids, q / qn
+
+
+_PARTIAL_SCHEMA = pa.schema([
+    ("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+    ("sim", pa.float32()),
+])
+TOPK_SCHEMA = pa.schema([
+    ("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+    ("rank", pa.int64()),
+])
+
+
+def _partial_topk(q_ref, k: int):
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        q_ids, qm = ray.get(q_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float32)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = qm @ (m / n).T                      # (nq, batch)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            s = sims[qi]
+            mask = ids != qid                       # exclude self-match
+            cand_ids, cand_s = ids[mask], s[mask]
+            if len(cand_ids) > k:
+                idx = np.argpartition(-cand_s, k)[:k]
+            else:
+                idx = np.arange(len(cand_ids))
+            out_q.append(np.full(len(idx), qid, dtype=np.int64))
+            out_n.append(cand_ids[idx])
+            out_s.append(cand_s[idx])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float32()),
+        })
+    return fn
+
+
+def _final_topk(k: int):
+    def fn(group: pa.Table) -> pa.Table:
+        sims = group.column("sim").to_numpy()
+        nids = group.column("neighbor_id").to_numpy()
+        order = np.lexsort((nids, -sims))[:k]  # sim desc, id asc tie-break
+        return pa.table({
+            "query_id": group.column("query_id").take(pa.array(order)),
+            "neighbor_id": pa.array(nids[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+    return fn
+
+
+def ann_topk(sf_dir: str, k: int = DEFAULT_K, n_queries: int = DEFAULT_NQ):
+    """Exact cosine top-k (self excluded) for queries vec_id < n_queries.
+    Returns (query_id, neighbor_id, rank)."""
+    import ray
+    import ray.data
+
+    q_ref = ray.put(_load_queries(sf_dir, n_queries))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    ds = ds.map_batches(_partial_topk(q_ref, k), batch_format="pyarrow")
+    return ds.groupby("query_id").map_groups(_final_topk(k),
+                                             batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant (the sublinear scale path)
+# ---------------------------------------------------------------------------
+
+
+def _planes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(LSH_SEED)
+    return rng.standard_normal((LSH_PLANES, dim)).astype(np.float32)
+
+
+def _bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (vecs @ planes.T) > 0
+    return (signs * (1 << np.arange(LSH_PLANES))).sum(axis=1).astype(np.int32)
+
+
+def ann_topk_lsh(sf_dir: str, k: int = DEFAULT_K,
+                 n_queries: int = DEFAULT_NQ):
+    """Approximate top-k: scan only vectors whose random-hyperplane
+    bucket matches some query's bucket (single-probe). Same output
+    schema as :func:`ann_topk`; recall < 1 by design."""
+    import ray
+    import ray.data
+
+    q_ids, qm = _load_queries(sf_dir, n_queries)
+    planes = _planes(qm.shape[1])
+    q_buckets = set(_bucket_of(qm, planes).tolist())
+    q_ref = ray.put((q_ids, qm))
+
+    partial = _partial_topk(q_ref, k)
+
+    def bucket_filter(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float32)
+        if len(m) == 0:
+            return batch
+        keep = np.isin(_bucket_of(m, planes), list(q_buckets))
+        return batch.filter(pa.array(keep))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    ds = ds.map_batches(bucket_filter, batch_format="pyarrow")
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("query_id").map_groups(_final_topk(k),
+                                             batch_format="pyarrow")

@@ -1,0 +1,201 @@
+"""Relational operators expressed Ray-Data-first over the testdata star
+schema — the engine's general aggregation / join / window / top-k
+surface (SURVEY A1-A7, J5 broadcast join, O1-O4 ordering/top-k).
+
+Patterns demonstrated (each the scale-correct shape):
+
+- partial aggregation inside ``map_batches`` (Arrow ``group_by``
+  combiner) before the keyed shuffle — the pre-aggregate pattern;
+- broadcast hash join (``ray.put`` the small dimension once, probe
+  inside ``map_batches``) instead of an all-to-all shuffle join;
+- tumbling-window aggregate = key derivation (truncate) + groupby;
+- top-k = per-batch partial top-k, single tiny final reduce.
+
+Money sums are computed in integer cents so distributed float addition
+order can never change the answer vs the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Q1-style aggregate: lineitem by (returnflag, linestatus)
+# ---------------------------------------------------------------------------
+
+_AGG_PART_SCHEMA = pa.schema([
+    ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+    ("sum_qty", pa.int64()), ("sum_price_cents", pa.int64()),
+    ("n_rows", pa.int64()),
+])
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """double money -> exact integer cents, rounding half-away-from-zero
+    to match the SQL oracle's round()."""
+    return pc.round(pc.multiply(col, pa.scalar(100.0)),
+                    round_mode="half_towards_infinity").cast(pa.int64())
+
+
+def _lineitem_partial(batch: pa.Table) -> pa.Table:
+    cents = _cents(batch.column("l_extendedprice"))
+    qty = pc.round(batch.column("l_quantity"),
+                   round_mode="half_towards_infinity").cast(pa.int64())
+    t = pa.table({
+        "l_returnflag": batch.column("l_returnflag"),
+        "l_linestatus": batch.column("l_linestatus"),
+        "sum_qty": qty, "sum_price_cents": cents,
+        "n_rows": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+    })
+    g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("sum_qty", "sum"), ("sum_price_cents", "sum"), ("n_rows", "sum")])
+    return g.rename_columns(_AGG_PART_SCHEMA.names).cast(_AGG_PART_SCHEMA)
+
+
+def _lineitem_final(group: pa.Table) -> pa.Table:
+    g = group.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("sum_qty", "sum"), ("sum_price_cents", "sum"), ("n_rows", "sum")])
+    return g.rename_columns(_AGG_PART_SCHEMA.names).cast(_AGG_PART_SCHEMA)
+
+
+def lineitem_agg(sf_dir: str):
+    """sum_qty / sum_price_cents / n_rows by (returnflag, linestatus);
+    combiner inside map_batches, then a tiny keyed shuffle."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice"])
+    ds = ds.map_batches(_lineitem_partial, batch_format="pyarrow")
+    return ds.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        _lineitem_final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Broadcast join + top-k: revenue per customer market segment
+# ---------------------------------------------------------------------------
+
+
+def segment_revenue(sf_dir: str):
+    """orders x customer broadcast hash join -> revenue cents per
+    c_mktsegment. The customer dimension is ray.put once; orders stream."""
+    import ray
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_of = dict(zip(cust.column("c_custkey").to_pylist(),
+                      cust.column("c_mktsegment").to_pylist()))
+    seg_ref = ray.put(seg_of)
+
+    def join_partial(batch: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        segs = [seg.get(k) for k in batch.column("o_custkey").to_pylist()]
+        cents = _cents(batch.column("o_totalprice"))
+        t = pa.table({
+            "c_mktsegment": pa.array(segs, pa.string()),
+            "revenue_cents": cents,
+            "n_orders": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        }).filter(pc.is_valid(pa.array(segs, pa.string())))
+        g = t.group_by(["c_mktsegment"]).aggregate(
+            [("revenue_cents", "sum"), ("n_orders", "sum")])
+        return g.rename_columns(["c_mktsegment", "revenue_cents",
+                                 "n_orders"])
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by(["c_mktsegment"]).aggregate(
+            [("revenue_cents", "sum"), ("n_orders", "sum")])
+        return g.rename_columns(["c_mktsegment", "revenue_cents",
+                                 "n_orders"])
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    ds = ds.map_batches(join_partial, batch_format="pyarrow")
+    return ds.groupby("c_mktsegment").map_groups(final,
+                                                 batch_format="pyarrow")
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """Top-k customers by total order value (cents): per-batch partial
+    aggregate, keyed shuffle, then partial top-k per group block and one
+    global merge on a k-sized table."""
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "revenue_cents": _cents(batch.column("o_totalprice"))})
+        g = t.group_by(["o_custkey"]).aggregate([("revenue_cents", "sum")])
+        return g.rename_columns(["o_custkey", "revenue_cents"])
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by(["o_custkey"]).aggregate(
+            [("revenue_cents", "sum")])
+        return g.rename_columns(["o_custkey", "revenue_cents"])
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    ds = ds.groupby("o_custkey").map_groups(final, batch_format="pyarrow")
+    ds = ds.sort(["revenue_cents", "o_custkey"],
+                 descending=[True, False]).limit(k)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rank", pa.array(np.arange(1, batch.num_rows + 1), pa.int64()))
+
+    return ds.repartition(1).map_batches(rank, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregate over the events stream table
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(sf_dir: str):
+    """Events per (event_type, hour window): window key derived in the
+    map stage (floor to hour), then partial+final count — the streaming
+    windowed-aggregate shape without any sort."""
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "window_start": hour,
+            "n_events": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("n_events", "sum")])
+        return g.rename_columns(["event_type", "window_start", "n_events"])
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by(["event_type", "window_start"]).aggregate(
+            [("n_events", "sum")])
+        return g.rename_columns(["event_type", "window_start", "n_events"])
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby(["event_type", "window_start"]).map_groups(
+        final, batch_format="pyarrow")
+
+
+def distinct_users(sf_dir: str):
+    """count(distinct user_id) per event_type — two-phase distinct:
+    per-batch dedup of (type, user), keyed shuffle, exact distinct count
+    per group (no global set on any single node)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "user_id": batch.column("user_id")})
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    def final(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        n = len(pc.unique(group.column("user_id")))
+        return pa.table({"event_type": pa.array([et], pa.string()),
+                         "n_users": pa.array([n], pa.int64())})
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("event_type").map_groups(final,
+                                               batch_format="pyarrow")

@@ -1,0 +1,172 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are stateless vectorized ``map_batches`` stages over the
+``documents`` table (doc_id, text, lang, source, n_chars): token
+counting (whitespace + a BPE-ish regex), quality scoring, n-gram
+language ID, and rolling-hash document fingerprinting. Integer-valued
+outputs wherever a DuckDB oracle compares values exactly; the one float
+column (stopword ratio) is a single exact int/int division, which is
+deterministic across engines.
+
+Scale notes: every op here is embarrassingly parallel (no shuffle), so
+at 100 TB each is a single streaming ``map_batches`` pass with
+column-pruned parquet reads.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish word piece: runs of lowercase alphanumerics (RE2- and
+# re-compatible so the Python op and the DuckDB oracle agree bit-for-bit)
+BPE_RE = re.compile(r"[a-z0-9]+")
+BPE_SQL_PATTERN = "[a-z0-9]+"
+
+# small English stopword list (shared with the SQL oracle)
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+             "on", "for", "with", "as", "at", "by", "be", "this", "that")
+
+
+def _read_documents(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=list(columns))
+
+
+def doc_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc token stats. Tokenization = split on single spaces
+    (exactly DuckDB ``string_split(text, ' ')``)."""
+    texts = batch.column("text").to_pylist()
+    n_tokens, n_uniq, n_stop = [], [], []
+    ratios = []
+    stop = set(STOPWORDS)
+    for t in texts:
+        toks = (t or "").split(" ")
+        n_tokens.append(len(toks))
+        n_uniq.append(len(set(toks)))
+        ns = sum(1 for w in toks if w in stop)
+        n_stop.append(ns)
+        ratios.append(ns / len(toks) if toks else 0.0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
+        "n_stopwords": pa.array(n_stop, pa.int64()),
+        "stopword_ratio": pa.array(ratios, pa.float64()),
+        "len_chars": pc.utf8_length(batch.column("text")).cast(pa.int64()),
+    })
+
+
+def doc_stats(sf_dir: str):
+    return _read_documents(sf_dir).map_batches(doc_stats_batch,
+                                               batch_format="pyarrow")
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """BPE-ish regex token count (compiled once at module import)."""
+    texts = batch.column("text").to_pylist()
+    counts = [len(BPE_RE.findall(t or "")) for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_bpe_tokens": pa.array(counts, pa.int64()),
+    })
+
+
+def token_count(sf_dir: str):
+    return _read_documents(sf_dir).map_batches(token_count_batch,
+                                               batch_format="pyarrow")
+
+
+# --- language ID: char-bigram profile scoring (heuristic, engine-only) ---
+
+# tiny per-language bigram seed profiles; the op demonstrates the
+# vectorized scoring shape (real profiles would ship the same way)
+_LANG_PROFILES = {
+    "en": ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
+    "es": ("de", "en", "el", "la", "os", "es", "ar", "ue", "ra", "as"),
+    "fr": ("es", "le", "de", "en", "re", "nt", "on", "er", "te", "ou"),
+    "de": ("en", "er", "ch", "de", "ei", "te", "in", "ie", "ge", "un"),
+    "zh": ("zh", "sh", "ng", "ia", "ua", "uo", "ji", "xi", "qi", "an"),
+}
+_LANGS = sorted(_LANG_PROFILES)
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Score each doc's char-bigram multiset against the profiles;
+    deterministic argmax with alphabetical tie-break."""
+    texts = batch.column("text").to_pylist()
+    preds, scores = [], []
+    profs = {lg: set(bs) for lg, bs in _LANG_PROFILES.items()}
+    for t in texts:
+        s = (t or "").lower()
+        bigrams = [s[i:i + 2] for i in range(len(s) - 1)]
+        best_lang, best = _LANGS[0], -1
+        for lg in _LANGS:
+            p = profs[lg]
+            sc = sum(1 for b in bigrams if b in p)
+            if sc > best:
+                best, best_lang = sc, lg
+        preds.append(best_lang)
+        scores.append(best)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "pred_lang": pa.array(preds, pa.string()),
+        "score": pa.array(scores, pa.int64()),
+    })
+
+
+def lang_id(sf_dir: str):
+    return _read_documents(sf_dir).map_batches(lang_id_batch,
+                                               batch_format="pyarrow")
+
+
+# --- rolling-hash fingerprint (winnowing-style min sample) ---
+
+_HASH_BASE = np.uint64(1099511628211)
+_HASH_OFF = np.uint64(14695981039346656037)
+
+
+def _word_hashes(words: list[str]) -> np.ndarray:
+    """FNV-1a per word, vectorized enough for the hot path."""
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = _HASH_OFF
+        for b in w.encode():
+            h = (h ^ np.uint64(b)) * _HASH_BASE
+        out[i] = h
+    return out
+
+
+def fingerprint_batch(batch: pa.Table, window: int = 4) -> pa.Table:
+    """Rolling-hash fingerprint: FNV word hashes combined over a sliding
+    window; the doc fingerprint is the minimum window hash (winnowing
+    with a single global window — content-defined, order-sensitive)."""
+    texts = batch.column("text").to_pylist()
+    fps = []
+    with np.errstate(over="ignore"):
+        for t in texts:
+            words = (t or "").split(" ")
+            h = _word_hashes(words)
+            if len(h) < window:
+                fp = np.uint64(0)
+                for x in h:
+                    fp = fp * _HASH_BASE + x
+            else:
+                roll = h[: len(h) - window + 1].copy()
+                for k in range(1, window):
+                    roll = roll * _HASH_BASE + h[k: len(h) - window + 1 + k]
+                fp = roll.min()
+            fps.append(int(fp.astype(np.int64)))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "fingerprint": pa.array(fps, pa.int64()),
+    })
+
+
+def fingerprint(sf_dir: str):
+    return _read_documents(sf_dir).map_batches(fingerprint_batch,
+                                               batch_format="pyarrow")

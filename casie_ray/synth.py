@@ -439,15 +439,65 @@ def generate(sf: float, out_dir: str, seed: int = 42,
             "out_dir": out_dir}
 
 
+def generate_ray(sf: float, out_dir: str, seed: int = 42,
+                 shard_rows: int = 50_000) -> dict:
+    """Parallel corpus generation on an existing Ray session: one task
+    per output shard, each a pure function of (seed, conv range, entity
+    table) — byte-identical to :func:`generate` output. The generator is
+    a fixture builder, not an engine pipeline, so plain Ray tasks are
+    appropriate here."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    entities = gen_entities(n_entities(sf), seed)
+    pq.write_table(entities, os.path.join(out_dir, "entities.parquet"))
+    nc = n_convs(sf)
+    tdir = os.path.join(out_dir, "transcripts")
+    gdir = os.path.join(out_dir, "gold_events")
+    os.makedirs(tdir, exist_ok=True)
+    os.makedirs(gdir, exist_ok=True)
+    convs_per_shard = max(64, shard_rows // 20)
+    ent_ref = ray.put(entities)
+
+    @ray.remote(num_cpus=1)
+    def write_shard(shard: int, lo: int, hi: int) -> int:
+        ent = ray.get(ent_ref)
+        t_tbl, g_tbl = conv_batch(range(lo, hi), ent, seed)
+        pq.write_table(t_tbl, os.path.join(tdir, f"part-{shard:05d}.parquet"))
+        pq.write_table(g_tbl, os.path.join(gdir, f"part-{shard:05d}.parquet"))
+        return t_tbl.num_rows
+
+    futures = []
+    for shard, lo in enumerate(range(0, nc, convs_per_shard)):
+        futures.append(write_shard.remote(shard, lo,
+                                          min(lo + convs_per_shard, nc)))
+    counts = ray.get(futures)
+    return {"conversations": nc, "turns": int(sum(counts)),
+            "entities": entities.num_rows, "shards": len(counts),
+            "out_dir": out_dir}
+
+
 _CACHE_ROOT = "/tmp/casie_fixtures"
 
 
+def sf_from_dir(sf_dir: str) -> float:
+    """Parse the scale factor from a path like .../sf0.01."""
+    import re
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.01
+
+
 def ensure_corpus(sf: float, seed: int = 42, root: str = _CACHE_ROOT) -> str:
-    """Generate-once cache of the synthetic corpus for a scale factor."""
+    """Generate-once cache of the synthetic corpus for a scale factor.
+    Uses the parallel generator when a Ray session is active."""
     out_dir = os.path.join(root, f"sf{sf:g}_seed{seed}")
     marker = os.path.join(out_dir, "_COMPLETE")
     if not os.path.exists(marker):
-        generate(sf, out_dir, seed)
+        import ray
+        if ray.is_initialized():
+            generate_ray(sf, out_dir, seed)
+        else:
+            generate(sf, out_dir, seed)
         with open(marker, "w") as f:
             f.write("ok")
     return out_dir

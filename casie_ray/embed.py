@@ -14,7 +14,7 @@ import hashlib
 
 import numpy as np
 
-DIM = 32
+DIM = 64
 
 
 def _ngrams(s: str, n: int = 3):

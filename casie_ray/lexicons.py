@@ -373,3 +373,35 @@ def normalize_surface(s: str) -> str:
     s = re.sub(r"'s\b", "", s)
     s = re.sub(r"[^a-z0-9]+", " ", s)
     return " ".join(s.split())
+
+
+# ---------------------------------------------------------------------------
+# Entity linking / canonicalization (SURVEY J5/T7/D4; wd_search.py:153-201
+# candidate generation + link_coref.py:285-309 cosine scoring)
+# ---------------------------------------------------------------------------
+
+# organization-designator tokens: a capitalized token run containing one
+# of these is detected as an Organization mention (the deterministic
+# stand-in for CoreNLP ORG NER + the curated org lexicon,
+# parseJsontoFeatures.py:879-884 / findNNPNN :899-985)
+ORG_HINTS = frozenset({
+    "inc", "corp", "labs", "systems", "group", "networks", "technologies",
+    "solutions", "holdings", "software", "intl", "ltd", "co", "syndicate",
+    "collective", "partners",
+})
+
+# blocked candidate generation: block key = (entity type, first-2-chars
+# of normalized surface); cosine of hashed-trigram embeddings
+LINK_BLOCK_PREFIX = 2
+# mention -> catalog entity link accepted at or above this cosine
+LINK_THRESHOLD = 0.65
+# unlinked surface nodes merged (union-find edge) at or above this cosine
+CANON_THRESHOLD = 0.65
+
+# argtypes whose unlinked mentions become `type:surface` graph nodes
+# eligible for cross-conversation canonicalization
+SURFACE_NODE_TYPES = frozenset(t.lower() for t in (
+    "Organization", "Person", "Software", "System", "Malware", "Website",
+    "Device", "GPE", "File", "Data", "PII", "Vulnerability", "Patch",
+    "PaymentMethod", "Capabilities",
+))

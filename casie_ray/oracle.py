@@ -18,7 +18,11 @@ from collections import defaultdict
 import pandas as pd
 import pyarrow.parquet as pq
 
-from .semantics import build_catalog_matcher, emit_triples, extract_conversation
+from .semantics import (
+    build_catalog_matcher, build_fuzzy_index, canon_block_key,
+    canon_merge_edges, emit_triples, extract_conversation,
+    parse_surface_node,
+)
 
 TRIPLE_COLS = ["subj", "pred", "obj", "subj_type", "obj_type", "conv_id",
                "turn_idx", "ev_start", "ev_end", "weight"]
@@ -36,13 +40,34 @@ def extract_events(corpus_dir: str):
     """Run the full extraction sequentially; yields per-conv event lists."""
     entities = _read_table(os.path.join(corpus_dir, "entities.parquet"))
     catalog = build_catalog_matcher(entities)
+    fuzzy = build_fuzzy_index(entities)
     transcripts = _read_table(os.path.join(corpus_dir, "transcripts"))
     by_conv: dict[str, list[dict]] = defaultdict(list)
     for row in transcripts.select(["conv_id", "turn_idx", "text", "ts"]).to_pylist():
         by_conv[row["conv_id"]].append(row)
     for conv_id in sorted(by_conv):
         turns = sorted(by_conv[conv_id], key=lambda r: r["turn_idx"])
-        yield conv_id, extract_conversation(conv_id, turns, catalog)
+        yield conv_id, extract_conversation(conv_id, turns, catalog,
+                                            fuzzy=fuzzy)
+
+
+def canonical_mapping(node_ids) -> dict[str, str]:
+    """Cross-conversation canonicalization, sequential reference: block
+    surface nodes, emit cosine merge edges per block, union-find to the
+    minimum member (the oracle twin of the engine's
+    groupby(entity_block) + distributed union-find stage)."""
+    from .ops.graph import components_local
+
+    blocks: dict[str, set] = defaultdict(set)
+    for node in node_ids:
+        p = parse_surface_node(node)
+        if p:
+            blocks[canon_block_key(*p)].add(node)
+    edges: list[tuple[str, str]] = []
+    for key in sorted(blocks):
+        edges.extend(canon_merge_edges(sorted(blocks[key])))
+    comp = components_local(edges)
+    return {n: r for n, r in comp.items() if n != r}
 
 
 def extract_triples(corpus_dir: str) -> pd.DataFrame:
@@ -50,16 +75,22 @@ def extract_triples(corpus_dir: str) -> pd.DataFrame:
     first occurrence in (conv_id, turn_idx) order and counting
     occurrences — the oracle equivalent of the engine's salted two-phase
     groupby dedup (SURVEY A7)."""
+    raw: list[dict] = []
+    for _conv, events in extract_events(corpus_dir):
+        raw.extend(emit_triples(events))
+    mapping = canonical_mapping(
+        {t["subj"] for t in raw} | {t["obj"] for t in raw})
     best: dict[tuple, dict] = {}
     counts: dict[tuple, int] = defaultdict(int)
-    for _conv, events in extract_events(corpus_dir):
-        for t in emit_triples(events):
-            key = (t["subj"], t["pred"], t["obj"])
-            counts[key] += 1
-            cur = best.get(key)
-            if cur is None or (t["conv_id"], t["turn_idx"], t["ev_start"]) < \
-                    (cur["conv_id"], cur["turn_idx"], cur["ev_start"]):
-                best[key] = t
+    for t in raw:
+        t["subj"] = mapping.get(t["subj"], t["subj"])
+        t["obj"] = mapping.get(t["obj"], t["obj"])
+        key = (t["subj"], t["pred"], t["obj"])
+        counts[key] += 1
+        cur = best.get(key)
+        if cur is None or (t["conv_id"], t["turn_idx"], t["ev_start"]) < \
+                (cur["conv_id"], cur["turn_idx"], cur["ev_start"]):
+            best[key] = t
     rows = []
     for key in sorted(best):
         r = dict(best[key])

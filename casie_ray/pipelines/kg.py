@@ -34,8 +34,9 @@ from ..stages.detect import DetectTagger
 from ..stages.doclogic import doc_logic_group
 from ..stages.rolerealis import role_realis_batch
 from ..stages.triples import (
-    emit_nodes_batch, emit_triples_batch, final_dedup_group,
-    final_nodes_group, partial_dedup,
+    emit_nodes_batch, emit_triples_batch, extract_surface_nodes,
+    final_dedup_group, final_nodes_group, merge_edges_group, partial_dedup,
+    rewrite_triples, surface_dedup_group,
 )
 from ..state import manifest
 
@@ -133,10 +134,14 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
             "input_files": len(gfiles), "events": n_events,
         })
 
-    # ---- stage B: global dedup + graph materialize ----
+    # ---- stage B: canonicalize + global dedup + graph materialize ----
     rd = _ray_data()
     raw = rd.read_parquet(sorted(glob.glob(
         os.path.join(raw_root, "group-*", "*.parquet"))))
+    mapping = compute_canonical_mapping(raw)
+    if mapping:
+        raw = raw.map_batches(rewrite_triples(ray.put(mapping)),
+                              batch_format="pyarrow")
     edges = raw.groupby("bucket").map_groups(final_dedup_group,
                                              batch_format="pyarrow")
     edges_dir = os.path.join(out_dir, "edges")
@@ -159,8 +164,30 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
 
     n_edges = edges2.count()
     return {"groups": len(groups), "groups_skipped": skipped,
-            "edges": n_edges, "out_dir": out_dir,
+            "edges": n_edges, "canon_merged": len(mapping),
+            "out_dir": out_dir,
             "wall_sec": round(time.time() - t0, 2)}
+
+
+def compute_canonical_mapping(raw_ds) -> dict[str, str]:
+    """Cross-conversation canonicalization over the raw triples: distinct
+    surface nodes -> groupby(entity_block) cosine merge edges ->
+    distributed union-find -> {variant node: canonical node}. The result
+    is variant-mass-sized (small), so it is collected and broadcast."""
+    from ..ops.graph import connected_components
+
+    surf = raw_ds.map_batches(extract_surface_nodes,
+                              batch_format="pyarrow") \
+        .groupby("node").map_groups(surface_dedup_group,
+                                    batch_format="pyarrow")
+    medges = surf.groupby("block").map_groups(merge_edges_group,
+                                              batch_format="pyarrow") \
+        .materialize()
+    if medges.count() == 0:
+        return {}
+    labels = connected_components(medges)
+    return {r["node"]: r["label"] for r in labels.take_all()
+            if r["node"] != r["label"]}
 
 
 def read_triples(out_dir: str):

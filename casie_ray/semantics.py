@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import lexicons as lx
-from .embed import embed_surface
+from .embed import embed_surface, embed_surfaces
 from .tokenize import tokenize
 
 # ---------------------------------------------------------------------------
@@ -112,13 +112,54 @@ def build_catalog_matcher(entities) -> dict:
     return index
 
 
+def build_fuzzy_index(entities) -> dict:
+    """Blocked candidate index for fuzzy linking (SURVEY J5; the engine
+    seat of wd_search's name-candidate generation, wd_search.py:153-201):
+    (type, first-2-chars of normalized surface) ->
+    (embedding matrix, entity_ids, norms), candidates sorted by
+    (entity_id, norm) for deterministic ties."""
+    if hasattr(entities, "to_pylist"):
+        entities = entities.to_pylist()
+    buckets: dict[tuple, set] = {}
+    for e in sorted(entities, key=lambda e: e["entity_id"]):
+        for s in [e["canonical"]] + list(e["aliases"] or []):
+            norm = lx.normalize_surface(s)
+            if not norm:
+                continue
+            key = (e["type"], norm[:lx.LINK_BLOCK_PREFIX])
+            buckets.setdefault(key, set()).add((e["entity_id"], norm))
+    out: dict[tuple, tuple] = {}
+    for key, pairs in buckets.items():
+        lst = sorted(pairs)
+        out[key] = (embed_surfaces([n for _, n in lst]),
+                    [eid for eid, _ in lst], [n for _, n in lst])
+    return out
+
+
+def fuzzy_link(norm: str, argtype: str, fuzzy: dict | None) -> str | None:
+    """Best cosine candidate at/above LINK_THRESHOLD within the block;
+    ties broken by minimum entity_id (cf. strdist scoring,
+    link_coref.py:285-309)."""
+    if not fuzzy or not norm:
+        return None
+    hit = fuzzy.get((argtype, norm[:lx.LINK_BLOCK_PREFIX]))
+    if hit is None:
+        return None
+    mat, eids, _norms = hit
+    sims = mat @ embed_surface(norm)
+    best = float(sims.max())
+    if best < lx.LINK_THRESHOLD:
+        return None
+    return min(eids[i] for i in np.nonzero(sims >= best - 1e-9)[0])
+
+
 _DAY_RE = lx.NUMERIC_RE
 _COUNT_NOUNS = set(lx.COUNT_NOUNS)
 _DATAISH_NOUNS = {"records", "files", "documents", "emails", "passwords",
                   "credentials"}
 
 
-def detect_turn(text: str, catalog: dict):
+def detect_turn(text: str, catalog: dict, fuzzy: dict | None = None):
     """Per-turn mention + trigger-candidate detection.
 
     Deterministic longest-match, left-to-right, priority:
@@ -145,6 +186,31 @@ def detect_turn(text: str, catalog: dict):
             span = (1, "Version", None)
         elif lx.MONEY_RE.match(tok):
             span = (1, "Money", None)
+        if span is None and tok[0].isupper() and tok[0].isalpha():
+            # capitalized-run NER: a run of >=2 capitalized tokens
+            # containing an org designator is an Organization mention —
+            # exact catalog surface if the full run matches, else fuzzy
+            # blocked-cosine link (stand-in for CoreNLP ORG NER + the
+            # curated org lexicon, parseJsontoFeatures.py:879-985)
+            j = i
+            while j < n and toks[j][0][0].isupper() \
+                    and toks[j][0][0].isalpha():
+                j += 1
+            rl = j - i
+            if rl >= 2 and any(lowers[k] in lx.ORG_HINTS
+                               for k in range(i, j)):
+                run = tuple(lowers[i:j])
+                eid = etype = None
+                for phrase, ln, ptype, pid in catalog.get(low, ()):
+                    if ln == rl and run == phrase:
+                        eid, etype = pid, ptype
+                        break
+                if etype is None:
+                    etype = "Organization"
+                    eid = fuzzy_link(
+                        lx.normalize_surface(text[toks[i][1]:toks[j - 1][2]]),
+                        etype, fuzzy)
+                span = (rl, etype, eid)
         if span is None and low in catalog:
             for phrase, ln, etype, eid in catalog[low]:
                 if i + ln <= n and tuple(lowers[i:i + ln]) == phrase:
@@ -565,6 +631,37 @@ def canonical_obj(m: Mention) -> str:
     return f"{m.argtype.lower()}:{lx.normalize_surface(m.text)}"
 
 
+def parse_surface_node(node: str) -> tuple[str, str] | None:
+    """`type:normalized-surface` node id -> (type, surface), else None
+    (entity ids, event ids and literals are not surface nodes)."""
+    i = node.find(":")
+    if i <= 0:
+        return None
+    t = node[:i]
+    if t in lx.SURFACE_NODE_TYPES:
+        return (t, node[i + 1:])
+    return None
+
+
+def canon_block_key(node_type: str, norm: str) -> str:
+    """Entity block for the canonicalization shuffle (SURVEY §7.3 #2)."""
+    return f"{node_type}|{norm[:lx.LINK_BLOCK_PREFIX]}"
+
+
+def canon_merge_edges(nodes: list[str]) -> list[tuple[str, str]]:
+    """Pairwise merge edges within ONE entity block: surface nodes whose
+    hashed-trigram cosine >= CANON_THRESHOLD. Deterministic (sorted
+    nodes, vectorized similarity); shared verbatim by the sequential
+    oracle and the engine's groupby(entity_block) stage."""
+    uniq = sorted(set(nodes))
+    if len(uniq) < 2:
+        return []
+    mats = embed_surfaces([parse_surface_node(nd)[1] for nd in uniq])
+    sims = mats @ mats.T
+    ii, jj = np.nonzero(np.triu(sims >= lx.CANON_THRESHOLD, 1))
+    return [(uniq[a], uniq[b]) for a, b in zip(ii.tolist(), jj.tolist())]
+
+
 def emit_triples(events: list[Event]) -> list[dict]:
     """Events -> (subj, pred, obj) assertions (the engine's equivalent of
     the brat frame emitters, report.py:260-481)."""
@@ -618,7 +715,7 @@ def doc_logic(conv_id: str, detections: dict[int, TurnDetection]) -> list[Event]
 
 def extract_conversation(conv_id: str, turns: list[dict], catalog: dict,
                          detections: dict[int, TurnDetection] | None = None,
-                         ) -> list[Event]:
+                         fuzzy: dict | None = None) -> list[Event]:
     """turns: [{turn_idx, text, ts}] sorted by turn_idx.
 
     ``detections``: optional precomputed {turn_idx: TurnDetection} — the
@@ -629,7 +726,8 @@ def extract_conversation(conv_id: str, turns: list[dict], catalog: dict,
     if detections is None:
         detections = {}
         for t in turns:
-            detections[t["turn_idx"]] = detect_turn(t["text"], catalog)
+            detections[t["turn_idx"]] = detect_turn(t["text"], catalog,
+                                                    fuzzy)
     for t in turns:
         turn_ts[t["turn_idx"]] = t.get("ts")
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..schema import DETECTION_FIELDS, MENTION_T, TRIGGER_T, detection_to_row
-from ..semantics import build_catalog_matcher, detect_turn
+from ..semantics import build_catalog_matcher, build_fuzzy_index, detect_turn
 
 
 class DetectTagger:
@@ -23,12 +23,15 @@ class DetectTagger:
         entities = ray.get(entities_ref) if not isinstance(entities_ref, (list, tuple)) \
             else entities_ref
         self.catalog = build_catalog_matcher(entities)
+        # blocked fuzzy-link candidate index (J5): built once per actor
+        self.fuzzy = build_fuzzy_index(entities)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         starts, flags, trigs, ments = [], [], [], []
         for text in texts:
-            row = detection_to_row(detect_turn(text or "", self.catalog))
+            row = detection_to_row(detect_turn(text or "", self.catalog,
+                                               self.fuzzy))
             starts.append(row["token_starts"])
             flags.append(row["token_flags"])
             trigs.append(row["triggers"])

@@ -139,3 +139,70 @@ def final_nodes_group(group: pa.Table) -> pa.Table:
     g = g.rename_columns(["node_id", "degree", "type", "bucket"])
     return g.select(NODE_SCHEMA.names).cast(NODE_SCHEMA) \
         .sort_by([("node_id", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# Cross-conversation entity canonicalization (SURVEY §7.3 shuffle #2):
+# surface nodes -> entity blocks -> cosine merge edges -> distributed
+# union-find -> node rewrite. Kernels shared with the sequential oracle
+# (casie_ray.oracle.canonical_mapping) so both sides merge identically.
+# ---------------------------------------------------------------------------
+
+SURFACE_SCHEMA = pa.schema([("node", pa.string()), ("block", pa.string())])
+CC_EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+
+def extract_surface_nodes(batch: pa.Table) -> pa.Table:
+    """Raw triple rows -> distinct (surface node, entity block) rows."""
+    from ..semantics import canon_block_key, parse_surface_node
+    nodes = set()
+    for col in ("subj", "obj"):
+        for v in batch.column(col).to_pylist():
+            p = parse_surface_node(v)
+            if p is not None:
+                nodes.add((v, canon_block_key(*p)))
+    pairs = sorted(nodes)
+    return pa.table({"node": pa.array([n for n, _ in pairs], pa.string()),
+                     "block": pa.array([b for _, b in pairs], pa.string())})
+
+
+def surface_dedup_group(group: pa.Table) -> pa.Table:
+    return group.slice(0, 1)
+
+
+def merge_edges_group(group: pa.Table) -> pa.Table:
+    """One entity block -> pairwise cosine merge edges."""
+    from ..semantics import canon_merge_edges
+    edges = canon_merge_edges(group.column("node").to_pylist())
+    if not edges:
+        return CC_EDGE_SCHEMA.empty_table()
+    return pa.table({"src": pa.array([a for a, _ in edges], pa.string()),
+                     "dst": pa.array([b for _, b in edges], pa.string())})
+
+
+def rewrite_triples(mapping_ref):
+    """Apply the canonical mapping to subj/obj and recompute the dedup
+    bucket (the key changed). mapping is broadcast once via ray.put —
+    its size is proportional to the merged-variant mass, not the corpus."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mapping = ray.get(mapping_ref) if not isinstance(mapping_ref, dict) \
+            else mapping_ref
+        subj = [mapping.get(v, v)
+                for v in batch.column("subj").to_pylist()]
+        obj = [mapping.get(v, v) for v in batch.column("obj").to_pylist()]
+        preds = batch.column("pred").to_pylist()
+        bucket = [zlib.crc32(f"{s}\x00{p}\x00{o}".encode()) % N_BUCKETS
+                  for s, p, o in zip(subj, preds, obj)]
+        return pa.table({
+            "subj": pa.array(subj, pa.string()),
+            "pred": batch.column("pred"),
+            "obj": pa.array(obj, pa.string()),
+            "subj_type": batch.column("subj_type"),
+            "obj_type": batch.column("obj_type"),
+            "prov": batch.column("prov"),
+            "count": batch.column("count"),
+            "bucket": pa.array(bucket, pa.int32()),
+        }).cast(RAW_TRIPLE_SCHEMA)
+    return fn

@@ -20,6 +20,11 @@ import os
 import time
 
 
+def _embed_dim() -> int:
+    from ..embed import DIM
+    return DIM
+
+
 def config_hash() -> str:
     """Hash of the semantic configuration: lexicon tables + stage params.
     Any change to the extraction rules changes this hash."""
@@ -31,6 +36,8 @@ def config_hash() -> str:
         sorted((k, sorted(v.items())) for k, v in lx.ROLE_PAIR.items()),
         lx.COREF_WEIGHTS, lx.COREF_THRESHOLD,
         sorted(lx.MODAL_WORDS), sorted(lx.GENERIC_WORDS),
+        sorted(lx.ORG_HINTS), lx.LINK_THRESHOLD, lx.CANON_THRESHOLD,
+        lx.LINK_BLOCK_PREFIX, sorted(lx.SURFACE_NODE_TYPES), _embed_dim(),
     ))
     return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
 

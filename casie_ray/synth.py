@@ -227,10 +227,43 @@ _TOOL_NAMES = ["search_logs", "query_siem", "fetch_ticket", "scan_host",
 _ROLES = ["user", "assistant", "user", "assistant", "system", "tool"]
 
 
+# novel threat-actor orgs NOT in the entity catalog: distinct syllable
+# pools (no stem collisions with catalog entities) so they exercise the
+# unlinked-surface canonicalization path, with a deterministic "Intl"
+# variant form that the union-find must merge with the base form
+_NOVEL_A = ["Bram", "Crev", "Dosk", "Ferr", "Gath", "Hesk", "Jilt",
+            "Kresh", "Lorn", "Marv", "Nesk", "Ostr", "Prill", "Quell",
+            "Rosk", "Stell", "Tarn", "Umbr", "Wrenn", "Yex"]
+_NOVEL_B = ["ado", "eck", "illo", "ost", "urn", "ave", "ingol", "oll",
+            "usk", "entor"]
+_NOVEL_SUFFIX = ["Group", "Syndicate", "Collective", "Partners"]
+
+
+def novel_org_base(j: int, seed: int) -> str:
+    rng = random.Random(f"novel:{seed}:{j}")
+    return (rng.choice(_NOVEL_A) + rng.choice(_NOVEL_B) + " "
+            + rng.choice(_NOVEL_SUFFIX))
+
+
+def n_novel_orgs(n_ents: int) -> int:
+    return max(8, n_ents // 10)
+
+
 def _fill_arg(rng: random.Random, argtype: str, cat: dict[str, list[dict]],
-              hot: list[dict]) -> str:
+              hot: list[dict], n_novel: int = 8, seed: int = 42) -> str:
     """Pick a surface for an argument slot. Catalog types draw an entity
-    (hot entities with boosted probability); literal types synthesize."""
+    (hot entities with boosted probability); literal types synthesize.
+    Organizations sometimes surface as novel (uncataloged) orgs or as
+    fuzzy 'Intl' variants of catalog orgs — exercising the blocked
+    fuzzy linker and the canonicalization union-find."""
+    if argtype == "Organization":
+        r = rng.random()
+        if r < 0.10:
+            base = novel_org_base(rng.randrange(n_novel), seed)
+            return base + " Intl" if rng.random() < 0.4 else base
+        if r < 0.16:
+            ent = cat[argtype][rng.randrange(len(cat[argtype]))]
+            return ent["canonical"] + " Intl"
     if argtype in cat:
         pool = cat[argtype]
         hot_pool = [e for e in hot if e["type"] == argtype]
@@ -266,7 +299,8 @@ def _fill_arg(rng: random.Random, argtype: str, cat: dict[str, list[dict]],
     raise ValueError(argtype)
 
 
-def _render_event(rng: random.Random, template, cat, hot):
+def _render_event(rng: random.Random, template, cat, hot,
+                  n_novel: int = 8, seed: int = 42):
     """Instantiate a template -> (text, nugget dict, [arg dicts])."""
     etype, realis, parts = template
     tokens: list[str] = []
@@ -288,7 +322,7 @@ def _render_event(rng: random.Random, template, cat, hot):
             nugget = {"text": surf, "start": s, "end": e}
         elif isinstance(part, tuple) and part[0] == "ARG":
             _, argtype, role = part
-            surf = _fill_arg(rng, argtype, cat, hot)
+            surf = _fill_arg(rng, argtype, cat, hot, n_novel, seed)
             s, e = emit(surf)
             args.append({"text": surf, "start": s, "end": e,
                          "type": argtype, "role": role})
@@ -298,7 +332,7 @@ def _render_event(rng: random.Random, template, cat, hot):
 
 
 def gen_conversation(conv_index: int, cat: dict[str, list[dict]],
-                     hot: list[dict], seed: int = 42):
+                     hot: list[dict], seed: int = 42, n_novel: int = 8):
     """Pure function -> (transcript rows, gold event rows) for one conv."""
     rng = random.Random(f"conv:{seed}:{conv_index}")
     conv_id = f"c{conv_index:08d}"
@@ -324,7 +358,7 @@ def gen_conversation(conv_index: int, cat: dict[str, list[dict]],
         planted = None
         if ti in event_turns:
             template = TEMPLATES[rng.randrange(len(TEMPLATES))]
-            planted = (_render_event(rng, template, cat, hot),
+            planted = (_render_event(rng, template, cat, hot, n_novel, seed),
                        f"{conv_id}:h{ti}")
         elif ti in pending_repeat:
             planted = pending_repeat.pop(ti)
@@ -395,9 +429,10 @@ def conv_batch(conv_indices, entities: pa.Table, seed: int = 42):
     """Generate a batch of conversations -> (transcripts, gold) tables."""
     cat = _catalog_by_type(entities)
     hot = entities.slice(0, N_HOT_ENTITIES).to_pylist()
+    n_novel = n_novel_orgs(entities.num_rows)
     t_all, g_all = [], []
     for ci in conv_indices:
-        t, g = gen_conversation(int(ci), cat, hot, seed)
+        t, g = gen_conversation(int(ci), cat, hot, seed, n_novel)
         t_all.extend(t)
         g_all.extend(g)
     t_tbl = pa.Table.from_pylist(t_all, schema=TRANSCRIPT_SCHEMA)

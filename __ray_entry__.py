@@ -108,6 +108,13 @@ def _dup_clusters(sf_dir: str):
     return _graph.connected_components(edges)
 
 
+def _media_features(sf_dir: str):
+    from casie_ray.stages.multimodal import media_features
+    # driver compares row-count only; drop the float columns
+    return media_features(sf_dir).select_columns(
+        ["media_id", "media_type", "n_bytes", "checksum"])
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001-equivalent scale; returns the unique
     (subj, pred, obj) edge table as a Ray Dataset."""
@@ -137,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search (embeddings)
         "ann_topk": _ann.ann_topk,
         "ann_topk_lsh": _ann.ann_topk_lsh,
+        # multimodal plumbing (stubbed decode, real actor-pool stage)
+        "media_features": _media_features,
         # relational surface (star schema + events stream)
         "lineitem_agg": _rel.lineitem_agg,
         "segment_revenue": _rel.segment_revenue,

@@ -29,10 +29,8 @@ import time
 
 import pyarrow.parquet as pq
 
-from ..stages.coref import coref_group
 from ..stages.detect import DetectTagger
-from ..stages.doclogic import doc_logic_group
-from ..stages.rolerealis import role_realis_batch
+from ..stages.doclogic import extract_events_group
 from ..stages.triples import (
     emit_nodes_batch, emit_triples_batch, extract_surface_nodes,
     final_dedup_group, final_nodes_group, merge_edges_group, partial_dedup,
@@ -73,11 +71,10 @@ def extract_group_ds(files: list[str], entities_ref, *,
         batch_size=batch_size,
         concurrency=detect_concurrency,
     )
-    ds = ds.groupby("conv_id").map_groups(doc_logic_group,
-                                          batch_format="pyarrow")
-    ds = ds.map_batches(role_realis_batch, batch_format="pyarrow",
-                        batch_size=batch_size)
-    ds = ds.groupby("conv_id").map_groups(coref_group,
+    # fused doc-logic + role/realis + coref: one conv_id shuffle (see
+    # stages/doclogic.extract_events_group for the unfused variant used
+    # when real role/realis models occupy their actor-pool seats)
+    ds = ds.groupby("conv_id").map_groups(extract_events_group,
                                           batch_format="pyarrow")
     return ds
 
@@ -91,12 +88,17 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
     import ray
 
     t0 = time.time()
+    timings: dict[str, float] = {}
     os.makedirs(out_dir, exist_ok=True)
     files = list_transcript_files(corpus_dir)
     if not files:
         raise FileNotFoundError(f"no transcript shards under {corpus_dir}")
     if n_groups is None:
-        n_groups = max(1, min(len(files), 8))
+        # a group is the unit of checkpoint/resume; size it to ~32 input
+        # shards so each group saturates the cluster and the per-group
+        # barrier cost amortizes (at corpus scale there are thousands of
+        # shards -> tens of groups, each itself wide)
+        n_groups = max(1, (len(files) + 31) // 32)
     groups = [files[i::n_groups] for i in range(n_groups)]
     groups = [g for g in groups if g]
 
@@ -133,12 +135,16 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
         manifest.commit(out_dir, gid, cfg, gfiles, {
             "input_files": len(gfiles), "events": n_events,
         })
+    timings["extract"] = round(time.time() - t0, 2)
 
     # ---- stage B: canonicalize + global dedup + graph materialize ----
+    t1 = time.time()
     rd = _ray_data()
     raw = rd.read_parquet(sorted(glob.glob(
         os.path.join(raw_root, "group-*", "*.parquet"))))
     mapping = compute_canonical_mapping(raw)
+    timings["canonicalize"] = round(time.time() - t1, 2)
+    t1 = time.time()
     if mapping:
         raw = raw.map_batches(rewrite_triples(ray.put(mapping)),
                               batch_format="pyarrow")
@@ -163,9 +169,10 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
     manifest.atomic_dir_swap(tmp, nodes_dir)
 
     n_edges = edges2.count()
+    timings["dedup_materialize"] = round(time.time() - t1, 2)
     return {"groups": len(groups), "groups_skipped": skipped,
             "edges": n_edges, "canon_merged": len(mapping),
-            "out_dir": out_dir,
+            "out_dir": out_dir, "timings": timings,
             "wall_sec": round(time.time() - t0, 2)}
 
 
@@ -176,15 +183,24 @@ def compute_canonical_mapping(raw_ds) -> dict[str, str]:
     is variant-mass-sized (small), so it is collected and broadcast."""
     from ..ops.graph import connected_components
 
+    # per-batch extraction already emits distinct (node, block) rows and
+    # the per-block merge kernel dedupes again — no per-node shuffle
     surf = raw_ds.map_batches(extract_surface_nodes,
-                              batch_format="pyarrow") \
-        .groupby("node").map_groups(surface_dedup_group,
-                                    batch_format="pyarrow")
+                              batch_format="pyarrow")
     medges = surf.groupby("block").map_groups(merge_edges_group,
                                               batch_format="pyarrow") \
         .materialize()
-    if medges.count() == 0:
+    n_edges = medges.count()
+    if n_edges == 0:
         return {}
+    if n_edges <= 200_000:
+        # the merge graph is variant-mass-sized; below this cutoff the
+        # iterative distributed rounds cost more than collecting the
+        # edge list, so solve the union-find on the driver
+        from ..ops.graph import components_local
+        pairs = [(r["src"], r["dst"]) for r in medges.take_all()]
+        comp = components_local(pairs)
+        return {n: r for n, r in comp.items() if n != r}
     labels = connected_components(medges)
     return {r["node"]: r["label"] for r in labels.take_all()
             if r["node"] != r["label"]}

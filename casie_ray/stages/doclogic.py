@@ -31,3 +31,35 @@ def doc_logic_group(group: pa.Table) -> pa.Table:
                                              e.nugget_start)
         out.append(event_to_row(e, ts_of[e.turn_idx], modal, generic))
     return pa.Table.from_pylist(out, schema=EVENT_SCHEMA)
+
+
+def extract_events_group(group: pa.Table) -> pa.Table:
+    """Fused per-conversation stage: doc logic + role/realis rules +
+    coref in ONE ``groupby(conv_id)`` shuffle. The unfused chain
+    (doc_logic_group → role_realis_batch → coref_group) sorts by conv_id
+    twice; with the zero-state rule bundles standing in for the role/
+    realis models there is no actor state to justify the second shuffle.
+    A build with real neural role/realis models reverts to the unfused
+    chain so those stages get their own actor pools (T4/T5 seats,
+    stages/rolerealis.ModelRoleRealisScorer)."""
+    from ..semantics import assign_realis, assign_roles, coref_events
+
+    rows = group.to_pylist()
+    if not rows:
+        return EVENT_SCHEMA.empty_table()
+    conv_id = rows[0]["conv_id"]
+    detections = {r["turn_idx"]: row_to_detection(r) for r in rows}
+    ts_of = {r["turn_idx"]: r["ts"] for r in rows}
+    events = doc_logic(conv_id, detections)
+    if not events:
+        return EVENT_SCHEMA.empty_table()
+    flags = {}
+    for e in events:
+        flags[e.event_id] = realis_window_flags(detections[e.turn_idx],
+                                                e.nugget_start)
+        assign_roles(e)
+        assign_realis(e, *flags[e.event_id])
+    coref_events(events, {ti: ts_of[ti] for ti in ts_of})
+    out = [event_to_row(e, ts_of[e.turn_idx], *flags[e.event_id])
+           for e in events]
+    return pa.Table.from_pylist(out, schema=EVENT_SCHEMA)

@@ -29,7 +29,7 @@ import time
 
 import pyarrow.parquet as pq
 
-from ..stages.detect import DetectTagger
+from ..stages.detect import DetectTagger, ShardFileExtractor
 from ..stages.doclogic import extract_events_group
 from ..stages.triples import (
     emit_nodes_batch, emit_triples_batch, extract_surface_nodes,
@@ -52,8 +52,15 @@ def list_transcript_files(corpus_dir: str) -> list[str]:
 
 
 def extract_group_ds(files: list[str], entities_ref, *,
-                     detect_concurrency=None, batch_size: int = 256):
-    """Build the stage-A Dataset (lazy) for one group of input shards."""
+                     detect_concurrency=None, batch_size: int = 256,
+                     conv_partitioned: bool = True):
+    """Build the stage-A Dataset (lazy) for one group of input shards.
+
+    ``conv_partitioned=True`` (the corpus layout guarantee: conversations
+    never span shards) runs the ZERO-SHUFFLE path — whole shards stream
+    through the ShardExtractor actor pool and extraction needs no
+    exchange at all. ``False`` is the general-layout fallback: a detect
+    actor pool followed by a ``groupby(conv_id)`` sort shuffle."""
     import ray
 
     rd = _ray_data()
@@ -62,6 +69,15 @@ def extract_group_ds(files: list[str], entities_ref, *,
         # task-pool stages or the streaming executor deadlocks
         ncpu = int(ray.cluster_resources().get("CPU", 4))
         detect_concurrency = max(2, ncpu - max(2, ncpu // 4))
+    if conv_partitioned:
+        ds = rd.from_items(files)
+        return ds.map_batches(
+            ShardFileExtractor,
+            fn_constructor_args=(entities_ref,),
+            batch_format="pyarrow",
+            batch_size=1,                # one shard file per actor call
+            concurrency=detect_concurrency,
+        )
     ds = rd.read_parquet(files,
                          columns=["conv_id", "turn_idx", "text", "ts"])
     ds = ds.map_batches(
@@ -82,7 +98,8 @@ def extract_group_ds(files: list[str], entities_ref, *,
 def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
                     n_groups: int | None = None, resume: bool = True,
                     detect_concurrency=None, batch_size: int = 256,
-                    keep_events: bool = True) -> dict:
+                    keep_events: bool = True,
+                    conv_partitioned: bool = True) -> dict:
     """Run extraction + finalize; returns counters. Requires an active
     Ray session (callers own init/shutdown)."""
     import ray
@@ -94,11 +111,11 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
     if not files:
         raise FileNotFoundError(f"no transcript shards under {corpus_dir}")
     if n_groups is None:
-        # a group is the unit of checkpoint/resume; size it to ~32 input
+        # a group is the unit of checkpoint/resume; size it to ~128 input
         # shards so each group saturates the cluster and the per-group
         # barrier cost amortizes (at corpus scale there are thousands of
         # shards -> tens of groups, each itself wide)
-        n_groups = max(1, (len(files) + 31) // 32)
+        n_groups = max(1, (len(files) + 255) // 256)
     groups = [files[i::n_groups] for i in range(n_groups)]
     groups = [g for g in groups if g]
 
@@ -116,7 +133,8 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
             continue
         ds = extract_group_ds(gfiles, entities_ref,
                               detect_concurrency=detect_concurrency,
-                              batch_size=batch_size)
+                              batch_size=batch_size,
+                              conv_partitioned=conv_partitioned)
         ds = ds.materialize()  # events reused for both outputs of this group
         n_events = ds.count()
         trip = ds.map_batches(emit_triples_batch, batch_format="pyarrow") \
@@ -148,27 +166,29 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
     if mapping:
         raw = raw.map_batches(rewrite_triples(ray.put(mapping)),
                               batch_format="pyarrow")
+    # edges materialized once (unique-triple table, small relative to the
+    # turn stream) and reused for the write AND the node aggregation —
+    # no disk round-trip between the two consumers
     edges = raw.groupby("bucket").map_groups(final_dedup_group,
-                                             batch_format="pyarrow")
+                                             batch_format="pyarrow") \
+        .materialize()
+    n_edges = edges.count()
     edges_dir = os.path.join(out_dir, "edges")
     tmp = edges_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     edges.write_parquet(tmp)
     manifest.atomic_dir_swap(tmp, edges_dir)
 
-    edges2 = rd.read_parquet(sorted(glob.glob(
-        os.path.join(edges_dir, "*.parquet"))))
-    nodes = edges2.map_batches(emit_nodes_batch, batch_format="pyarrow") \
-                  .groupby("bucket").map_groups(final_nodes_group,
-                                                batch_format="pyarrow") \
-                  .drop_columns(["bucket"])
+    nodes = edges.map_batches(emit_nodes_batch, batch_format="pyarrow") \
+                 .groupby("bucket").map_groups(final_nodes_group,
+                                               batch_format="pyarrow") \
+                 .drop_columns(["bucket"])
     nodes_dir = os.path.join(out_dir, "nodes")
     tmp = nodes_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     nodes.write_parquet(tmp)
     manifest.atomic_dir_swap(tmp, nodes_dir)
 
-    n_edges = edges2.count()
     timings["dedup_materialize"] = round(time.time() - t1, 2)
     return {"groups": len(groups), "groups_skipped": skipped,
             "edges": n_edges, "canon_merged": len(mapping),

@@ -47,3 +47,62 @@ class DetectTagger:
             "mentions": pa.array(ments, type=pa.list_(MENTION_T)),
         }
         return pa.table({name: cols[name] for name, _ in DETECTION_FIELDS})
+
+
+class ShardExtractor(DetectTagger):
+    """Zero-shuffle extraction for conv-partitioned input (the corpus
+    layout guarantee: conversations never span shards — see
+    state/manifest.py): detection + doc logic + role/realis + coref run
+    per conversation inside one whole-shard table, emitting event rows
+    directly. The groupby(conv_id) shuffle path (extract_events_group)
+    remains the fallback for inputs with arbitrary row layout."""
+
+    def extract_turns(self, batch: pa.Table) -> pa.Table:
+        """All conversations in `batch` must be complete."""
+        from ..schema import EVENT_SCHEMA
+        from ..semantics import detect_turn as _detect
+        from ..stages.doclogic import events_from_detections
+
+        conv_ids = batch.column("conv_id").to_pylist()
+        turn_idxs = batch.column("turn_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+        tss = batch.column("ts").to_pylist()
+        by_conv: dict[str, list[int]] = {}
+        for k, cid in enumerate(conv_ids):
+            by_conv.setdefault(cid, []).append(k)
+        out_rows: list[dict] = []
+        for cid in sorted(by_conv):
+            idxs = sorted(by_conv[cid], key=lambda k: turn_idxs[k])
+            detections = {
+                turn_idxs[k]: _detect(texts[k] or "", self.catalog,
+                                      self.fuzzy)
+                for k in idxs
+            }
+            ts_of = {turn_idxs[k]: tss[k] for k in idxs}
+            out_rows.extend(events_from_detections(cid, detections, ts_of))
+        return pa.Table.from_pylist(out_rows, schema=EVENT_SCHEMA) \
+            if out_rows else EVENT_SCHEMA.empty_table()
+
+    __call__ = extract_turns
+
+
+class ShardFileExtractor(ShardExtractor):
+    """File-granular zero-shuffle extraction: the actor pool consumes a
+    Dataset of shard PATHS and reads each shard itself (column-pruned),
+    so conversation/shard alignment is exact by construction — Ray block
+    planning can otherwise split or merge file blocks. This is the
+    engine's hot path; use as
+    ``from_items(files).map_batches(ShardFileExtractor, batch_size=1,
+    concurrency=(a, b))``."""
+
+    COLUMNS = ["conv_id", "turn_idx", "text", "ts"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        import pyarrow.parquet as pq
+        from ..schema import EVENT_SCHEMA
+
+        out = [EVENT_SCHEMA.empty_table()]
+        for path in batch.column("item").to_pylist():
+            tbl = pq.read_table(path, columns=self.COLUMNS)
+            out.append(self.extract_turns(tbl))
+        return pa.concat_tables(out)

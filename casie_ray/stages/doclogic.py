@@ -33,6 +33,26 @@ def doc_logic_group(group: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(out, schema=EVENT_SCHEMA)
 
 
+def events_from_detections(conv_id: str, detections: dict, ts_of: dict,
+                           ) -> list[dict]:
+    """Shared core: doc logic + roles + realis + coref over precomputed
+    per-turn detections -> event rows (EVENT_SCHEMA dicts)."""
+    from ..semantics import assign_realis, assign_roles, coref_events
+
+    events = doc_logic(conv_id, detections)
+    if not events:
+        return []
+    flags = {}
+    for e in events:
+        flags[e.event_id] = realis_window_flags(detections[e.turn_idx],
+                                                e.nugget_start)
+        assign_roles(e)
+        assign_realis(e, *flags[e.event_id])
+    coref_events(events, dict(ts_of))
+    return [event_to_row(e, ts_of[e.turn_idx], *flags[e.event_id])
+            for e in events]
+
+
 def extract_events_group(group: pa.Table) -> pa.Table:
     """Fused per-conversation stage: doc logic + role/realis rules +
     coref in ONE ``groupby(conv_id)`` shuffle. The unfused chain
@@ -50,16 +70,6 @@ def extract_events_group(group: pa.Table) -> pa.Table:
     conv_id = rows[0]["conv_id"]
     detections = {r["turn_idx"]: row_to_detection(r) for r in rows}
     ts_of = {r["turn_idx"]: r["ts"] for r in rows}
-    events = doc_logic(conv_id, detections)
-    if not events:
-        return EVENT_SCHEMA.empty_table()
-    flags = {}
-    for e in events:
-        flags[e.event_id] = realis_window_flags(detections[e.turn_idx],
-                                                e.nugget_start)
-        assign_roles(e)
-        assign_realis(e, *flags[e.event_id])
-    coref_events(events, {ti: ts_of[ti] for ti in ts_of})
-    out = [event_to_row(e, ts_of[e.turn_idx], *flags[e.event_id])
-           for e in events]
-    return pa.Table.from_pylist(out, schema=EVENT_SCHEMA)
+    out = events_from_detections(conv_id, detections, ts_of)
+    return pa.Table.from_pylist(out, schema=EVENT_SCHEMA) if out \
+        else EVENT_SCHEMA.empty_table()

@@ -61,6 +61,18 @@ def test_engine_invariant_under_grouping(ray_session, smoke_corpus, kg_out,
                                   _norm(_triples(out2)))
 
 
+def test_shuffle_fallback_path_matches(ray_session, smoke_corpus, kg_out,
+                                       tmp_path):
+    """The general-layout groupby(conv_id) shuffle path produces the
+    same triples as the zero-shuffle conv-partitioned hot path."""
+    from casie_ray.pipelines.kg import run_kg_pipeline
+    out2 = str(tmp_path / "kg_shuffle")
+    run_kg_pipeline(smoke_corpus, out2, resume=False, n_groups=2,
+                    conv_partitioned=False)
+    pd.testing.assert_frame_equal(_norm(_triples(kg_out)),
+                                  _norm(_triples(out2)))
+
+
 def test_resume_skips_completed_groups_and_matches(ray_session, smoke_corpus,
                                                    kg_out, tmp_path):
     """Kill-after-K-partitions resume: drop 2 of 3 group outputs +

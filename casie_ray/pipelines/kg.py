@@ -33,7 +33,7 @@ from ..stages.detect import DetectTagger, ShardFileExtractor
 from ..stages.doclogic import extract_events_group
 from ..stages.triples import (
     emit_nodes_batch, emit_triples_batch, extract_surface_nodes,
-    final_dedup_group, final_nodes_group, merge_edges_group, partial_dedup,
+    final_dedup_group, final_nodes_group, merge_edges_multi, partial_dedup,
     rewrite_triples, surface_dedup_group,
 )
 from ..state import manifest
@@ -103,6 +103,8 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
     """Run extraction + finalize; returns counters. Requires an active
     Ray session (callers own init/shutdown)."""
     import ray
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
 
     t0 = time.time()
     timings: dict[str, float] = {}
@@ -111,11 +113,11 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
     if not files:
         raise FileNotFoundError(f"no transcript shards under {corpus_dir}")
     if n_groups is None:
-        # a group is the unit of checkpoint/resume; size it to ~128 input
+        # a group is the unit of checkpoint/resume; size it to ~512 input
         # shards so each group saturates the cluster and the per-group
         # barrier cost amortizes (at corpus scale there are thousands of
         # shards -> tens of groups, each itself wide)
-        n_groups = max(1, (len(files) + 255) // 256)
+        n_groups = max(1, (len(files) + 511) // 512)
     groups = [files[i::n_groups] for i in range(n_groups)]
     groups = [g for g in groups if g]
 
@@ -156,6 +158,21 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
     timings["extract"] = round(time.time() - t0, 2)
 
     # ---- stage B: canonicalize + global dedup + graph materialize ----
+    # key-based repartition (the dedup / canonicalization exchanges)
+    # needs the hash-shuffle strategy; scoped to stage B so the caller's
+    # sort-based default is untouched elsewhere
+    ctx = DataContext.get_current()
+    prev_strategy = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        return _finalize(out_dir, raw_root, groups, skipped, timings, t0)
+    finally:
+        ctx.shuffle_strategy = prev_strategy
+
+
+def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
+    import ray
+
     t1 = time.time()
     rd = _ray_data()
     raw = rd.read_parquet(sorted(glob.glob(
@@ -166,11 +183,18 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
     if mapping:
         raw = raw.map_batches(rewrite_triples(ray.put(mapping)),
                               batch_format="pyarrow")
+    # exact dedup via HASH exchange, not sort: repartition co-locates
+    # equal (subj, pred, obj) keys, then one vectorized Arrow group_by
+    # per whole block (batch_size=None). Hot keys only grow one block's
+    # O(rows) aggregate, never a per-key Python loop.
     # edges materialized once (unique-triple table, small relative to the
     # turn stream) and reused for the write AND the node aggregation —
     # no disk round-trip between the two consumers
-    edges = raw.groupby("bucket").map_groups(final_dedup_group,
-                                             batch_format="pyarrow") \
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    edges = raw.repartition(num_blocks=max(2, ncpu // 2),
+                            keys=["subj", "pred", "obj"]) \
+        .map_batches(final_dedup_group, batch_format="pyarrow",
+                     batch_size=None) \
         .materialize()
     n_edges = edges.count()
     edges_dir = os.path.join(out_dir, "edges")
@@ -180,8 +204,9 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
     manifest.atomic_dir_swap(tmp, edges_dir)
 
     nodes = edges.map_batches(emit_nodes_batch, batch_format="pyarrow") \
-                 .groupby("bucket").map_groups(final_nodes_group,
-                                               batch_format="pyarrow") \
+                 .repartition(num_blocks=max(2, ncpu // 2), keys=["node_id"]) \
+                 .map_batches(final_nodes_group, batch_format="pyarrow",
+                              batch_size=None) \
                  .drop_columns(["bucket"])
     nodes_dir = os.path.join(out_dir, "nodes")
     tmp = nodes_dir + ".tmp"
@@ -203,12 +228,18 @@ def compute_canonical_mapping(raw_ds) -> dict[str, str]:
     is variant-mass-sized (small), so it is collected and broadcast."""
     from ..ops.graph import connected_components
 
+    import ray
+
     # per-batch extraction already emits distinct (node, block) rows and
-    # the per-block merge kernel dedupes again — no per-node shuffle
+    # the per-block merge kernel dedupes again — no per-node shuffle;
+    # the entity_block exchange is a hash repartition (equal blocks
+    # co-located), each output block processed vectorized as a whole
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
     surf = raw_ds.map_batches(extract_surface_nodes,
                               batch_format="pyarrow")
-    medges = surf.groupby("block").map_groups(merge_edges_group,
-                                              batch_format="pyarrow") \
+    medges = surf.repartition(num_blocks=max(2, ncpu // 2), keys=["block"]) \
+        .map_batches(merge_edges_multi, batch_format="pyarrow",
+                     batch_size=None) \
         .materialize()
     n_edges = medges.count()
     if n_edges == 0:

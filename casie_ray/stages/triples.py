@@ -206,3 +206,23 @@ def rewrite_triples(mapping_ref):
             "bucket": pa.array(bucket, pa.int32()),
         }).cast(RAW_TRIPLE_SCHEMA)
     return fn
+
+
+def merge_edges_multi(batch: pa.Table) -> pa.Table:
+    """Whole hash-partitioned block -> merge edges for every complete
+    entity block it contains (vectorized per block)."""
+    if batch.num_rows == 0:
+        return CC_EDGE_SCHEMA.empty_table()
+    out = [CC_EDGE_SCHEMA.empty_table()]
+    blocks = batch.column("block").to_pylist()
+    nodes = batch.column("node").to_pylist()
+    by_block: dict[str, list[str]] = {}
+    for b, n in zip(blocks, nodes):
+        by_block.setdefault(b, []).append(n)
+    for b in sorted(by_block):
+        t = merge_edges_group(pa.table({
+            "node": pa.array(by_block[b], pa.string()),
+            "block": pa.array([b] * len(by_block[b]), pa.string())}))
+        if t.num_rows:
+            out.append(t)
+    return pa.concat_tables(out)

@@ -65,10 +65,11 @@ def extract_group_ds(files: list[str], entities_ref, *,
 
     rd = _ray_data()
     if detect_concurrency is None:
-        # fixed actor pool must leave headroom for the read / shuffle /
-        # task-pool stages or the streaming executor deadlocks
+        # fixed actor pool takes 3/4 of CPUs — the same fraction at
+        # every cluster size (scaling-fair), leaving headroom for the
+        # read / write / shuffle stages so the executor never deadlocks
         ncpu = int(ray.cluster_resources().get("CPU", 4))
-        detect_concurrency = max(2, ncpu - max(2, ncpu // 4))
+        detect_concurrency = max(2, (ncpu * 3) // 4)
     if conv_partitioned:
         ds = rd.from_items(files)
         return ds.map_batches(

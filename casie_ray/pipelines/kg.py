@@ -2,19 +2,22 @@
 
 Physical plan (SURVEY §4.3), all Ray Data, streaming executor:
 
-  Stage A (per resumable group of input shards):
-    read_parquet(shards)
-      .map_batches(DetectTagger, actor pool)       # T1/T2 seat
-      .groupby("conv_id").map_groups(doc_logic)    # shuffle #1 (turns)
-      .map_batches(RoleRealisScorer, actor pool)   # T4/T5 seat
-      .groupby("conv_id").map_groups(coref)        # shuffle #2 (events)
+  Stage A (per resumable group of input shards; conv-partitioned layout
+  -> ZERO shuffles — see extract_group_ds for the general-layout
+  groupby(conv_id) fallback):
+    from_items(shard paths)
+      .map_batches(ShardFileExtractor, actor pool) # T1/T2+T4/T5 seats:
+                                                   # detect + doc logic +
+                                                   # roles + realis + coref
       .map_batches(emit_triples_batch)             # S8 -> raw triples
-      .map_batches(partial_dedup)                  # combiner (pre-shuffle)
+      .map_batches(partial_dedup)                  # combiner (pre-exchange)
       .write raw triples + events (atomic dir), commit manifest
 
-  Stage B (global finalize, reruns cheaply on resume):
+  Stage B (global finalize, reruns cheaply on resume; hash-shuffle):
     read raw triples
-      .groupby("bucket").map_groups(final_dedup)   # shuffle #3, salted
+      -> entity-block hash exchange -> cosine merges -> union-find
+      -> rewrite to canonical nodes
+      -> (subj,pred,obj) hash exchange -> vectorized exact dedup
       -> edges (unique triples), nodes (degree-aggregated)
 
 The driver owns no Ray session: callers (tests / bench / CLI) init Ray.
@@ -34,7 +37,7 @@ from ..stages.doclogic import extract_events_group
 from ..stages.triples import (
     emit_nodes_batch, emit_triples_batch, extract_surface_nodes,
     final_dedup_group, final_nodes_group, merge_edges_multi, partial_dedup,
-    rewrite_triples, surface_dedup_group,
+    rewrite_triples,
 )
 from ..state import manifest
 

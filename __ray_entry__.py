@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _rel.top_customers,
         "events_hourly": _rel.events_hourly,
         "distinct_users": _rel.distinct_users,
+        "events_asof_orders": _rel.events_asof_orders,
     }
 
 
@@ -260,4 +261,16 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type""",
+        "events_asof_orders": """
+            WITH j AS (
+              SELECT e.event_id, o.o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e
+              JOIN orders o ON o.o_custkey = e.user_id
+                           AND o.o_orderdate <= e.ts
+            )
+            SELECT event_id, o_orderkey AS last_orderkey FROM j
+            WHERE rn = 1""",
     }

@@ -199,3 +199,62 @@ def distinct_users(sf_dir: str):
     ds = ds.map_batches(partial, batch_format="pyarrow")
     return ds.groupby("event_type").map_groups(final,
                                                batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each event -> the latest order of the same user at event
+# time (a custom operator Ray Data lacks; SURVEY §2 "custom operators")
+# ---------------------------------------------------------------------------
+
+
+def events_asof_orders(sf_dir: str):
+    """Distributed as-of join via broadcast small side: the orders table
+    is grouped per customer, sorted by (orderdate, orderkey), ray.put
+    once; the events stream probes it with a binary search per row.
+    Partitioning assumption: the build side fits the object store (at
+    corpus scale, range-bucket both sides by key and time instead).
+    Ties on equal orderdate resolve to the max orderkey (same rule as
+    the SQL oracle's ORDER BY o_orderdate DESC, o_orderkey DESC)."""
+    import bisect
+    import ray
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_orderkey",
+                                    "o_orderdate"])
+    by_cust: dict[int, list[tuple]] = {}
+    for ck, ok, od in zip(orders.column("o_custkey").to_pylist(),
+                          orders.column("o_orderkey").to_pylist(),
+                          orders.column("o_orderdate").to_pylist()):
+        by_cust.setdefault(ck, []).append((od, ok))
+    for ck in by_cust:
+        by_cust[ck].sort()
+    ref = ray.put(by_cust)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        idx = ray.get(ref)
+        eids = batch.column("event_id").to_pylist()
+        uids = batch.column("user_id").to_pylist()
+        tss = batch.column("ts").to_pylist()
+        out_e, out_o = [], []
+        for eid, uid, ts in zip(eids, uids, tss):
+            rows = idx.get(uid)
+            if not rows:
+                continue
+            k = bisect.bisect_right(rows, (ts, float("inf")))
+            if k == 0:
+                continue
+            cut = rows[:k]
+            last_date = cut[-1][0]
+            j = k - 1
+            best = cut[j][1]
+            while j >= 0 and cut[j][0] == last_date:
+                best = max(best, cut[j][1])
+                j -= 1
+            out_e.append(eid)
+            out_o.append(best)
+        return pa.table({"event_id": pa.array(out_e, pa.int64()),
+                         "last_orderkey": pa.array(out_o, pa.int64())})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return ds.map_batches(probe, batch_format="pyarrow")

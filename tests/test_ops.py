@@ -42,7 +42,7 @@ SQL_CHECKED = [
     "doc_stats", "doc_token_count", "dedup_exact", "dedup_jaccard_pairs",
     "dedup_minhash_lsh", "dedup_embedding_pairs", "ann_topk",
     "lineitem_agg", "segment_revenue", "top_customers", "events_hourly",
-    "distinct_users",
+    "distinct_users", "events_asof_orders",
 ]
 
 

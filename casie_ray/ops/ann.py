@@ -63,7 +63,14 @@ def _partial_topk(q_ref, k: int):
             mask = ids != qid                       # exclude self-match
             cand_ids, cand_s = ids[mask], s[mask]
             if len(cand_ids) > k:
-                idx = np.argpartition(-cand_s, k)[:k]
+                # partial top-k under the SAME total order as the final
+                # merge (sim desc, id asc): argpartition finds the kth
+                # value, then every boundary tie enters the lexsort so a
+                # tied smaller id can never be dropped block-locally
+                part = np.argpartition(-cand_s, k - 1)[:k]
+                vmin = cand_s[part].min()
+                pool = np.nonzero(cand_s >= vmin)[0]
+                idx = pool[np.lexsort((cand_ids[pool], -cand_s[pool]))[:k]]
             else:
                 idx = np.arange(len(cand_ids))
             out_q.append(np.full(len(idx), qid, dtype=np.int64))

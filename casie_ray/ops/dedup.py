@@ -7,7 +7,7 @@ driver-side loop over rows):
 - exact: hash-partitioned ``groupby(text_hash)``, keep min doc_id.
 - n-gram Jaccard: inverted index on word-3-gram shingles, shuffle by
   shingle, pair-count reduce — exact Jaccard, no broadcast anywhere.
-- MinHash + LSH: 64-perm signatures, 8 bands x 8 rows, banded groupby
+- MinHash + LSH: 64-perm signatures, 16 bands x 4 rows, banded groupby
   for candidates, exact-Jaccard verification of the (rare) candidates.
 - SimHash: 64-bit signatures, 4x16-bit band blocking (pigeonhole-exact
   for hamming <= 3), popcount verification.
@@ -32,7 +32,11 @@ import pyarrow.compute as pc
 
 SHINGLE_W = 3           # words per shingle
 N_PERM = 64             # minhash permutations
-N_BANDS, BAND_R = 8, 8  # 8 bands x 8 rows
+# 16 bands x 4 rows: candidate recall 1-(1-J^4)^16 ~ 0.9998 at J=0.8
+# (8x8 gave only ~0.77 at the threshold — qualifying pairs near J=0.8
+# could miss every band; verification is exact, so the wider banding
+# only costs extra candidates, never extra false pairs)
+N_BANDS, BAND_R = 16, 4
 SIM_BITS, SIM_BANDS = 64, 4
 MINHASH_SEED = 1234
 

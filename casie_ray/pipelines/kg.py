@@ -99,6 +99,35 @@ def extract_group_ds(files: list[str], entities_ref, *,
     return ds
 
 
+def _prune_stale_groups(root: str, n_groups: int) -> None:
+    """Remove group output dirs (and leftover temps) whose gid is outside
+    the current run's group range — stale output from a prior run with a
+    different grouping would otherwise be globbed into finalize."""
+    for d in glob.glob(os.path.join(root, "group-*")) + \
+            glob.glob(os.path.join(root, ".group-*.tmp")):
+        base = os.path.basename(d)
+        try:
+            gid = int(base.strip(".").split("-")[1].split(".")[0])
+        except (IndexError, ValueError):
+            gid = -1
+        if gid < 0 or gid >= n_groups:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _prune_stale_manifests(out_dir: str, n_groups: int) -> None:
+    mdir = manifest.manifest_dir(out_dir)
+    for p in glob.glob(os.path.join(mdir, "group-*.json")):
+        try:
+            gid = int(os.path.basename(p).split("-")[1].split(".")[0])
+        except (IndexError, ValueError):
+            gid = -1
+        if gid < 0 or gid >= n_groups:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+
 def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
                     n_groups: int | None = None, resume: bool = True,
                     detect_concurrency=None, batch_size: int = 256,
@@ -132,6 +161,12 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
     raw_root = os.path.join(out_dir, "raw_triples")
     ev_root = os.path.join(out_dir, "events")
     os.makedirs(raw_root, exist_ok=True)
+    # a reused out_dir may hold group dirs from a prior run with MORE
+    # groups (shrunk corpus / smaller n_groups); finalize globs every
+    # group dir, so stale ones would double-count triples — prune them
+    _prune_stale_groups(raw_root, len(groups))
+    _prune_stale_groups(ev_root, len(groups))
+    _prune_stale_manifests(out_dir, len(groups))
     skipped = 0
     for gid, gfiles in enumerate(groups):
         if resume and manifest.is_complete(out_dir, gid, cfg, gfiles):

@@ -29,7 +29,10 @@ RAW_TRIPLE_SCHEMA = pa.schema([
 
 
 def _prov(conv_id: str, turn_idx: int, start: int, end: int) -> str:
-    return f"{conv_id}|{turn_idx:08d}|{start:08d}|{end:08d}"
+    # \x00 separator sorts below every printable char, so the string min
+    # over provenances orders exactly like the (conv_id, turn, start, end)
+    # tuple even when one conv_id is a proper prefix of another
+    return f"{conv_id}\x00{turn_idx:08d}\x00{start:08d}\x00{end:08d}"
 
 
 def emit_triples_batch(batch: pa.Table) -> pa.Table:
@@ -80,7 +83,7 @@ def final_dedup_group(group: pa.Table) -> pa.Table:
     prov = g.column("prov").to_pylist()
     conv, ti, st, en = [], [], [], []
     for p in prov:
-        c, a, b, d = p.rsplit("|", 3)
+        c, a, b, d = p.rsplit("\x00", 3)
         conv.append(c)
         ti.append(int(a))
         st.append(int(b))

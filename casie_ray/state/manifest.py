@@ -25,11 +25,17 @@ def _embed_dim() -> int:
     return DIM
 
 
+# bump whenever the on-disk raw-triples format changes (e.g. the prov
+# encoding) so resume never mixes formats across code versions
+FORMAT_VERSION = 2
+
+
 def config_hash() -> str:
     """Hash of the semantic configuration: lexicon tables + stage params.
     Any change to the extraction rules changes this hash."""
     from .. import lexicons as lx
     payload = repr((
+        FORMAT_VERSION,
         sorted(lx.TRIGGER_SURFACES.items()),
         sorted(lx.ARG_PHRASE_SURFACES.items()),
         sorted((k, sorted(v)) for k, v in lx.PAIR.items()),

@@ -92,6 +92,22 @@ def test_resume_skips_completed_groups_and_matches(ray_session, smoke_corpus,
                                   _norm(_triples(out3)))
 
 
+def test_reused_out_dir_with_fewer_groups_prunes_stale(ray_session,
+                                                       smoke_corpus, kg_out,
+                                                       tmp_path):
+    """Rerunning into the same out_dir with FEWER groups must not
+    double-count triples from the prior run's extra group dirs."""
+    from casie_ray.pipelines.kg import run_kg_pipeline
+    out4 = str(tmp_path / "kg4")
+    run_kg_pipeline(smoke_corpus, out4, resume=False, n_groups=3)
+    info = run_kg_pipeline(smoke_corpus, out4, resume=True, n_groups=1)
+    assert info["groups"] == 1
+    assert not os.path.exists(
+        os.path.join(out4, "raw_triples", "group-00001"))
+    pd.testing.assert_frame_equal(_norm(_triples(kg_out)),
+                                  _norm(_triples(out4)))
+
+
 def test_resume_invalidated_by_config_change(ray_session, smoke_corpus,
                                              kg_out, monkeypatch):
     """A manifest whose config hash no longer matches is not trusted."""

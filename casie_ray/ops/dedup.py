@@ -4,22 +4,31 @@ Five strategies over the ``documents`` table, each expressed
 Ray-Data-first (streaming ``map_batches`` + keyed shuffles — never a
 driver-side loop over rows):
 
-- exact: hash-partitioned ``groupby(text_hash)``, keep min doc_id.
+- exact: per-batch combiner, hash-BUCKETED exchange, one vectorized
+  Arrow ``group_by`` per bucket (min doc_id + copy count).
 - n-gram Jaccard: inverted index on word-3-gram shingles, shuffle by
-  shingle, pair-count reduce — exact Jaccard, no broadcast anywhere.
-- MinHash + LSH: 64-perm signatures, 16 bands x 4 rows, banded groupby
-  for candidates, exact-Jaccard verification of the (rare) candidates.
-- SimHash: 64-bit signatures, 4x16-bit band blocking (pigeonhole-exact
-  for hamming <= 3), popcount verification.
-- embedding cosine: batch matmul against the normalized matrix.
+  shingle BUCKET, vectorized within-segment pair emission, pair-bucket
+  reduce — exact Jaccard, no broadcast anywhere. An optional
+  document-frequency cap drops boilerplate shingles from candidate
+  generation (pair recall becomes approximate, reported (inter, uni)
+  stay exact via the shared verification join).
+- MinHash + LSH: 64-perm signatures, 16 bands x 4 rows, banded bucketed
+  groupby for candidates, then DISTRIBUTED exact-Jaccard verification —
+  candidates are hash-joined to shingle sets by doc_id (two bucketed
+  exchanges), never collected to the driver.
+- SimHash: 64-bit signatures (fully vectorized: one numpy pass per bit,
+  not per word), 4x16-bit band blocking (pigeonhole-exact for
+  hamming <= 3), vectorized popcount verification.
+- embedding cosine: exact all-pairs with the corpus CHUNKED into
+  bounded object-store pieces — each streaming batch matmuls one chunk
+  at a time, so no worker ever holds the whole matrix.
 
 Integer outputs (ids / counts) so the DuckDB oracles compare exactly.
 
-Scale notes (100 TB): the shingle shuffle is the widest step — hot
-shingles (boilerplate) should be dropped by a document-frequency cap in
-a pre-pass; pair emission is quadratic per shingle group but shingle
-groups are tiny once boilerplate is removed. MinHash verification only
-touches candidate docs (near-dup mass, not corpus mass).
+Every exchange here groups by a bounded-cardinality hash BUCKET column
+(ops.bucketing) and processes whole buckets with vectorized kernels —
+per-tiny-key ``map_groups`` (per text-hash / per shingle / per pair)
+was the round-1 scale killer and is gone.
 """
 
 from __future__ import annotations
@@ -29,6 +38,10 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from .bucketing import (
+    N_OPS_BUCKETS, fnv1a_hashes, hash_bucket, mix64, segment_pair_indices,
+)
 
 SHINGLE_W = 3           # words per shingle
 N_PERM = 64             # minhash permutations
@@ -70,42 +83,62 @@ def shingle_hashes(text: str, w: int = SHINGLE_W) -> np.ndarray:
 # Exact dedup
 # ---------------------------------------------------------------------------
 
+_EXACT_PART_SCHEMA = pa.schema([
+    ("text_hash", pa.uint64()), ("doc_id", pa.int64()),
+    ("n_copies", pa.int64()), ("bucket", pa.int32()),
+])
+
 
 def _text_hash_batch(batch: pa.Table) -> pa.Table:
-    hashes = [_hash64(t or "") for t in batch.column("text").to_pylist()]
-    return pa.table({
-        "doc_id": batch.column("doc_id"),
+    """Hash + per-batch combiner (pre-shuffle): one row per distinct
+    text hash in the batch, carrying min doc_id and copy count."""
+    hashes = np.fromiter(
+        (_hash64(t or "") for t in batch.column("text").to_pylist()),
+        dtype=np.uint64, count=batch.num_rows)
+    t = pa.table({
         "text_hash": pa.array(hashes, pa.uint64()),
+        "doc_id": batch.column("doc_id"),
+        "n_copies": pa.array(np.ones(batch.num_rows, np.int64)),
     })
+    g = t.group_by(["text_hash"]).aggregate(
+        [("doc_id", "min"), ("n_copies", "sum")])
+    g = g.rename_columns(["text_hash", "doc_id", "n_copies"])
+    bucket = hash_bucket([g.column("text_hash")])
+    return g.append_column("bucket", pa.array(bucket, pa.int32())) \
+        .cast(_EXACT_PART_SCHEMA)
 
 
-def _exact_group(group: pa.Table) -> pa.Table:
-    return pa.table({
-        "doc_id": pa.array([pc.min(group.column("doc_id")).as_py()],
-                           pa.int64()),
-        "n_copies": pa.array([group.num_rows], pa.int64()),
-    })
+def _exact_bucket(group: pa.Table) -> pa.Table:
+    """One hash bucket: vectorized Arrow group_by over ALL its distinct
+    text hashes at once (never per-key Python)."""
+    g = group.group_by(["text_hash"]).aggregate(
+        [("doc_id", "min"), ("n_copies", "sum")])
+    g = g.rename_columns(["text_hash", "doc_id", "n_copies"])
+    return g.select(["doc_id", "n_copies"])
 
 
 def exact_dedup(sf_dir: str):
-    """One row per distinct text: (representative min doc_id, copy count).
-    Hash-partition + per-group first (SURVEY A7 pattern on documents)."""
+    """One row per distinct text: (representative min doc_id, copy
+    count). Per-batch combine -> bucketed exchange -> vectorized
+    per-bucket reduce (SURVEY A7 pattern on documents)."""
     ds = _read_documents(sf_dir).map_batches(_text_hash_batch,
                                              batch_format="pyarrow")
-    return ds.groupby("text_hash").map_groups(_exact_group,
-                                              batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(_exact_bucket,
+                                           batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
-# Exact n-gram Jaccard pairs (inverted-index shuffle join)
+# Exact n-gram Jaccard pairs (inverted-index bucketed shuffle join)
 # ---------------------------------------------------------------------------
 
 _SHINGLE_ROW_SCHEMA = pa.schema([
     ("shingle", pa.uint64()), ("doc_id", pa.int64()), ("doc_n", pa.int64()),
+    ("bucket", pa.int32()),
 ])
 _PAIR_PART_SCHEMA = pa.schema([
     ("doc_a", pa.int64()), ("doc_b", pa.int64()),
     ("n_a", pa.int64()), ("n_b", pa.int64()), ("inter", pa.int64()),
+    ("bucket", pa.int32()),
 ])
 PAIR_SCHEMA = pa.schema([
     ("doc_a", pa.int64()), ("doc_b", pa.int64()),
@@ -124,68 +157,122 @@ def _shingle_rows_batch(batch: pa.Table) -> pa.Table:
         sh.append(h)
         dids.append(np.full(len(h), did, dtype=np.int64))
         dns.append(np.full(len(h), len(h), dtype=np.int64))
+    shingle = np.concatenate(sh) if sh else np.empty(0, np.uint64)
     return pa.table({
-        "shingle": pa.array(np.concatenate(sh) if sh else [], pa.uint64()),
-        "doc_id": pa.array(np.concatenate(dids) if dids else [], pa.int64()),
-        "doc_n": pa.array(np.concatenate(dns) if dns else [], pa.int64()),
+        "shingle": pa.array(shingle, pa.uint64()),
+        "doc_id": pa.array(np.concatenate(dids) if dids
+                           else np.empty(0, np.int64), pa.int64()),
+        "doc_n": pa.array(np.concatenate(dns) if dns
+                          else np.empty(0, np.int64), pa.int64()),
+        "bucket": pa.array(hash_bucket([shingle]), pa.int32()),
     })
 
 
-def _pairs_from_shingle_group(group: pa.Table) -> pa.Table:
-    """All ordered doc pairs sharing this shingle (inter contribution 1
-    each). Groups are tiny for natural text; boilerplate shingles need
-    the doc-frequency cap noted in the module docstring."""
-    n = group.num_rows
-    if n < 2:
-        return _PAIR_PART_SCHEMA.empty_table()
-    order = np.lexsort((np.zeros(n), group.column("doc_id").to_numpy()))
-    dids = group.column("doc_id").to_numpy()[order]
-    dns = group.column("doc_n").to_numpy()[order]
-    ia, ib = np.triu_indices(n, 1)
-    return pa.table({
-        "doc_a": pa.array(dids[ia], pa.int64()),
-        "doc_b": pa.array(dids[ib], pa.int64()),
-        "n_a": pa.array(dns[ia], pa.int64()),
-        "n_b": pa.array(dns[ib], pa.int64()),
-        "inter": pa.array(np.ones(len(ia), dtype=np.int64), pa.int64()),
+def _pair_partial_table(doc_a, doc_b, n_a, n_b, inter) -> pa.Table:
+    """Combine raw pair contributions within one task: Arrow group_by on
+    (doc_a, doc_b), then attach the pair-hash bucket for the exchange."""
+    t = pa.table({
+        "doc_a": pa.array(doc_a, pa.int64()),
+        "doc_b": pa.array(doc_b, pa.int64()),
+        "n_a": pa.array(n_a, pa.int64()),
+        "n_b": pa.array(n_b, pa.int64()),
+        "inter": pa.array(inter, pa.int64()),
     })
-
-
-def _combine_pairs(batch: pa.Table) -> pa.Table:
-    """Pre-shuffle combiner: sum inter per pair within the batch."""
-    if batch.num_rows == 0:
-        return _PAIR_PART_SCHEMA.empty_table()
-    g = batch.group_by(["doc_a", "doc_b"]).aggregate(
+    g = t.group_by(["doc_a", "doc_b"]).aggregate(
         [("inter", "sum"), ("n_a", "min"), ("n_b", "min")])
-    return g.rename_columns(
-        ["doc_a", "doc_b", "inter", "n_a", "n_b"]).select(
-        _PAIR_PART_SCHEMA.names).cast(_PAIR_PART_SCHEMA)
+    g = g.rename_columns(["doc_a", "doc_b", "inter", "n_a", "n_b"])
+    bucket = hash_bucket([g.column("doc_a"), g.column("doc_b")])
+    return g.append_column("bucket", pa.array(bucket, pa.int32())) \
+        .select(_PAIR_PART_SCHEMA.names).cast(_PAIR_PART_SCHEMA)
 
 
-def _finalize_pairs(threshold_pct: int):
+def _pairs_from_shingle_bucket(group: pa.Table) -> pa.Table:
+    """One shingle-hash bucket: sort by (shingle, doc_id), emit every
+    within-shingle doc pair via the vectorized segment-pair kernel, and
+    pre-combine per pair before the pair exchange. Groups are tiny for
+    natural text; boilerplate shingles are bounded by the optional
+    df_cap pre-pass in :func:`jaccard_pairs`."""
+    if group.num_rows < 2:
+        return _PAIR_PART_SCHEMA.empty_table()
+    sh = group.column("shingle").to_numpy()
+    did = group.column("doc_id").to_numpy()
+    dn = group.column("doc_n").to_numpy()
+    order = np.lexsort((did, sh))
+    sh, did, dn = sh[order], did[order], dn[order]
+    ia, ib = segment_pair_indices([sh])
+    if len(ia) == 0:
+        return _PAIR_PART_SCHEMA.empty_table()
+    return _pair_partial_table(did[ia], did[ib], dn[ia], dn[ib],
+                               np.ones(len(ia), np.int64))
+
+
+def _finalize_pairs_bucket(threshold_pct: int):
     def final(group: pa.Table) -> pa.Table:
-        g = _combine_pairs(group)
+        g = group.group_by(["doc_a", "doc_b"]).aggregate(
+            [("inter", "sum"), ("n_a", "min"), ("n_b", "min")])
+        g = g.rename_columns(["doc_a", "doc_b", "inter", "n_a", "n_b"])
         inter = g.column("inter")
         uni = pc.subtract(pc.add(g.column("n_a"), g.column("n_b")), inter)
-        keep = pc.greater_equal(pc.multiply(inter, pa.scalar(100, pa.int64())),
-                                pc.multiply(uni, pa.scalar(threshold_pct,
-                                                           pa.int64())))
+        keep = pc.greater_equal(
+            pc.multiply(inter, pa.scalar(100, pa.int64())),
+            pc.multiply(uni, pa.scalar(threshold_pct, pa.int64())))
         g = g.append_column("uni", uni).filter(keep)
         return g.select(PAIR_SCHEMA.names).cast(PAIR_SCHEMA)
     return final
 
 
-def jaccard_pairs(sf_dir: str, threshold_pct: int = 80):
-    """Exact near-duplicate pairs: word-3-gram Jaccard >= threshold.
-    documents -> shingle rows -> groupby(shingle) pair emit ->
-    combiner -> groupby(pair) sum -> threshold filter."""
+def _hot_shingles(sh_rows, df_cap: int) -> set[int]:
+    """Shingles whose document frequency exceeds df_cap (boilerplate).
+    The hot set is tiny by construction (only keys ABOVE the cap), so
+    collecting + broadcasting it is the small-side pattern, not a
+    corpus materialization."""
+    def df_bucket(group: pa.Table) -> pa.Table:
+        g = group.group_by(["shingle"]).aggregate([("doc_id", "count")])
+        g = g.rename_columns(["shingle", "df"])
+        return g.filter(pc.greater(g.column("df"), df_cap)) \
+            .select(["shingle"])
+
+    hot_ds = sh_rows.groupby("bucket").map_groups(df_bucket,
+                                                  batch_format="pyarrow")
+    return {r["shingle"] for r in hot_ds.take_all()}
+
+
+def jaccard_pairs(sf_dir: str, threshold_pct: int = 80,
+                  df_cap: int | None = None):
+    """Near-duplicate pairs: word-3-gram Jaccard >= threshold.
+
+    df_cap=None (default): exact — every qualifying pair is found and
+    (inter, uni) are counted exactly through the inverted index.
+    df_cap=N: shingles appearing in more than N documents are dropped
+    from CANDIDATE generation (the boilerplate pair-explosion guard for
+    corpus scale); surviving candidates are re-verified against full
+    shingle sets, so reported values stay exact — only recall of pairs
+    whose every shared shingle is hot becomes approximate."""
+    import ray
+
     ds = _read_documents(sf_dir)
-    ds = ds.map_batches(_shingle_rows_batch, batch_format="pyarrow")
-    ds = ds.groupby("shingle").map_groups(_pairs_from_shingle_group,
-                                          batch_format="pyarrow")
-    ds = ds.map_batches(_combine_pairs, batch_format="pyarrow")
-    return ds.groupby(["doc_a", "doc_b"]).map_groups(
-        _finalize_pairs(threshold_pct), batch_format="pyarrow")
+    sh_rows = ds.map_batches(_shingle_rows_batch, batch_format="pyarrow")
+    if df_cap is not None:
+        hot_ref = ray.put(_hot_shingles(sh_rows, df_cap))
+
+        def drop_hot(batch: pa.Table) -> pa.Table:
+            hot = ray.get(hot_ref)
+            if not hot:
+                return batch
+            keep = np.fromiter(
+                (s not in hot for s in batch.column("shingle").to_pylist()),
+                dtype=bool, count=batch.num_rows)
+            return batch.filter(pa.array(keep))
+
+        sh_rows = sh_rows.map_batches(drop_hot, batch_format="pyarrow")
+    pairs = sh_rows.groupby("bucket").map_groups(
+        _pairs_from_shingle_bucket, batch_format="pyarrow")
+    if df_cap is not None:
+        cands = pairs.groupby("bucket").map_groups(
+            _distinct_pairs_bucket, batch_format="pyarrow")
+        return verify_pairs_exact(cands, sf_dir, threshold_pct)
+    return pairs.groupby("bucket").map_groups(
+        _finalize_pairs_bucket(threshold_pct), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -207,100 +294,217 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
     return m.min(axis=1)
 
 
+_BAND_ROW_SCHEMA = pa.schema([
+    ("band", pa.int32()), ("band_hash", pa.uint64()),
+    ("doc_id", pa.int64()), ("bucket", pa.int32()),
+])
+
+
 def _band_rows_batch(batch: pa.Table) -> pa.Table:
-    """doc -> N_BANDS rows (band, band_hash, doc_id)."""
-    doc_ids = batch.column("doc_id").to_pylist()
+    """doc -> N_BANDS rows (band, band_hash, doc_id, bucket). Band
+    hashes are a vectorized splitmix fold of each band's signature
+    rows (no per-band Python hashing)."""
+    doc_ids = batch.column("doc_id").to_numpy()
     texts = batch.column("text").to_pylist()
-    bands, bhash, dids = [], [], []
-    for did, text in zip(doc_ids, texts):
-        sig = minhash_signature(shingle_hashes(text))
-        for b in range(N_BANDS):
-            chunk = sig[b * BAND_R:(b + 1) * BAND_R]
-            bands.append(b)
-            bhash.append(_hash64(chunk.tobytes().hex()))
-            dids.append(did)
+    n = len(texts)
+    if n == 0:
+        return _BAND_ROW_SCHEMA.empty_table()
+    sigs = np.stack([minhash_signature(shingle_hashes(t)) for t in texts])
+    bands_sig = sigs.reshape(n, N_BANDS, BAND_R)
+    bhash = mix64([bands_sig[:, :, r].ravel() for r in range(BAND_R)])
+    band = np.tile(np.arange(N_BANDS, dtype=np.int32), n)
+    dids = np.repeat(doc_ids, N_BANDS)
+    bucket = hash_bucket([band.astype(np.uint64), bhash])
     return pa.table({
-        "band": pa.array(bands, pa.int32()),
+        "band": pa.array(band, pa.int32()),
         "band_hash": pa.array(bhash, pa.uint64()),
         "doc_id": pa.array(dids, pa.int64()),
+        "bucket": pa.array(bucket, pa.int32()),
     })
 
 
-_CAND_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+_CAND_SCHEMA = pa.schema([
+    ("doc_a", pa.int64()), ("doc_b", pa.int64()), ("bucket", pa.int32()),
+])
 
 
-def _candidates_from_band_group(group: pa.Table) -> pa.Table:
-    n = group.num_rows
-    if n < 2:
+def _candidates_from_band_bucket(group: pa.Table) -> pa.Table:
+    """One (band, band_hash)-bucket: vectorized within-segment pair
+    emission + in-bucket distinct, rebucketed by pair hash."""
+    if group.num_rows < 2:
         return _CAND_SCHEMA.empty_table()
-    dids = np.sort(group.column("doc_id").to_numpy())
-    ia, ib = np.triu_indices(n, 1)
-    return pa.table({"doc_a": pa.array(dids[ia], pa.int64()),
-                     "doc_b": pa.array(dids[ib], pa.int64())})
+    band = group.column("band").to_numpy()
+    bh = group.column("band_hash").to_numpy()
+    did = group.column("doc_id").to_numpy()
+    order = np.lexsort((did, bh, band))
+    band, bh, did = band[order], bh[order], did[order]
+    ia, ib = segment_pair_indices([band, bh])
+    if len(ia) == 0:
+        return _CAND_SCHEMA.empty_table()
+    t = pa.table({"doc_a": pa.array(did[ia], pa.int64()),
+                  "doc_b": pa.array(did[ib], pa.int64())})
+    t = t.group_by(["doc_a", "doc_b"]).aggregate([])
+    t = t.filter(pc.not_equal(t.column("doc_a"), t.column("doc_b")))
+    bucket = hash_bucket([t.column("doc_a"), t.column("doc_b")])
+    return t.append_column("bucket", pa.array(bucket, pa.int32())) \
+        .cast(_CAND_SCHEMA)
 
 
-def _dedup_cand_group(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1)
+def _distinct_pairs_bucket(group: pa.Table) -> pa.Table:
+    """One pair-hash bucket: vectorized distinct over (doc_a, doc_b)."""
+    g = group.select(["doc_a", "doc_b"]) \
+        .group_by(["doc_a", "doc_b"]).aggregate([])
+    return g.rename_columns(["doc_a", "doc_b"])
 
 
 def minhash_lsh_pairs(sf_dir: str, threshold_pct: int = 80):
     """MinHash+LSH candidate generation, exact-Jaccard verification.
 
-    Candidates (rare by construction) are verified against a broadcast
-    {doc_id: shingles} map restricted to candidate docs only — at corpus
-    scale this side stays proportional to the near-duplicate mass.
-    Output schema matches :func:`jaccard_pairs` (same oracle)."""
-    import ray
-    import ray.data
-
+    Candidates stay a Dataset end to end: banded bucketed groupby ->
+    global pair-distinct (bucketed) -> distributed verification join
+    against per-doc shingle sets (verify_pairs_exact). Nothing is
+    collected to the driver. Output schema matches
+    :func:`jaccard_pairs` (same oracle)."""
     ds = _read_documents(sf_dir)
     cands = ds.map_batches(_band_rows_batch, batch_format="pyarrow") \
-        .groupby(["band", "band_hash"]) \
-        .map_groups(_candidates_from_band_group, batch_format="pyarrow") \
-        .groupby(["doc_a", "doc_b"]) \
-        .map_groups(_dedup_cand_group, batch_format="pyarrow")
-    cand_parts = list(cands.iter_batches(batch_format="pyarrow"))
-    cand_tbl = pa.concat_tables(
-        [_CAND_SCHEMA.empty_table()] + [p.cast(_CAND_SCHEMA)
-                                        for p in cand_parts])
-    cand_ids = set(cand_tbl.column("doc_a").to_pylist()) \
-        | set(cand_tbl.column("doc_b").to_pylist())
+        .groupby("bucket") \
+        .map_groups(_candidates_from_band_bucket, batch_format="pyarrow") \
+        .groupby("bucket") \
+        .map_groups(_distinct_pairs_bucket, batch_format="pyarrow")
+    return verify_pairs_exact(cands, sf_dir, threshold_pct)
 
-    def shingles_of_cands(batch: pa.Table) -> pa.Table:
-        rows = [(d, t) for d, t in zip(batch.column("doc_id").to_pylist(),
-                                       batch.column("text").to_pylist())
-                if d in cand_ids]
+
+# ---------------------------------------------------------------------------
+# Distributed exact-Jaccard verification of candidate pairs
+# ---------------------------------------------------------------------------
+
+_JOIN_SCHEMA = pa.schema([
+    ("dkey", pa.int64()), ("shingles", pa.list_(pa.uint64())),
+    ("doc_a", pa.int64()), ("doc_b", pa.int64()), ("bucket", pa.int32()),
+])
+_SIDE_SCHEMA = pa.schema([
+    ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+    ("shingles", pa.list_(pa.uint64())), ("bucket", pa.int32()),
+])
+
+
+def _doc_shingle_rows(batch: pa.Table) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    sh = [shingle_hashes(t) for t in texts]
+    return pa.table({
+        "dkey": pa.array(doc_ids, pa.int64()),
+        "shingles": pa.array([s.tolist() for s in sh],
+                             pa.list_(pa.uint64())),
+        "doc_a": pa.nulls(len(texts), pa.int64()),
+        "doc_b": pa.nulls(len(texts), pa.int64()),
+        "bucket": pa.array(hash_bucket([doc_ids]), pa.int32()),
+    }).cast(_JOIN_SCHEMA)
+
+
+def _cand_side_rows(batch: pa.Table) -> pa.Table:
+    """Each candidate pair -> two probe rows, keyed by either doc."""
+    a = batch.column("doc_a").to_numpy()
+    b = batch.column("doc_b").to_numpy()
+    dkey = np.concatenate([a, b])
+    doc_a = np.concatenate([a, a])
+    doc_b = np.concatenate([b, b])
+    return pa.table({
+        "dkey": pa.array(dkey, pa.int64()),
+        "shingles": pa.nulls(len(dkey), pa.list_(pa.uint64())),
+        "doc_a": pa.array(doc_a, pa.int64()),
+        "doc_b": pa.array(doc_b, pa.int64()),
+        "bucket": pa.array(hash_bucket([dkey]), pa.int32()),
+    }).cast(_JOIN_SCHEMA)
+
+
+def _attach_shingles_bucket(group: pa.Table) -> pa.Table:
+    """One doc-hash bucket of (doc rows ∪ probe rows): vectorized
+    searchsorted join attaching each probe row's shingle set."""
+    is_doc = pc.is_valid(group.column("shingles"))
+    docs = group.filter(is_doc).sort_by("dkey")
+    sides = group.filter(pc.invert(is_doc))
+    if docs.num_rows == 0 or sides.num_rows == 0:
+        return _SIDE_SCHEMA.empty_table()
+    dkeys = docs.column("dkey").to_numpy()
+    skeys = sides.column("dkey").to_numpy()
+    idx = np.searchsorted(dkeys, skeys)
+    idx_c = np.clip(idx, 0, len(dkeys) - 1)
+    hit = dkeys[idx_c] == skeys
+    sides = sides.filter(pa.array(hit))
+    if sides.num_rows == 0:
+        return _SIDE_SCHEMA.empty_table()
+    sh = docs.column("shingles").combine_chunks().take(
+        pa.array(idx_c[hit], pa.int64()))
+    doc_a = sides.column("doc_a")
+    doc_b = sides.column("doc_b")
+    bucket = hash_bucket([doc_a, doc_b])
+    return pa.table({
+        "doc_a": doc_a, "doc_b": doc_b, "shingles": sh,
+        "bucket": pa.array(bucket, pa.int32()),
+    }).cast(_SIDE_SCHEMA)
+
+
+def _verify_bucket(threshold_pct: int):
+    def fn(group: pa.Table) -> pa.Table:
+        """One pair-hash bucket: per-pair exact intersection of the two
+        shingle sets. The loop is over candidate PAIRS (near-dup mass,
+        not corpus mass) — inherent to verification."""
+        a = group.column("doc_a").to_numpy()
+        b = group.column("doc_b").to_numpy()
+        order = np.lexsort((b, a))
+        sh = group.column("shingles").combine_chunks().take(
+            pa.array(order, pa.int64()))
+        a, b = a[order], b[order]
+        offs = sh.offsets.to_numpy()
+        vals = sh.values.to_numpy()
+        out_a, out_b, out_i, out_u = [], [], [], []
+        i = 0
+        n = len(a)
+        while i + 1 < n:
+            if a[i] == a[i + 1] and b[i] == b[i + 1]:
+                sa = vals[offs[i]:offs[i + 1]]
+                sb = vals[offs[i + 1]:offs[i + 2]]
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                uni = len(sa) + len(sb) - inter
+                if uni and inter * 100 >= threshold_pct * uni:
+                    out_a.append(int(a[i]))
+                    out_b.append(int(b[i]))
+                    out_i.append(int(inter))
+                    out_u.append(int(uni))
+                i += 2
+            else:       # unmatched side (doc missing): drop
+                i += 1
         return pa.table({
-            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
-            "shingles": pa.array([shingle_hashes(t).tolist()
-                                  for _, t in rows],
-                                 pa.list_(pa.uint64())),
-        })
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "inter": pa.array(out_i, pa.int64()),
+            "uni": pa.array(out_u, pa.int64()),
+        }).cast(PAIR_SCHEMA)
+    return fn
 
-    sh_tbl = pa.concat_tables(
-        list(_read_documents(sf_dir)
-             .map_batches(shingles_of_cands, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow")))
-    sh_ref = ray.put({d: set(s) for d, s in zip(
-        sh_tbl.column("doc_id").to_pylist(),
-        sh_tbl.column("shingles").to_pylist())})
 
-    def verify(batch: pa.Table) -> pa.Table:
-        sh = ray.get(sh_ref)
-        rows = []
-        for a, b in zip(batch.column("doc_a").to_pylist(),
-                        batch.column("doc_b").to_pylist()):
-            sa, sb = sh.get(a, set()), sh.get(b, set())
-            inter = len(sa & sb)
-            uni = len(sa | sb)
-            if uni and inter * 100 >= threshold_pct * uni:
-                rows.append({"doc_a": a, "doc_b": b,
-                             "inter": inter, "uni": uni})
-        return pa.Table.from_pylist(rows, schema=PAIR_SCHEMA) if rows \
-            else PAIR_SCHEMA.empty_table()
+def verify_pairs_exact(cand_ds, sf_dir: str, threshold_pct: int):
+    """Exact-Jaccard verification of a candidate-pair Dataset via two
+    bucketed exchanges (the scale-safe replacement for the round-1
+    driver-collect + dict broadcast):
 
-    return ray.data.from_arrow(cand_tbl).map_batches(
-        verify, batch_format="pyarrow")
+      1. candidates explode to per-doc probe rows; union with the
+         per-doc shingle-set rows; groupby(doc bucket) attaches each
+         probe's shingle set with a vectorized searchsorted join.
+      2. groupby(pair bucket) intersects the two sides per pair and
+         applies the threshold.
+
+    The doc-side exchange ships each document's shingle set once (same
+    magnitude as the inverted-index pass); the pair-side exchange is
+    candidate-mass-sized."""
+    docs = _read_documents(sf_dir).map_batches(_doc_shingle_rows,
+                                               batch_format="pyarrow")
+    sides = cand_ds.map_batches(_cand_side_rows, batch_format="pyarrow")
+    joined = docs.union(sides).groupby("bucket").map_groups(
+        _attach_shingles_bucket, batch_format="pyarrow")
+    return joined.groupby("bucket").map_groups(
+        _verify_bucket(threshold_pct), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -308,72 +512,127 @@ def minhash_lsh_pairs(sf_dir: str, threshold_pct: int = 80):
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over distinct word hashes (weight 1 each)."""
-    words = sorted(set((text or "").split(" ")))
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized 64-bit SimHash over distinct word hashes (weight 1):
+    FNV word hashes -> per-word bit matrix -> per-doc segment sums via
+    reduceat -> sign bits. One numpy pass per bit position, never a
+    Python loop over words or bits."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    words: list[str] = []
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    for i, t in enumerate(texts):
+        ws = sorted(set((t or "").split(" ")))
+        words.extend(ws)
+        offsets[i + 1] = len(words)
     if not words:
-        return 0
-    acc = np.zeros(SIM_BITS, dtype=np.int64)
-    for w in words:
-        h = _hash64(w)
-        for bit in range(SIM_BITS):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(SIM_BITS):
-        if acc[bit] > 0:
-            out |= 1 << bit
-    return out
+        return out
+    h = fnv1a_hashes(words)
+    shifts = np.arange(SIM_BITS, dtype=np.uint64)[None, :]
+    contrib = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+               * 2 - 1)                              # (n_words, 64) of ±1
+    nonempty = offsets[1:] > offsets[:-1]
+    sums = np.zeros((n, SIM_BITS), dtype=np.int64)
+    if nonempty.any():
+        red = np.add.reduceat(contrib, offsets[:-1][nonempty], axis=0)
+        sums[nonempty] = red
+    powers = (np.uint64(1) << np.arange(SIM_BITS, dtype=np.uint64))
+    out = ((sums > 0).astype(np.uint64) * powers[None, :]).sum(axis=1)
+    out[~nonempty] = 0
+    return out.astype(np.uint64)
+
+
+def simhash64(text: str) -> int:
+    """Scalar convenience wrapper over :func:`simhash64_batch`."""
+    return int(simhash64_batch([text])[0])
+
+
+_SIM_ROW_SCHEMA = pa.schema([
+    ("band", pa.int32()), ("key", pa.uint64()), ("doc_id", pa.int64()),
+    ("sig", pa.uint64()), ("bucket", pa.int32()),
+])
 
 
 def _simhash_band_rows(batch: pa.Table) -> pa.Table:
-    doc_ids = batch.column("doc_id").to_pylist()
+    doc_ids = batch.column("doc_id").to_numpy()
     texts = batch.column("text").to_pylist()
-    bands, keys, dids, sigs = [], [], [], []
+    n = len(texts)
+    if n == 0:
+        return _SIM_ROW_SCHEMA.empty_table()
+    sig = simhash64_batch(texts)
     width = SIM_BITS // SIM_BANDS
-    mask = (1 << width) - 1
-    for did, text in zip(doc_ids, texts):
-        sig = simhash64(text)
-        for b in range(SIM_BANDS):
-            bands.append(b)
-            keys.append((sig >> (b * width)) & mask)
-            dids.append(did)
-            sigs.append(sig)
+    mask = np.uint64((1 << width) - 1)
+    band = np.tile(np.arange(SIM_BANDS, dtype=np.int32), n)
+    sigs = np.repeat(sig, SIM_BANDS)
+    shifts = (band.astype(np.uint64) * np.uint64(width))
+    keys = (sigs >> shifts) & mask
+    dids = np.repeat(doc_ids, SIM_BANDS)
+    bucket = hash_bucket([band.astype(np.uint64), keys])
     return pa.table({
-        "band": pa.array(bands, pa.int32()),
+        "band": pa.array(band, pa.int32()),
         "key": pa.array(keys, pa.uint64()),
         "doc_id": pa.array(dids, pa.int64()),
-        "sig": pa.array(np.array(sigs, dtype=np.uint64), pa.uint64()),
+        "sig": pa.array(sigs, pa.uint64()),
+        "bucket": pa.array(bucket, pa.int32()),
     })
 
 
 _SIM_PAIR_SCHEMA = pa.schema([
     ("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64()),
+    ("bucket", pa.int32()),
 ])
 
 
-def _simhash_pairs_group(max_hamming: int):
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR)."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & m1)
+        x = (x & m2) + ((x >> np.uint64(2)) & m2)
+        x = (x + (x >> np.uint64(4))) & m4
+        x = (x * h01) >> np.uint64(56)
+    return x.astype(np.int64)
+
+
+def _simhash_pairs_bucket(max_hamming: int):
     def fn(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2:
+        """One (band, key)-hash bucket: vectorized segment pairs +
+        SWAR popcount hamming filter, rebucketed by pair hash."""
+        if group.num_rows < 2:
             return _SIM_PAIR_SCHEMA.empty_table()
-        order = np.argsort(group.column("doc_id").to_numpy(), kind="stable")
-        dids = group.column("doc_id").to_numpy()[order]
-        sigs = group.column("sig").to_numpy()[order]
-        ia, ib = np.triu_indices(n, 1)
-        x = sigs[ia] ^ sigs[ib]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for _ in range(SIM_BITS):  # bounded popcount loop (vectorized)
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-            if not x.any():
-                break
-        keep = (ham <= max_hamming) & (dids[ia] != dids[ib])
-        return pa.table({
-            "doc_a": pa.array(dids[ia][keep], pa.int64()),
-            "doc_b": pa.array(dids[ib][keep], pa.int64()),
+        band = group.column("band").to_numpy()
+        key = group.column("key").to_numpy()
+        did = group.column("doc_id").to_numpy()
+        sig = group.column("sig").to_numpy()
+        order = np.lexsort((did, key, band))
+        band, key, did, sig = band[order], key[order], did[order], sig[order]
+        ia, ib = segment_pair_indices([band, key])
+        if len(ia) == 0:
+            return _SIM_PAIR_SCHEMA.empty_table()
+        ham = _popcount64(sig[ia] ^ sig[ib])
+        keep = (ham <= max_hamming) & (did[ia] != did[ib])
+        t = pa.table({
+            "doc_a": pa.array(did[ia][keep], pa.int64()),
+            "doc_b": pa.array(did[ib][keep], pa.int64()),
             "hamming": pa.array(ham[keep], pa.int64()),
         })
+        g = t.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")])
+        g = g.rename_columns(["doc_a", "doc_b", "hamming"])
+        bucket = hash_bucket([g.column("doc_a"), g.column("doc_b")])
+        return g.append_column("bucket", pa.array(bucket, pa.int32())) \
+            .cast(_SIM_PAIR_SCHEMA)
     return fn
+
+
+def _sim_distinct_bucket(group: pa.Table) -> pa.Table:
+    """Global pair-distinct (a pair can match in several bands)."""
+    g = group.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")])
+    return g.rename_columns(["doc_a", "doc_b", "hamming"])
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3):
@@ -381,49 +640,167 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     (pigeonhole) every qualifying pair shares at least one band."""
     ds = _read_documents(sf_dir)
     ds = ds.map_batches(_simhash_band_rows, batch_format="pyarrow")
-    ds = ds.groupby(["band", "key"]).map_groups(
-        _simhash_pairs_group(max_hamming), batch_format="pyarrow")
-    # same pair can match in multiple bands -> dedup
-    return ds.groupby(["doc_a", "doc_b"]).map_groups(
-        _dedup_cand_group, batch_format="pyarrow")
+    ds = ds.groupby("bucket").map_groups(
+        _simhash_pairs_bucket(max_hamming), batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(_sim_distinct_bucket,
+                                           batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+EMB_CHUNK_ROWS = 20_000
 
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.5):
-    """All pairs with cosine(embedding) > threshold: per-batch float32
-    matmul against the broadcast normalized matrix (the brute-force
-    baseline; the 100 TB path buckets by random-hyperplane LSH first so
-    the broadcast side shrinks to one bucket)."""
+
+def _put_embedding_chunks(sf_dir: str):
+    """Normalize the embedding matrix into bounded object-store chunks
+    via remote tasks (one per parquet row-group slice) — the driver
+    never materializes the matrix and no worker ever holds more than
+    one chunk alongside its streaming batch."""
     import ray
-    import ray.data
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float32)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    ref = ray.put((ids, mat / norms))
+    path = f"{sf_dir}/embeddings.parquet"
+
+    @ray.remote(num_cpus=1)
+    def load_chunk(rg: int, lo: int, hi: int):
+        tbl = pq.ParquetFile(path).read_row_group(
+            rg, columns=["vec_id", "embedding"]).slice(lo, hi - lo)
+        ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = np.asarray(tbl.column("embedding").to_pylist(),
+                         dtype=np.float32)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return ids, mat / norms
+
+    pf = pq.ParquetFile(path)
+    refs = []
+    for rg in range(pf.metadata.num_row_groups):
+        nrows = pf.metadata.row_group(rg).num_rows
+        for lo in range(0, nrows, EMB_CHUNK_ROWS):
+            refs.append(load_chunk.remote(rg, lo,
+                                          min(lo + EMB_CHUNK_ROWS, nrows)))
+    return refs
+
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.5):
+    """All pairs with cosine(embedding) > threshold — EXACT, with the
+    corpus chunked: each streaming batch matmuls against one broadcast
+    chunk at a time (worker heap = batch x chunk, never the matrix).
+    Exact all-pairs is inherently O(n^2) similarity evaluations; the
+    sublinear trade-off lives in :func:`embedding_dup_pairs_lsh`."""
+    import ray
+    import ray.data
+
+    refs = _put_embedding_chunks(sf_dir)
 
     def pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
         bid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         bm = np.asarray(batch.column("embedding").to_pylist(),
                         dtype=np.float32)
         bn = np.linalg.norm(bm, axis=1, keepdims=True)
         bn[bn == 0] = 1.0
-        sims = (bm / bn) @ all_mat.T
-        ri, ci = np.nonzero((sims > threshold) & (bid[:, None] < all_ids[None, :]))
+        bm = bm / bn
+        out_a, out_b = [], []
+        for ref in refs:
+            ids, mat = ray.get(ref)
+            sims = bm @ mat.T
+            ri, ci = np.nonzero((sims > threshold)
+                                & (bid[:, None] < ids[None, :]))
+            out_a.append(bid[ri])
+            out_b.append(ids[ci])
         return pa.table({
-            "vec_id_a": pa.array(bid[ri], pa.int64()),
-            "vec_id_b": pa.array(all_ids[ci], pa.int64()),
+            "vec_id_a": pa.array(np.concatenate(out_a) if out_a
+                                 else np.empty(0, np.int64), pa.int64()),
+            "vec_id_b": pa.array(np.concatenate(out_b) if out_b
+                                 else np.empty(0, np.int64), pa.int64()),
         })
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.5,
+                            n_bands: int = 16, band_planes: int = 2):
+    """Approximate near-dup pairs: random-hyperplane LSH with an
+    OR-construction (n_bands bands of band_planes planes) generates
+    candidates, exact cosine verifies them. Recall at cos=t is
+    1-(1-p^band_planes)^n_bands with p = 1 - arccos(t)/pi; defaults give
+    ~1-6e-7 at t=0.5, rising toward 1 for nearer duplicates — the
+    sublinear 100 TB path (bucketed exchanges, no full-matrix sweep)."""
+    import ray
+    import ray.data
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float32)
+        if len(ids) == 0:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.uint64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "emb": pa.array([], pa.list_(pa.float32())),
+                             "bucket": pa.array([], pa.int32())})
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m = m / norms
+        # fresh fixed-seed generator per call: every batch in every task
+        # sees the identical plane matrix
+        planes = np.random.default_rng(7).standard_normal(
+            (n_bands * band_planes, m.shape[1])).astype(np.float32)
+        signs = (m @ planes.T) > 0
+        keys = np.zeros((len(ids), n_bands), dtype=np.uint64)
+        for b in range(n_bands):
+            sl = signs[:, b * band_planes:(b + 1) * band_planes]
+            keys[:, b] = (sl * (1 << np.arange(band_planes))).sum(axis=1)
+        band = np.tile(np.arange(n_bands, dtype=np.int32), len(ids))
+        key = keys.ravel()
+        vid = np.repeat(ids, n_bands)
+        emb = np.repeat(np.arange(len(ids)), n_bands)
+        bucket = hash_bucket([band.astype(np.uint64), key])
+        return pa.table({
+            "band": pa.array(band, pa.int32()),
+            "key": pa.array(key, pa.uint64()),
+            "vec_id": pa.array(vid, pa.int64()),
+            "emb": pa.array([m[i].tolist() for i in emb],
+                            pa.list_(pa.float32())),
+            "bucket": pa.array(bucket, pa.int32()),
+        })
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        band = group.column("band").to_numpy()
+        key = group.column("key").to_numpy()
+        vid = group.column("vec_id").to_numpy()
+        order = np.lexsort((vid, key, band))
+        emb = group.column("emb").combine_chunks().take(
+            pa.array(order, pa.int64()))
+        band, key, vid = band[order], key[order], vid[order]
+        ia, ib = segment_pair_indices([band, key])
+        if len(ia) == 0:
+            return pa.table({"vec_id_a": pa.array([], pa.int64()),
+                             "vec_id_b": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32())})
+        vals = emb.values.to_numpy().reshape(len(vid), -1)
+        sims = (vals[ia] * vals[ib]).sum(axis=1)
+        keep = (sims > threshold) & (vid[ia] != vid[ib])
+        a = np.minimum(vid[ia][keep], vid[ib][keep])
+        b = np.maximum(vid[ia][keep], vid[ib][keep])
+        t = pa.table({"vec_id_a": pa.array(a, pa.int64()),
+                      "vec_id_b": pa.array(b, pa.int64())})
+        t = t.group_by(["vec_id_a", "vec_id_b"]).aggregate([])
+        bucket = hash_bucket([t.column("vec_id_a"), t.column("vec_id_b")])
+        return t.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def distinct(group: pa.Table) -> pa.Table:
+        g = group.select(["vec_id_a", "vec_id_b"]) \
+            .group_by(["vec_id_a", "vec_id_b"]).aggregate([])
+        return g.rename_columns(["vec_id_a", "vec_id_b"])
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    ds = ds.map_batches(band_rows, batch_format="pyarrow")
+    ds = ds.groupby("bucket").map_groups(bucket_pairs,
+                                         batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(distinct, batch_format="pyarrow")

@@ -123,22 +123,28 @@ def segment_revenue(sf_dir: str):
 
 def top_customers(sf_dir: str, k: int = 10):
     """Top-k customers by total order value (cents): per-batch partial
-    aggregate, keyed shuffle, then partial top-k per group block and one
-    global merge on a k-sized table."""
+    aggregate, BUCKETED keyed shuffle (one vectorized Arrow group_by per
+    bucket, never per-customer Python), then sort+limit over the
+    customer-cardinality aggregate."""
+    from .bucketing import hash_bucket
+
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"o_custkey": batch.column("o_custkey"),
                       "revenue_cents": _cents(batch.column("o_totalprice"))})
         g = t.group_by(["o_custkey"]).aggregate([("revenue_cents", "sum")])
-        return g.rename_columns(["o_custkey", "revenue_cents"])
+        g = g.rename_columns(["o_custkey", "revenue_cents"])
+        bucket = hash_bucket([g.column("o_custkey")])
+        return g.append_column("bucket", pa.array(bucket, pa.int32()))
 
-    def final(group: pa.Table) -> pa.Table:
+    def final_bucket(group: pa.Table) -> pa.Table:
         g = group.group_by(["o_custkey"]).aggregate(
             [("revenue_cents", "sum")])
         return g.rename_columns(["o_custkey", "revenue_cents"])
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     ds = ds.map_batches(partial, batch_format="pyarrow")
-    ds = ds.groupby("o_custkey").map_groups(final, batch_format="pyarrow")
+    ds = ds.groupby("bucket").map_groups(final_bucket,
+                                         batch_format="pyarrow")
     ds = ds.sort(["revenue_cents", "o_custkey"],
                  descending=[True, False]).limit(k)
 
@@ -207,54 +213,98 @@ def distinct_users(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+_ASOF_SCHEMA = pa.schema([
+    ("ckey", pa.int64()), ("t", pa.int64()), ("okey", pa.int64()),
+    ("event_id", pa.int64()), ("bucket", pa.int32()),
+])
+
+
+def _epoch_secs(col: pa.ChunkedArray) -> np.ndarray:
+    """date/timestamp column -> int64 epoch seconds (flooring sub-second
+    event timestamps; order dates are midnight-aligned so the floor
+    preserves `o_orderdate <= ts` exactly). Assumes post-1970 times."""
+    return col.cast(pa.timestamp("s"), safe=False).cast(pa.int64()) \
+        .to_numpy()
+
+
+def _asof_order_rows(batch: pa.Table) -> pa.Table:
+    from .bucketing import hash_bucket
+    ck = batch.column("o_custkey").to_numpy()
+    return pa.table({
+        "ckey": pa.array(ck, pa.int64()),
+        "t": pa.array(_epoch_secs(batch.column("o_orderdate")), pa.int64()),
+        "okey": batch.column("o_orderkey").cast(pa.int64()),
+        "event_id": pa.nulls(len(ck), pa.int64()),
+        "bucket": pa.array(hash_bucket([ck]), pa.int32()),
+    }).cast(_ASOF_SCHEMA)
+
+
+def _asof_event_rows(batch: pa.Table) -> pa.Table:
+    from .bucketing import hash_bucket
+    ck = batch.column("user_id").to_numpy()
+    return pa.table({
+        "ckey": pa.array(ck, pa.int64()),
+        "t": pa.array(_epoch_secs(batch.column("ts")), pa.int64()),
+        "okey": pa.nulls(len(ck), pa.int64()),
+        "event_id": batch.column("event_id").cast(pa.int64()),
+        "bucket": pa.array(hash_bucket([ck]), pa.int32()),
+    }).cast(_ASOF_SCHEMA)
+
+
+def _asof_probe_bucket(group: pa.Table) -> pa.Table:
+    """One customer-hash bucket of (order rows ∪ event rows): sort the
+    orders by (cust-rank, time, orderkey), then ONE vectorized
+    searchsorted over composite uint64 keys answers every event probe —
+    the predecessor position is simultaneously the latest qualifying
+    date AND the max orderkey within that date."""
+    is_order = pc.is_valid(group.column("okey"))
+    orders = group.filter(is_order)
+    events = group.filter(pc.invert(is_order))
+    if orders.num_rows == 0 or events.num_rows == 0:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "last_orderkey": pa.array([], pa.int64())})
+    ock = orders.column("ckey").to_numpy()
+    ot = orders.column("t").to_numpy()
+    ok = orders.column("okey").to_numpy()
+    order = np.lexsort((ok, ot, ock))
+    ock, ot, ok = ock[order], ot[order], ok[order]
+    # dense-rank customers within the bucket so (rank << 34 | secs)
+    # fits uint64 regardless of raw key magnitude
+    uniq = np.unique(ock)
+    orank = np.searchsorted(uniq, ock).astype(np.uint64)
+    comp_o = (orank << np.uint64(34)) | ot.astype(np.uint64)
+
+    eck = events.column("ckey").to_numpy()
+    et = events.column("t").to_numpy()
+    eid = events.column("event_id").to_numpy()
+    erank = np.searchsorted(uniq, np.clip(eck, uniq[0], uniq[-1]))
+    known = uniq[erank] == eck
+    comp_e = (erank.astype(np.uint64) << np.uint64(34)) \
+        | et.astype(np.uint64)
+    p = np.searchsorted(comp_o, comp_e, side="right")
+    hit = known & (p > 0)
+    pm = np.maximum(p - 1, 0)
+    hit &= orank[pm] == erank.astype(np.uint64)
+    return pa.table({
+        "event_id": pa.array(eid[hit], pa.int64()),
+        "last_orderkey": pa.array(ok[pm[hit]], pa.int64()),
+    })
+
+
 def events_asof_orders(sf_dir: str):
-    """Distributed as-of join via broadcast small side: the orders table
-    is grouped per customer, sorted by (orderdate, orderkey), ray.put
-    once; the events stream probes it with a binary search per row.
-    Partitioning assumption: the build side fits the object store (at
-    corpus scale, range-bucket both sides by key and time instead).
-    Ties on equal orderdate resolve to the max orderkey (same rule as
-    the SQL oracle's ORDER BY o_orderdate DESC, o_orderkey DESC)."""
-    import bisect
-    import ray
-    import pyarrow.parquet as pq
-
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_custkey", "o_orderkey",
-                                    "o_orderdate"])
-    by_cust: dict[int, list[tuple]] = {}
-    for ck, ok, od in zip(orders.column("o_custkey").to_pylist(),
-                          orders.column("o_orderkey").to_pylist(),
-                          orders.column("o_orderdate").to_pylist()):
-        by_cust.setdefault(ck, []).append((od, ok))
-    for ck in by_cust:
-        by_cust[ck].sort()
-    ref = ray.put(by_cust)
-
-    def probe(batch: pa.Table) -> pa.Table:
-        idx = ray.get(ref)
-        eids = batch.column("event_id").to_pylist()
-        uids = batch.column("user_id").to_pylist()
-        tss = batch.column("ts").to_pylist()
-        out_e, out_o = [], []
-        for eid, uid, ts in zip(eids, uids, tss):
-            rows = idx.get(uid)
-            if not rows:
-                continue
-            k = bisect.bisect_right(rows, (ts, float("inf")))
-            if k == 0:
-                continue
-            cut = rows[:k]
-            last_date = cut[-1][0]
-            j = k - 1
-            best = cut[j][1]
-            while j >= 0 and cut[j][0] == last_date:
-                best = max(best, cut[j][1])
-                j -= 1
-            out_e.append(eid)
-            out_o.append(best)
-        return pa.table({"event_id": pa.array(out_e, pa.int64()),
-                         "last_orderkey": pa.array(out_o, pa.int64())})
-
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    return ds.map_batches(probe, batch_format="pyarrow")
+    """Distributed as-of join (a custom operator Ray Data lacks): both
+    sides are bucketed by hash(customer key) — ONE exchange each, no
+    driver-side build, no broadcast — and each bucket resolves every
+    probe with a single vectorized searchsorted. Ties on equal
+    orderdate resolve to the max orderkey (the SQL oracle's ORDER BY
+    o_orderdate DESC, o_orderkey DESC). Partitioning assumption: one
+    customer's orders fit a bucket group (hot-key skew spreads across
+    buckets only between customers; a single pathological customer
+    would need a secondary time-range split)."""
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate"]) \
+        .map_batches(_asof_order_rows, batch_format="pyarrow")
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(_asof_event_rows, batch_format="pyarrow")
+    return orders.union(events).groupby("bucket").map_groups(
+        _asof_probe_bucket, batch_format="pyarrow")

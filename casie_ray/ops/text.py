@@ -126,25 +126,16 @@ def lang_id(sf_dir: str):
 
 # --- rolling-hash fingerprint (winnowing-style min sample) ---
 
-_HASH_BASE = np.uint64(1099511628211)
-_HASH_OFF = np.uint64(14695981039346656037)
-
-
-def _word_hashes(words: list[str]) -> np.ndarray:
-    """FNV-1a per word, vectorized enough for the hot path."""
-    out = np.empty(len(words), dtype=np.uint64)
-    for i, w in enumerate(words):
-        h = _HASH_OFF
-        for b in w.encode():
-            h = (h ^ np.uint64(b)) * _HASH_BASE
-        out[i] = h
-    return out
+from .bucketing import FNV_BASE as _HASH_BASE
+from .bucketing import fnv1a_hashes as _word_hashes
 
 
 def fingerprint_batch(batch: pa.Table, window: int = 4) -> pa.Table:
     """Rolling-hash fingerprint: FNV word hashes combined over a sliding
     window; the doc fingerprint is the minimum window hash (winnowing
-    with a single global window — content-defined, order-sensitive)."""
+    with a single global window — content-defined, order-sensitive).
+    Word hashing is the shared vectorized FNV kernel (one numpy pass per
+    byte position), byte-exact with the original scalar loop."""
     texts = batch.column("text").to_pylist()
     fps = []
     with np.errstate(over="ignore"):

@@ -88,6 +88,84 @@ def test_connected_components_vs_local_oracle(ray_session):
     assert got == want
 
 
+@pytest.fixture(scope="module")
+def dense_docs_dir(tmp_path_factory):
+    """Synthetic documents table with boilerplate-heavy near-dups: a hot
+    shingle shared by every doc plus per-group unique content."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    out = tmp_path_factory.mktemp("dense")
+    boiler = "all rights reserved by the site"
+    rows = []
+    for g in range(6):
+        base = f"group {g} unique words alpha{g} beta{g} gamma{g} " \
+               f"delta{g} epsilon{g} zeta{g} eta{g} theta{g}"
+        rows.append((g * 10, f"{base} {boiler}"))
+        rows.append((g * 10 + 1, f"{base} {boiler}"))  # exact dup pair
+    tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string())})
+    pq.write_table(tbl, str(out / "documents.parquet"))
+    return str(out)
+
+
+def test_jaccard_df_cap_keeps_exact_values(ray_session, dense_docs_dir):
+    """df_cap drops hot shingles from candidate generation only; every
+    surviving pair's (inter, uni) must still be the exact full-set
+    values, and identical-doc pairs (which share non-hot shingles) must
+    all survive."""
+    from casie_ray.ops.dedup import jaccard_pairs
+    uncapped = jaccard_pairs(dense_docs_dir).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    capped = jaccard_pairs(dense_docs_dir, df_cap=4).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(uncapped) == 6           # one identical pair per group
+    pd.testing.assert_frame_equal(capped, uncapped)
+
+
+def test_embedding_pairs_dense_vs_bruteforce(ray_session, tmp_path):
+    """Exact chunked all-pairs vs a local numpy oracle on a dense
+    near-dup embedding set; the LSH variant must recover all
+    near-identical pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from casie_ray.ops.dedup import (
+        embedding_dup_pairs, embedding_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((8, 16)).astype(np.float32)
+    vecs, ids = [], []
+    for i in range(8):
+        for j in range(4):    # 4 jittered copies of each base vector
+            vecs.append(base[i] + 0.01 * rng.standard_normal(16)
+                        .astype(np.float32))
+            ids.append(i * 4 + j)
+    mat = np.stack(vecs)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in mat],
+                              pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    want = sorted((ids[i], ids[j]) for i in range(len(ids))
+                  for j in range(len(ids))
+                  if ids[i] < ids[j] and sims[i, j] > 0.5)
+
+    got = embedding_dup_pairs(str(tmp_path)).to_pandas()
+    got_pairs = sorted(zip(got["vec_id_a"], got["vec_id_b"]))
+    assert got_pairs == want
+
+    lsh = embedding_dup_pairs_lsh(str(tmp_path)).to_pandas()
+    lsh_pairs = set(zip(lsh["vec_id_a"], lsh["vec_id_b"]))
+    near_identical = {(ids[i], ids[j]) for i in range(len(ids))
+                      for j in range(len(ids))
+                      if ids[i] < ids[j] and sims[i, j] > 0.99}
+    assert near_identical <= lsh_pairs <= set(want)
+
+
 def test_minhash_deterministic_and_sensitive():
     from casie_ray.ops.dedup import minhash_signature, shingle_hashes
 

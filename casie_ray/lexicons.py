@@ -223,15 +223,50 @@ RELATIVE_TIME = ["yesterday", "today", "tomorrow", "last week",
                  "this year", "earlier this year", "earlier this week",
                  "recently"]
 
-# English numerals (cf. txt2int, link_coref.py:334-362)
-NUMERAL_WORDS = {
-    "one": 1, "two": 2, "three": 3, "four": 4, "five": 5, "six": 6,
-    "seven": 7, "eight": 8, "nine": 9, "ten": 10, "eleven": 11,
-    "twelve": 12, "twenty": 20, "thirty": 30, "forty": 40, "fifty": 50,
-    "hundred": 100, "thousand": 1000, "million": 10 ** 6,
-    "billion": 10 ** 9, "dozens": 24, "hundreds": 100, "thousands": 1000,
-    "millions": 10 ** 6,
-}
+# English numeral parsing (txt2int, link_coref.py:334-362): each word
+# maps to (scale, increment); current = current*scale + increment, and a
+# scale > 100 flushes current into the running total.
+def _build_numwords() -> dict[str, tuple[int, int]]:
+    units = ["zero", "one", "two", "three", "four", "five", "six",
+             "seven", "eight", "nine", "ten", "eleven", "twelve",
+             "thirteen", "fourteen", "fifteen", "sixteen", "seventeen",
+             "eighteen", "nineteen"]
+    tens = ["", "", "twenty", "thirty", "forty", "fifty", "sixty",
+            "seventy", "eighty", "ninety"]
+    scales = ["hundred", "thousand", "million", "billion", "trillion"]
+    nw: dict[str, tuple[int, int]] = {"and": (1, 0)}
+    for idx, w in enumerate(units):
+        nw[w] = (1, idx)
+    for idx, w in enumerate(tens):
+        if w:
+            nw[w] = (1, idx * 10)
+    for idx, w in enumerate(scales):
+        nw[w] = (10 ** (idx * 3 or 2), 0)
+        nw[w + "s"] = (10 ** (idx * 3 or 2), 0)   # "millions of users"
+    nw["dozen"] = (1, 12)
+    nw["dozens"] = (1, 24)
+    return nw
+
+
+NUMWORDS = _build_numwords()
+# words that may start/continue a numeral-phrase Number mention ("and"
+# only continues, never starts)
+NUMERAL_WORDS = frozenset(w for w in NUMWORDS if w != "and")
+
+
+def txt2int(text: str) -> int:
+    """English numeral phrase -> integer (reference txt2int semantics,
+    link_coref.py:334-362; unknown words are skipped)."""
+    current = result = 0
+    for w in text.lower().split():
+        if w not in NUMWORDS:
+            continue
+        scale, increment = NUMWORDS[w]
+        current = current * scale + increment
+        if scale > 100:
+            result += current
+            current = 0
+    return result + current
 COUNT_NOUNS = ["users", "customers", "accounts", "records", "victims",
                "machines", "computers", "devices", "people", "employees",
                "patients", "organizations", "companies", "files"]

@@ -26,6 +26,11 @@ ARG_T = pa.struct([
     ("dataish", pa.bool_()), ("role", pa.string()),
 ])
 
+CAND_T = pa.struct([
+    ("tok_idx", pa.int32()), ("start", pa.int32()), ("end", pa.int32()),
+    ("surface", pa.string()),
+])
+
 # per-turn detection row: transcript key columns + sufficient statistics
 DETECTION_FIELDS = [
     ("conv_id", pa.string()), ("turn_idx", pa.int32()),
@@ -34,6 +39,7 @@ DETECTION_FIELDS = [
     ("token_flags", pa.list_(pa.uint8())),
     ("triggers", pa.list_(TRIGGER_T)),
     ("mentions", pa.list_(MENTION_T)),
+    ("cand_tokens", pa.list_(CAND_T)),
 ]
 DETECTION_SCHEMA = pa.schema(DETECTION_FIELDS)
 
@@ -68,6 +74,8 @@ def detection_to_row(det: TurnDetection) -> dict:
                       "argtype": m.argtype, "entity_id": m.entity_id,
                       "dataish": m.next_noun_dataish}
                      for m in det.mentions],
+        "cand_tokens": [{"tok_idx": c[0], "start": c[1], "end": c[2],
+                         "surface": c[3]} for c in det.cand_tokens],
     }
 
 
@@ -80,6 +88,8 @@ def row_to_detection(row: dict) -> TurnDetection:
         mentions=[Mention(m["start"], m["end"], m["text"], m["argtype"],
                           m["entity_id"], next_noun_dataish=m["dataish"])
                   for m in row["mentions"]],
+        cand_tokens=[(c["tok_idx"], c["start"], c["end"], c["surface"])
+                     for c in row.get("cand_tokens") or []],
     )
 
 

@@ -70,6 +70,10 @@ class TurnDetection:
     token_flags: list[int]           # bit 1 = modal word, bit 2 = generic word
     triggers: list[Trigger]
     mentions: list[Mention]
+    # unclaimed content tokens (tok_idx, start, end, lower surface):
+    # the candidate pool for similarity-based trigger imputation (O2)
+    cand_tokens: list[tuple[int, int, int, str]] = field(
+        default_factory=list)
 
 
 @dataclass
@@ -238,12 +242,29 @@ def detect_turn(text: str, catalog: dict, fuzzy: dict | None = None):
         if span is None and lx.NUMERIC_RE.match(tok) and i + 1 < n \
                 and lowers[i + 1] in _COUNT_NOUNS:
             span = (1, "Number", None)
+        if span is None and low in lx.NUMERAL_WORDS:
+            # English numeral phrase before a count noun ("three million
+            # customers", "dozens of records") -> Number mention over the
+            # numeral run (txt2int, link_coref.py:334-362)
+            j = i + 1
+            while j < n and (lowers[j] in lx.NUMERAL_WORDS
+                             or (lowers[j] == "and" and j + 1 < n
+                                 and lowers[j + 1] in lx.NUMERAL_WORDS)):
+                j += 1
+            k = j
+            if k < n and lowers[k] == "of":
+                k += 1
+            if k < n and lowers[k] in _COUNT_NOUNS:
+                span = (j - i, "Number", None)
         if span is not None:
             ln, argtype, eid = span
             m_start = toks[i][1]
             m_end = toks[i + ln - 1][2]
-            dataish = (argtype == "Number" and i + ln < n
-                       and lowers[i + ln] in _DATAISH_NOUNS)
+            nn = i + ln
+            if argtype == "Number" and nn < n and lowers[nn] == "of":
+                nn += 1      # "dozens of records" -> judge the noun
+            dataish = (argtype == "Number" and nn < n
+                       and lowers[nn] in _DATAISH_NOUNS)
             mentions.append(Mention(m_start, m_end, text[m_start:m_end],
                                     argtype, eid,
                                     next_noun_dataish=dataish))
@@ -261,7 +282,21 @@ def detect_turn(text: str, catalog: dict, fuzzy: dict | None = None):
     ]
     flags = [(1 if w in lx.MODAL_WORDS else 0)
              | (2 if w in lx.GENERIC_WORDS else 0) for w in lowers]
-    return TurnDetection([t[1] for t in toks], flags, triggers, mentions)
+    # unclaimed content tokens: the similarity-imputation candidate pool
+    # (stand-in for the reference's POS-based verb/noun candidates,
+    # link_coref.py:966-976 — no parser, so "content word" = alphabetic,
+    # not stopword/modal/generic, not a lexicon trigger, length >= 3)
+    cands = [
+        (i, toks[i][1], toks[i][2], lowers[i])
+        for i in range(n)
+        if not claimed[i] and lowers[i] not in lx.TRIGGER_SURFACES
+        and toks[i][0].isalpha() and len(lowers[i]) >= 3
+        and lowers[i] not in lx.STOPWORDS
+        and lowers[i] not in lx.MODAL_WORDS
+        and lowers[i] not in lx.GENERIC_WORDS
+    ]
+    return TurnDetection([t[1] for t in toks], flags, triggers, mentions,
+                         cands)
 
 
 # ---------------------------------------------------------------------------
@@ -324,6 +359,75 @@ def recheck_impute(turn_triggers, turn_mentions, hist):
         m = min(musts, key=lambda m: m.start)
         turn_triggers[ti] = [Trigger(-1, m.start, m.end, m.text,
                                      (etype,), etype=etype, imputed=True)]
+        hist[etype] = hist.get(etype, 0) + 1
+
+
+_WORDSET_MATS: dict[str, np.ndarray] | None = None
+
+
+def _wordset_mats() -> dict[str, np.ndarray]:
+    """Per-event-type embedding matrices of the WORDSET seed words
+    (built once per process; the hashed-embedding stand-in for the
+    reference's w2v vocabulary in maxsim, link_coref.py:269-284)."""
+    global _WORDSET_MATS
+    if _WORDSET_MATS is None:
+        _WORDSET_MATS = {
+            et: embed_surfaces([w.lower() for w in ws])
+            for et, ws in lx.WORDSET.items()
+        }
+    return _WORDSET_MATS
+
+
+def impute_similarity_triggers(turn_triggers, turn_mentions, detections,
+                               hist) -> None:
+    """Similarity-based trigger imputation (O2; findanytrigger,
+    link_coref.py:922-1023): a turn with argument mentions but no
+    trigger imputes one at its most trigger-like unclaimed content
+    token, when that token's max similarity to an event type's WORDSET
+    reaches SIM_CUTOFF (0.68 at :997).
+
+    Candidate event types = arg-compatible (PAIR) AND present in the
+    document trigger histogram (the reference's intersect of score /
+    scoreH). Ties on the top similarity resolve by document-histogram
+    count then alphabetical type, then earliest token — all
+    content-derived, no arrival order. Mutates turn_triggers + hist."""
+    mats = _wordset_mats()
+    for ti in sorted(turn_mentions):
+        if turn_triggers.get(ti):
+            continue
+        mentions = turn_mentions[ti]
+        det = detections.get(ti)
+        if not mentions or det is None or not det.cand_tokens:
+            continue
+        intersect = [et for et in lx.TRIGGER_TYPES
+                     if hist.get(et, 0) > 0
+                     and any(m.argtype in lx.PAIR[et] for m in mentions)]
+        if not intersect:
+            continue
+        spans = {(m.start, m.end) for m in mentions}
+        scored = []       # (sim, etype, tok_idx, start, end, surface)
+        for tok_idx, s, e, low in det.cand_tokens:
+            if any(s < me and ms < e for ms, me in spans):
+                continue  # claimed by an argument (argument-wins)
+            v = embed_surface(low)
+            best_sim, best_et = 0.0, None
+            for et in intersect:
+                sim = float((mats[et] @ v).max())
+                if sim > best_sim:
+                    best_sim, best_et = sim, et
+            if best_et is not None:
+                scored.append((best_sim, best_et, tok_idx, s, e, low))
+        if not scored:
+            continue
+        top = max(s for s, *_ in scored)
+        if top < lx.SIM_CUTOFF:
+            continue
+        tied = [c for c in scored if c[0] == top]
+        etype = sorted((-hist.get(c[1], 0), c[1]) for c in tied)[0][1]
+        _, _, tok_idx, s, e, low = min(
+            c for c in tied if c[1] == etype)
+        turn_triggers[ti] = [Trigger(tok_idx, s, e, low, (etype,),
+                                     etype=etype, imputed=True)]
         hist[etype] = hist.get(etype, 0) + 1
 
 
@@ -626,6 +730,14 @@ def canonical_obj(m: Mention) -> str:
         return m.entity_id
     if m.argtype == "CVE":
         return m.text.upper()
+    if m.argtype == "Number":
+        t = m.text.replace(",", "")
+        if any(c.isalpha() for c in t):
+            # English numeral phrase -> digits (txt2int,
+            # link_coref.py:334-362): "three million" and "3000000"
+            # become the same graph node
+            return str(lx.txt2int(t))
+        return t
     if m.argtype in _LITERAL_TYPES:
         return m.text.replace(",", "")
     return f"{m.argtype.lower()}:{lx.normalize_surface(m.text)}"
@@ -709,6 +821,8 @@ def doc_logic(conv_id: str, detections: dict[int, TurnDetection]) -> list[Event]
     turn_mentions = {ti: d.mentions for ti, d in detections.items()}
     hist = resolve_triggers(turn_triggers)
     recheck_impute(turn_triggers, turn_mentions, hist)
+    impute_similarity_triggers(turn_triggers, turn_mentions, detections,
+                               hist)
     compatible_filter(turn_triggers, turn_mentions)
     return link_events(conv_id, turn_triggers, turn_mentions)
 

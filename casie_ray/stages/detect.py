@@ -10,7 +10,9 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..schema import DETECTION_FIELDS, MENTION_T, TRIGGER_T, detection_to_row
+from ..schema import (
+    CAND_T, DETECTION_FIELDS, MENTION_T, TRIGGER_T, detection_to_row,
+)
 from ..semantics import build_catalog_matcher, build_fuzzy_index, detect_turn
 
 
@@ -28,7 +30,7 @@ class DetectTagger:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        starts, flags, trigs, ments = [], [], [], []
+        starts, flags, trigs, ments, cands = [], [], [], [], []
         for text in texts:
             row = detection_to_row(detect_turn(text or "", self.catalog,
                                                self.fuzzy))
@@ -36,6 +38,7 @@ class DetectTagger:
             flags.append(row["token_flags"])
             trigs.append(row["triggers"])
             ments.append(row["mentions"])
+            cands.append(row["cand_tokens"])
         cols = {
             "conv_id": batch.column("conv_id"),
             "turn_idx": batch.column("turn_idx"),
@@ -45,6 +48,7 @@ class DetectTagger:
             "token_flags": pa.array(flags, type=pa.list_(pa.uint8())),
             "triggers": pa.array(trigs, type=pa.list_(TRIGGER_T)),
             "mentions": pa.array(ments, type=pa.list_(MENTION_T)),
+            "cand_tokens": pa.array(cands, type=pa.list_(CAND_T)),
         }
         return pa.table({name: cols[name] for name, _ in DETECTION_FIELDS})
 

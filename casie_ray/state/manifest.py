@@ -27,7 +27,7 @@ def _embed_dim() -> int:
 
 # bump whenever the on-disk raw-triples format changes (e.g. the prov
 # encoding) so resume never mixes formats across code versions
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
 def config_hash() -> str:
@@ -43,6 +43,7 @@ def config_hash() -> str:
         lx.COREF_WEIGHTS, lx.COREF_THRESHOLD,
         sorted(lx.MODAL_WORDS), sorted(lx.GENERIC_WORDS),
         sorted(lx.ORG_HINTS), lx.LINK_THRESHOLD, lx.CANON_THRESHOLD,
+        lx.SIM_CUTOFF, sorted(lx.NUMWORDS.items()),
         lx.LINK_BLOCK_PREFIX, sorted(lx.SURFACE_NODE_TYPES), _embed_dim(),
     ))
     return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()

@@ -205,6 +205,40 @@ TEMPLATES: list[tuple[str, str, list]] = [
       "next", "month", "."]),
 ]
 
+# Imputation templates (one per event type): the "trigger" is a word NOT
+# in any lexicon whose hashed-trigram maxsim against WORDSET[etype]
+# clears SIM_CUTOFF with that etype as the unambiguous argmax (verified
+# by tests/test_semantics.py) — exercising the O2 similarity-imputation
+# path (findanytrigger, link_coref.py:922-1023). Scheduled only AFTER an
+# event of the same type in the conversation so the document-histogram
+# precondition holds. Literal words are verified to stay BELOW the
+# cutoff so the planted word is always the imputation winner.
+IMPUTED_TEMPLATES: dict[str, tuple[str, str, list]] = {
+    "Databreach": ("Databreach", "Actual",
+                   ["the", ("IMP", "interception"), "of",
+                    A("Data", "Compromised-Data"), "at",
+                    A("Organization", "Victim"), "was", "confirmed", "."]),
+    "Phishing": ("Phishing", "Actual",
+                 ["the", ("IMP", "impersonation"), "of",
+                  A("Organization", "Victim"), "fooled",
+                  A("Number", "Number-of-Victim"), "employees", "."]),
+    "Ransom": ("Ransom", "Actual",
+               [A("Malware", "Tool"), ("IMP", "infected"),
+                A("Device", "Victim"), "fleet", "at",
+                A("Organization", "Victim"), "."]),
+    "DiscoverVulnerability": ("DiscoverVulnerability", "Actual",
+                              ["the", ("IMP", "investigation"), "into",
+                               A("System", "Vulnerable-System"), "was",
+                               "led", "by", A("Person", "Discoverer"),
+                               "."]),
+    "PatchVulnerability": ("PatchVulnerability", "Actual",
+                           ["the", ("IMP", "announcement"), "covers",
+                            A("Software", "Vulnerable-System"),
+                            A("Version", "Patch-Number"), "for",
+                            A("Organization", "Vulnerable-System-Owner"),
+                            "."]),
+}
+
 # trigger surfaces safe for each (etype, realis) — modal/generic realis
 # relies on context words in the template, so any unambiguous surface works.
 _FILLER = [
@@ -281,6 +315,11 @@ def _fill_arg(rng: random.Random, argtype: str, cat: dict[str, list[dict]],
     if argtype == "Money":
         return f"${rng.randint(1, 900) * 1000:,}"
     if argtype == "Number":
+        if rng.random() < 0.3:
+            # English numeral phrase -> exercises txt2int
+            # (link_coref.py:334-362): canonicalizes to digits
+            return rng.choice(["three million", "two hundred thousand",
+                               "fifty thousand", "five hundred", "dozens"])
         return f"{rng.randint(2, 900) * 100:,}"
     if argtype == "Time":
         return rng.choice(lx.MONTHS).capitalize() + f" {rng.randint(2015, 2019)}"
@@ -320,6 +359,11 @@ def _render_event(rng: random.Random, template, cat, hot,
             surf = rng.choice(UNAMBIG_TRIGGERS[etype])
             s, e = emit(surf)
             nugget = {"text": surf, "start": s, "end": e}
+        elif isinstance(part, tuple) and part[0] == "IMP":
+            # unlexiconed trigger-like word: the extractor must recover
+            # it via similarity imputation (O2), not the lexicon
+            s, e = emit(part[1])
+            nugget = {"text": part[1], "start": s, "end": e}
         elif isinstance(part, tuple) and part[0] == "ARG":
             _, argtype, role = part
             surf = _fill_arg(rng, argtype, cat, hot, n_novel, seed)
@@ -348,6 +392,8 @@ def gen_conversation(conv_index: int, cat: dict[str, list[dict]],
     ts = start
     # turn_idx -> (rendered_event, hopper_id) replayed verbatim for coref
     pending_repeat: dict[int, tuple] = {}
+    # turn_idx -> event type for an imputed-trigger echo turn (O2)
+    pending_impute: dict[int, str] = {}
 
     for ti in range(n_turns):
         ts += dt.timedelta(seconds=rng.randint(10, 300))
@@ -362,6 +408,11 @@ def gen_conversation(conv_index: int, cat: dict[str, list[dict]],
                        f"{conv_id}:h{ti}")
         elif ti in pending_repeat:
             planted = pending_repeat.pop(ti)
+        elif ti in pending_impute:
+            etype_imp = pending_impute.pop(ti)
+            planted = (_render_event(rng, IMPUTED_TEMPLATES[etype_imp],
+                                     cat, hot, n_novel, seed),
+                       f"{conv_id}:hi{ti}")
 
         if planted is None or rng.random() < 0.5:
             sent_parts.append(rng.choice(_FILLER) + " .")
@@ -388,6 +439,15 @@ def gen_conversation(conv_index: int, cat: dict[str, list[dict]],
                 later = ti + rng.randint(1, min(3, n_turns - ti - 1))
                 if later not in event_turns and later not in pending_repeat:
                     pending_repeat[later] = (rendered, hopper_id)
+            # follow up with an unlexiconed-trigger echo -> exercises the
+            # O2 similarity-imputation path (same etype, so the document
+            # histogram supports it)
+            if (ti in event_turns and realis == "Actual"
+                    and rng.random() < 0.2 and ti + 2 < n_turns):
+                later = ti + rng.randint(1, min(3, n_turns - ti - 1))
+                if later not in event_turns and later not in pending_repeat \
+                        and later not in pending_impute:
+                    pending_impute[later] = etype
 
         text = " ".join(sent_parts) if sent_parts else rng.choice(_FILLER) + " ."
         t_rows.append({"conv_id": conv_id, "turn_idx": ti, "role": role,

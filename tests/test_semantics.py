@@ -163,3 +163,105 @@ def test_role_pair_normalized_to_lists():
     for etype, row in lx.ROLE_PAIR.items():
         for argtype, roles in row.items():
             assert isinstance(roles, list), (etype, argtype)
+
+
+def test_txt2int_reference_semantics():
+    assert lx.txt2int("three million") == 3_000_000
+    assert lx.txt2int("two hundred thousand") == 200_000
+    assert lx.txt2int("fifty thousand") == 50_000
+    assert lx.txt2int("one hundred and five") == 105
+    assert lx.txt2int("dozens") == 24
+    assert lx.txt2int("seventeen") == 17
+
+
+def test_numeral_phrase_becomes_number_mention():
+    det = detect_turn("they stole records of three million customers .", CAT)
+    nums = [m for m in det.mentions if m.argtype == "Number"]
+    assert len(nums) == 1 and nums[0].text == "three million"
+    # 'of' between numeral and a data-ish noun still sets the flag
+    det2 = detect_turn("exposing dozens of records online .", CAT)
+    nums2 = [m for m in det2.mentions if m.argtype == "Number"]
+    assert len(nums2) == 1 and nums2[0].text == "dozens"
+    assert nums2[0].next_noun_dataish
+    # bare numeral words without a count noun stay unclaimed
+    det3 = detect_turn("one more thing to check .", CAT)
+    assert not [m for m in det3.mentions if m.argtype == "Number"]
+
+
+def test_numeral_number_canonicalizes_to_digits():
+    from casie_ray.semantics import canonical_obj
+    m = Mention(0, 12, "three million", "Number")
+    assert canonical_obj(m) == "3000000"
+    m2 = Mention(0, 5, "6,000", "Number")
+    assert canonical_obj(m2) == "6000"
+
+
+def test_similarity_imputation_on_unlexiconed_verb():
+    """O2 (findanytrigger, link_coref.py:922-1023): a turn with
+    arguments but no lexicon trigger imputes a trigger at the token
+    whose WORDSET maxsim clears the 0.68 cutoff, typed by that maxsim,
+    provided the document histogram supports the type."""
+    turns = [
+        {"turn_idx": 0, "text": "Acmex Corp stole customer data from "
+                                "Norvik Server .", "ts": None},
+        {"turn_idx": 1, "text": "the interception of customer data at "
+                                "Acmex Corp was confirmed .", "ts": None},
+    ]
+    events = extract_conversation("c1", turns, CAT)
+    by_turn = {e.turn_idx: e for e in events}
+    assert 1 in by_turn, [e.event_id for e in events]
+    imp = by_turn[1]
+    assert imp.etype == "Databreach"
+    assert imp.nugget_text == "interception"
+    assert any(m.role == "Compromised-Data" for m in imp.args)
+
+
+def test_no_imputation_without_doc_histogram_support():
+    """Without another trigger of a compatible type in the document the
+    intersect is empty and nothing is imputed (reference precondition)."""
+    turns = [
+        {"turn_idx": 0, "text": "the interception of customer data at "
+                                "Acmex Corp was confirmed .", "ts": None},
+    ]
+    events = extract_conversation("c1", turns, CAT)
+    assert events == []
+
+
+def test_imputed_templates_are_self_consistent():
+    """Every planted imputation word clears SIM_CUTOFF with its intended
+    type as the argmax; no template literal or filler word does."""
+    import re
+
+    import numpy as np
+
+    from casie_ray.embed import embed_surface, embed_surfaces
+    from casie_ray.synth import _FILLER, IMPUTED_TEMPLATES, TEMPLATES
+
+    mats = {et: embed_surfaces([w.lower() for w in ws])
+            for et, ws in lx.WORDSET.items()}
+
+    def sims_of(word):
+        v = embed_surface(word.lower())
+        return {et: float((m @ v).max()) for et, m in mats.items()}
+
+    literals: set[str] = set()
+    for f in _FILLER:
+        literals |= set(re.findall(r"[a-z]+", f))
+    for tpl in list(TEMPLATES) + list(IMPUTED_TEMPLATES.values()):
+        for p in tpl[2]:
+            if isinstance(p, str):
+                literals |= set(re.findall(r"[a-z]+", p.lower()))
+    for w in literals:
+        if (w in lx.TRIGGER_SURFACES or w in lx.ARG_PHRASE_SURFACES
+                or w in lx.STOPWORDS or w in lx.MODAL_WORDS
+                or w in lx.GENERIC_WORDS or len(w) < 3):
+            continue
+        assert max(sims_of(w).values()) < lx.SIM_CUTOFF, w
+    for etype, (_, _, parts) in IMPUTED_TEMPLATES.items():
+        verb = next(p[1] for p in parts
+                    if isinstance(p, tuple) and p[0] == "IMP")
+        assert verb not in lx.TRIGGER_SURFACES
+        assert verb not in lx.ARG_PHRASE_SURFACES
+        s = sims_of(verb)
+        best = max(s, key=lambda k: (s[k], k))
+        assert best == etype and s[best] >= lx.SIM_CUTOFF, (verb, s)

@@ -38,6 +38,31 @@ def _corpus_dir(sf: float) -> str:
     return synth.ensure_corpus(sf)
 
 
+def _ensure_gold_kg(corpus: str) -> str:
+    """Run the SEQUENTIAL oracle extractor once per corpus and persist
+    its triples + events as parquet, giving DuckDB a concrete table to
+    check the distributed engine's KG output against row-for-row. CASIE
+    extraction is not SQL-expressible, so the single-process oracle IS
+    the reference implementation (tests/test_engine.py proves the two
+    dataflows agree exactly at sf0.001); this materializes that gate in
+    the driver's own compare at sf0.01."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(corpus, "_GOLD_KG")
+    if not os.path.exists(marker):
+        from casie_ray.oracle import extract_triples
+        ev_rows: list[dict] = []
+        df = extract_triples(corpus, events_out=ev_rows)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(corpus, "gold_triples.parquet"))
+        pq.write_table(pa.Table.from_pylist(ev_rows),
+                       os.path.join(corpus, "gold_kg_events.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return corpus
+
+
 def _kg_out(sf: float) -> str:
     """Run (or resume) the flagship pipeline for this scale; memoized."""
     if sf in _KG_RUNS:
@@ -134,12 +159,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": _text.token_count,
         "doc_lang_id": _text.lang_id,
         "doc_fingerprint": _text.fingerprint,
+        "doc_corpus_stats": _text.corpus_stats,
         # dedup family (documents / embeddings)
         "dedup_exact": _dedup.exact_dedup,
         "dedup_jaccard_pairs": _dedup.jaccard_pairs,
         "dedup_minhash_lsh": _dedup.minhash_lsh_pairs,
         "dedup_simhash_pairs": _dedup.simhash_pairs,
         "dedup_embedding_pairs": _dedup.embedding_dup_pairs,
+        "dedup_embedding_pairs_lsh": _dedup.embedding_dup_pairs_lsh,
         "dup_clusters": _dup_clusters,
         # similarity search (embeddings)
         "ann_topk": _ann.ann_topk,
@@ -185,9 +212,28 @@ WHERE inter * 100 >= 80 * (sa.n + sb.n - inter)
 
 def oracle_sql() -> dict[str, str]:
     # the roundtrip oracle reads the deterministic synthetic corpus the
-    # engine query ran on — generate it before the driver's DuckDB pass
-    corpus_001 = _corpus_dir(0.01)
+    # engine query ran on — generate it before the driver's DuckDB pass,
+    # plus the sequential-oracle KG tables for the kg_* checks
+    corpus_001 = _ensure_gold_kg(_corpus_dir(0.01))
     return {
+        "kg_edges": f"""
+            SELECT subj, pred, obj, subj_type, obj_type, conv_id,
+                   turn_idx, ev_start, ev_end, weight, count
+            FROM read_parquet('{corpus_001}/gold_triples.parquet')""",
+        "kg_nodes": f"""
+            WITH ends AS (
+              SELECT subj AS node_id, subj_type AS type
+              FROM read_parquet('{corpus_001}/gold_triples.parquet')
+              UNION ALL
+              SELECT obj, obj_type
+              FROM read_parquet('{corpus_001}/gold_triples.parquet')
+            )
+            SELECT node_id, min(type) AS type, count(*) AS degree
+            FROM ends GROUP BY node_id""",
+        "kg_events": f"""
+            SELECT conv_id, turn_idx, event_id, etype, nugget_text,
+                   realis, cluster
+            FROM read_parquet('{corpus_001}/gold_kg_events.parquet')""",
         "transcripts_roundtrip": (
             "SELECT conv_id, turn_idx, text FROM read_parquet("
             f"'{corpus_001}/transcripts/*.parquet')"),
@@ -208,6 +254,15 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[a-z0-9]+'))
                        AS n_bpe_tokens
             FROM documents""",
+        "doc_corpus_stats": """
+            WITH t AS (
+              SELECT len(string_split(text, ' ')) AS n FROM documents
+            )
+            SELECT count(*) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS total_tokens,
+                   (SELECT n FROM t GROUP BY n
+                    ORDER BY count(*) DESC, n LIMIT 1) AS most_common_len
+            FROM t""",
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text""",

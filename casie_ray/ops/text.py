@@ -161,3 +161,42 @@ def fingerprint_batch(batch: pa.Table, window: int = 4) -> pa.Table:
 def fingerprint(sf_dir: str):
     return _read_documents(sf_dir).map_batches(fingerprint_batch,
                                                batch_format="pyarrow")
+
+
+# --- corpus-level stats (A4; ref prepare.py:487-509 mode/mean length) ---
+
+
+def _len_hist_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: histogram of token-count values (the partial
+    aggregate — only distinct lengths cross the wire, never rows)."""
+    counts = [len((t or "").split(" "))
+              for t in batch.column("text").to_pylist()]
+    t = pa.table({"n_tokens": pa.array(counts, pa.int64()),
+                  "n_docs": pa.array(np.ones(len(counts), np.int64))})
+    g = t.group_by(["n_tokens"]).aggregate([("n_docs", "sum")])
+    return g.rename_columns(["n_tokens", "n_docs"])
+
+
+def _corpus_stats_final(batch: pa.Table) -> pa.Table:
+    g = batch.group_by(["n_tokens"]).aggregate([("n_docs", "sum")])
+    g = g.rename_columns(["n_tokens", "n_docs"])
+    n = g.column("n_tokens").to_numpy()
+    c = g.column("n_docs").to_numpy()
+    order = np.lexsort((n, -c))           # max count, tie -> smallest n
+    return pa.table({
+        "n_docs": pa.array([int(c.sum())], pa.int64()),
+        "total_tokens": pa.array([int((n * c).sum())], pa.int64()),
+        "most_common_len": pa.array([int(n[order[0]])], pa.int64()),
+    })
+
+
+def corpus_stats(sf_dir: str):
+    """One-row corpus aggregate: doc count, total token count and the
+    modal document length (prepare.py:487-509 most_common/avg length).
+    The histogram combiner keeps the exchange at distinct-length
+    cardinality, so the final reduce is a single tiny block."""
+    ds = _read_documents(sf_dir).map_batches(_len_hist_batch,
+                                             batch_format="pyarrow")
+    return ds.repartition(1).map_batches(_corpus_stats_final,
+                                         batch_format="pyarrow",
+                                         batch_size=None)

@@ -70,14 +70,26 @@ def canonical_mapping(node_ids) -> dict[str, str]:
     return {n: r for n, r in comp.items() if n != r}
 
 
-def extract_triples(corpus_dir: str) -> pd.DataFrame:
+EVENT_COLS = ["conv_id", "turn_idx", "event_id", "etype", "nugget_text",
+              "realis", "cluster"]
+
+
+def extract_triples(corpus_dir: str,
+                    events_out: list[dict] | None = None) -> pd.DataFrame:
     """All triples, exactly deduplicated on (subj, pred, obj) keeping the
     first occurrence in (conv_id, turn_idx) order and counting
     occurrences — the oracle equivalent of the engine's salted two-phase
-    groupby dedup (SURVEY A7)."""
+    groupby dedup (SURVEY A7). Pass ``events_out`` to also collect the
+    per-event rows (EVENT_COLS) from the same single extraction pass."""
     raw: list[dict] = []
     for _conv, events in extract_events(corpus_dir):
         raw.extend(emit_triples(events))
+        if events_out is not None:
+            events_out.extend(
+                {"conv_id": e.conv_id, "turn_idx": e.turn_idx,
+                 "event_id": e.event_id, "etype": e.etype,
+                 "nugget_text": e.nugget_text, "realis": e.realis,
+                 "cluster": e.cluster} for e in events)
     mapping = canonical_mapping(
         {t["subj"] for t in raw} | {t["obj"] for t in raw})
     best: dict[tuple, dict] = {}

@@ -54,6 +54,60 @@ def mention_prf(gold: list[dict], pred: list[dict],
             "n_gold": n_gold, "n_pred": n_pred, "tp": tp}
 
 
+def confusion_matrix(gold: list[dict], pred: list[dict],
+                     labels: list[str] | None = None) -> dict:
+    """Label confusion matrix over mention sets (A6; the span-based
+    re-expression of the reference's BIO-token confusion_label,
+    score.py:253-341): greedy max-dice matching per (conv_id, turn_idx)
+    WITHOUT requiring label equality, so cross-label confusions are
+    counted; unmatched gold rows fall in the 'O' column, unmatched
+    predictions in the 'O' row. Returns {gold_label: {pred_label: n}}
+    including the 'O' row/column."""
+    if labels is None:
+        labels = sorted({m["label"] for m in gold}
+                        | {m["label"] for m in pred})
+    axes = list(labels) + ["O"]
+    cfm = {g: {p: 0 for p in axes} for g in axes}
+    by_key_g = defaultdict(list)
+    by_key_p = defaultdict(list)
+    for m in gold:
+        by_key_g[(m["conv_id"], m["turn_idx"])].append(m)
+    for m in pred:
+        by_key_p[(m["conv_id"], m["turn_idx"])].append(m)
+    matched_pred: set[int] = set()
+    for key in sorted(by_key_g):
+        ps = by_key_p.get(key, [])
+        avail = list(range(len(ps)))
+        for g in sorted(by_key_g[key], key=lambda m: (m["start"], m["end"])):
+            best, best_d = None, 0.0
+            for k, i in enumerate(avail):
+                d = _dice(g["start"], g["end"],
+                          ps[i]["start"], ps[i]["end"])
+                if d > best_d:
+                    best, best_d = k, d
+            if best is not None and best_d > 0.0:
+                i = avail.pop(best)       # matched-pred deletion
+                matched_pred.add(id(ps[i]))
+                cfm[g["label"]][ps[i]["label"]] += 1
+            else:
+                cfm[g["label"]]["O"] += 1
+    for m in pred:
+        if id(m) not in matched_pred:
+            cfm["O"][m["label"]] += 1
+    return cfm
+
+
+def format_confusion(cfm: dict) -> str:
+    """Tab-separated rendering with row totals (score.py:285-296)."""
+    keys = list(cfm)
+    lines = ["\t" + "\t".join(keys) + "\ttotal"]
+    for g in keys:
+        row = [str(cfm[g][p]) for p in keys]
+        lines.append(g + "\t" + "\t".join(row) + "\t"
+                     + str(sum(cfm[g].values())))
+    return "\n".join(lines)
+
+
 def triple_prf(gold_triples, pred_triples) -> dict:
     """Exact-set P/R/F1 over (subj, pred, obj) keys. Accepts iterables of
     dicts or (s, p, o) tuples, or pandas DataFrames with those columns."""

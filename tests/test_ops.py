@@ -39,10 +39,13 @@ def _to_df(result) -> pd.DataFrame:
 
 
 SQL_CHECKED = [
-    "doc_stats", "doc_token_count", "dedup_exact", "dedup_jaccard_pairs",
-    "dedup_minhash_lsh", "dedup_embedding_pairs", "ann_topk",
-    "lineitem_agg", "segment_revenue", "top_customers", "events_hourly",
-    "distinct_users", "events_asof_orders",
+    "doc_stats", "doc_token_count", "doc_corpus_stats", "dedup_exact",
+    "dedup_jaccard_pairs", "dedup_minhash_lsh", "dedup_embedding_pairs",
+    "ann_topk", "lineitem_agg", "segment_revenue", "top_customers",
+    "events_hourly", "distinct_users", "events_asof_orders",
+    # the KG trio checks the distributed engine against the persisted
+    # sequential-oracle extraction (driver-style, at sf0.01)
+    "kg_edges", "kg_nodes", "kg_events",
 ]
 
 
@@ -63,7 +66,7 @@ def test_rows_only_queries_run(ray_session):
     import __ray_entry__ as entrymod
     qs = entrymod.queries()
     for name in ["doc_lang_id", "doc_fingerprint", "dedup_simhash_pairs",
-                 "ann_topk_lsh"]:
+                 "ann_topk_lsh", "dedup_embedding_pairs_lsh"]:
         df = _to_df(qs[name](SF_DIR))
         assert df is not None
         if name.startswith("doc_"):

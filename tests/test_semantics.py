@@ -265,3 +265,36 @@ def test_imputed_templates_are_self_consistent():
         s = sims_of(verb)
         best = max(s, key=lambda k: (s[k], k))
         assert best == etype and s[best] >= lx.SIM_CUTOFF, (verb, s)
+
+
+def test_confusion_matrix_counts_cross_label_and_misses():
+    """A6 (score.py:253-341): matched pairs count under (gold, pred)
+    labels; unmatched gold falls in the 'O' column, unmatched pred in
+    the 'O' row."""
+    from casie_ray.scoring import confusion_matrix, format_confusion
+
+    gold = [
+        {"conv_id": "c", "turn_idx": 0, "start": 0, "end": 5,
+         "label": "Databreach"},
+        {"conv_id": "c", "turn_idx": 0, "start": 10, "end": 15,
+         "label": "Ransom"},
+        {"conv_id": "c", "turn_idx": 1, "start": 0, "end": 4,
+         "label": "Phishing"},
+    ]
+    pred = [
+        {"conv_id": "c", "turn_idx": 0, "start": 0, "end": 5,
+         "label": "Databreach"},          # exact match
+        {"conv_id": "c", "turn_idx": 0, "start": 11, "end": 15,
+         "label": "Phishing"},            # overlap, wrong label
+        {"conv_id": "c", "turn_idx": 2, "start": 0, "end": 3,
+         "label": "Ransom"},              # spurious
+    ]
+    cfm = confusion_matrix(gold, pred)
+    assert cfm["Databreach"]["Databreach"] == 1
+    assert cfm["Ransom"]["Phishing"] == 1      # cross-label confusion
+    assert cfm["Phishing"]["O"] == 1           # missed gold
+    assert cfm["O"]["Ransom"] == 1             # spurious pred
+    total = sum(v for row in cfm.values() for v in row.values())
+    assert total == 4
+    rendered = format_confusion(cfm)
+    assert "total" in rendered and "Databreach" in rendered

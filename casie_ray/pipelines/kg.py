@@ -56,7 +56,8 @@ def list_transcript_files(corpus_dir: str) -> list[str]:
 
 def extract_group_ds(files: list[str], entities_ref, *,
                      detect_concurrency=None, batch_size: int = 256,
-                     conv_partitioned: bool = True):
+                     conv_partitioned: bool = True,
+                     events_dir: str | None = None):
     """Build the stage-A Dataset (lazy) for one group of input shards.
 
     ``conv_partitioned=True`` (the corpus layout guarantee: conversations
@@ -77,7 +78,7 @@ def extract_group_ds(files: list[str], entities_ref, *,
         ds = rd.from_items(files)
         return ds.map_batches(
             ShardFileExtractor,
-            fn_constructor_args=(entities_ref,),
+            fn_constructor_args=(entities_ref, events_dir),
             batch_format="pyarrow",
             batch_size=1,                # one shard file per actor call
             concurrency=detect_concurrency,
@@ -136,8 +137,6 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
     """Run extraction + finalize; returns counters. Requires an active
     Ray session (callers own init/shutdown)."""
     import ray
-    from ray.data import DataContext
-    from ray.data.context import ShuffleStrategy
 
     t0 = time.time()
     timings: dict[str, float] = {}
@@ -172,41 +171,63 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
         if resume and manifest.is_complete(out_dir, gid, cfg, gfiles):
             skipped += 1
             continue
+        tmp_e = None
+        if keep_events and conv_partitioned:
+            tmp_e = os.path.join(ev_root, f".group-{gid:05d}.tmp")
+            shutil.rmtree(tmp_e, ignore_errors=True)
+            os.makedirs(tmp_e, exist_ok=True)
         ds = extract_group_ds(gfiles, entities_ref,
                               detect_concurrency=detect_concurrency,
                               batch_size=batch_size,
-                              conv_partitioned=conv_partitioned)
-        ds = ds.materialize()  # events reused for both outputs of this group
-        n_events = ds.count()
-        trip = ds.map_batches(emit_triples_batch, batch_format="pyarrow") \
-                 .map_batches(partial_dedup, batch_format="pyarrow")
-        tmp = os.path.join(raw_root, f".group-{gid:05d}.tmp")
-        shutil.rmtree(tmp, ignore_errors=True)
-        trip.write_parquet(tmp)
-        manifest.atomic_dir_swap(tmp, os.path.join(raw_root,
-                                                   f"group-{gid:05d}"))
-        if keep_events:
-            tmp_e = os.path.join(ev_root, f".group-{gid:05d}.tmp")
-            shutil.rmtree(tmp_e, ignore_errors=True)
-            ds.drop_columns(["args"]).write_parquet(tmp_e)
+                              conv_partitioned=conv_partitioned,
+                              events_dir=tmp_e)
+        if tmp_e is not None:
+            # fused hot path: events side-written inside the extraction
+            # tasks, triples written by the SAME single execution
+            trip = ds.map_batches(emit_triples_batch,
+                                  batch_format="pyarrow") \
+                     .map_batches(partial_dedup, batch_format="pyarrow")
+            tmp = os.path.join(raw_root, f".group-{gid:05d}.tmp")
+            shutil.rmtree(tmp, ignore_errors=True)
+            trip.write_parquet(tmp)
+            n_events = sum(
+                pq.ParquetFile(os.path.join(tmp_e, f)).metadata.num_rows
+                for f in os.listdir(tmp_e) if f.endswith(".parquet"))
+            manifest.atomic_dir_swap(tmp, os.path.join(
+                raw_root, f"group-{gid:05d}"))
             manifest.atomic_dir_swap(tmp_e, os.path.join(
                 ev_root, f"group-{gid:05d}"))
+        else:
+            ds = ds.materialize()  # events reused for both outputs
+            n_events = ds.count()
+            trip = ds.map_batches(emit_triples_batch,
+                                  batch_format="pyarrow") \
+                     .map_batches(partial_dedup, batch_format="pyarrow")
+            tmp = os.path.join(raw_root, f".group-{gid:05d}.tmp")
+            shutil.rmtree(tmp, ignore_errors=True)
+            trip.write_parquet(tmp)
+            manifest.atomic_dir_swap(tmp, os.path.join(raw_root,
+                                                       f"group-{gid:05d}"))
+            if keep_events:
+                tmp_e = os.path.join(ev_root, f".group-{gid:05d}.tmp")
+                shutil.rmtree(tmp_e, ignore_errors=True)
+                ds.drop_columns(["args"]).write_parquet(tmp_e)
+                manifest.atomic_dir_swap(tmp_e, os.path.join(
+                    ev_root, f"group-{gid:05d}"))
         manifest.commit(out_dir, gid, cfg, gfiles, {
             "input_files": len(gfiles), "events": n_events,
         })
     timings["extract"] = round(time.time() - t0, 2)
 
     # ---- stage B: canonicalize + global dedup + graph materialize ----
-    # key-based repartition (the dedup / canonicalization exchanges)
-    # needs the hash-shuffle strategy; scoped to stage B so the caller's
-    # sort-based default is untouched elsewhere
-    ctx = DataContext.get_current()
-    prev_strategy = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
-        return _finalize(out_dir, raw_root, groups, skipped, timings, t0)
-    finally:
-        ctx.shuffle_strategy = prev_strategy
+    # every stage-B exchange groups by a precomputed bounded-cardinality
+    # BUCKET column (4096 key-hash buckets) under the default sort-based
+    # shuffle: equal keys co-locate exactly as with a hash repartition,
+    # each bucket group is processed by one vectorized Arrow group_by,
+    # and no shuffle-strategy override (with its aggregator-actor pool)
+    # is needed — measurably faster at this scale and deadlock-free at
+    # low CPU counts
+    return _finalize(out_dir, raw_root, groups, skipped, timings, t0)
 
 
 def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
@@ -214,9 +235,12 @@ def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
 
     t1 = time.time()
     rd = _ray_data()
-    raw = rd.read_parquet(sorted(glob.glob(
-        os.path.join(raw_root, "group-*", "*.parquet"))))
-    mapping = compute_canonical_mapping(raw)
+    raw_files = sorted(glob.glob(
+        os.path.join(raw_root, "group-*", "*.parquet")))
+    # canonicalization only needs the node columns — pruned read
+    mapping = compute_canonical_mapping(
+        rd.read_parquet(raw_files, columns=["subj", "obj"]))
+    raw = rd.read_parquet(raw_files)
     timings["canonicalize"] = round(time.time() - t1, 2)
     t1 = time.time()
     if mapping:
@@ -226,27 +250,28 @@ def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
     # equal (subj, pred, obj) keys, then one vectorized Arrow group_by
     # per whole block (batch_size=None). Hot keys only grow one block's
     # O(rows) aggregate, never a per-key Python loop.
-    # edges materialized once (unique-triple table, small relative to the
-    # turn stream) and reused for the write AND the node aggregation —
-    # no disk round-trip between the two consumers
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    edges = raw.repartition(num_blocks=max(2, ncpu // 2),
-                            keys=["subj", "pred", "obj"]) \
-        .map_batches(final_dedup_group, batch_format="pyarrow",
-                     batch_size=None) \
-        .materialize()
-    n_edges = edges.count()
+    # edges stream STRAIGHT to parquet (one execution, no object-store
+    # materialization of the edge table); the node aggregation re-reads
+    # the written files — a cheap column-pruned read of the small
+    # unique-triple table, and at corpus scale the disk round-trip beats
+    # pinning the edges in the object store across two consumers
+    edges = raw.groupby("bucket").map_groups(final_dedup_group,
+                                             batch_format="pyarrow")
     edges_dir = os.path.join(out_dir, "edges")
     tmp = edges_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     edges.write_parquet(tmp)
     manifest.atomic_dir_swap(tmp, edges_dir)
+    edge_files = sorted(glob.glob(os.path.join(edges_dir, "*.parquet")))
+    n_edges = sum(pq.ParquetFile(f).metadata.num_rows for f in edge_files)
 
-    nodes = edges.map_batches(emit_nodes_batch, batch_format="pyarrow") \
-                 .repartition(num_blocks=max(2, ncpu // 2), keys=["node_id"]) \
-                 .map_batches(final_nodes_group, batch_format="pyarrow",
-                              batch_size=None) \
-                 .drop_columns(["bucket"])
+    nodes = rd.read_parquet(edge_files,
+                            columns=["subj", "obj", "subj_type",
+                                     "obj_type"]) \
+        .map_batches(emit_nodes_batch, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(final_nodes_group,
+                                      batch_format="pyarrow") \
+        .drop_columns(["bucket"])
     nodes_dir = os.path.join(out_dir, "nodes")
     tmp = nodes_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -271,14 +296,12 @@ def compute_canonical_mapping(raw_ds) -> dict[str, str]:
 
     # per-batch extraction already emits distinct (node, block) rows and
     # the per-block merge kernel dedupes again — no per-node shuffle;
-    # the entity_block exchange is a hash repartition (equal blocks
-    # co-located), each output block processed vectorized as a whole
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    # the entity_block exchange groups by the block-hash bucket column
+    # (equal blocks co-located), each bucket processed vectorized
     surf = raw_ds.map_batches(extract_surface_nodes,
                               batch_format="pyarrow")
-    medges = surf.repartition(num_blocks=max(2, ncpu // 2), keys=["block"]) \
-        .map_batches(merge_edges_multi, batch_format="pyarrow",
-                     batch_size=None) \
+    medges = surf.groupby("bucket").map_groups(merge_edges_multi,
+                                               batch_format="pyarrow") \
         .materialize()
     n_edges = medges.count()
     if n_edges == 0:

@@ -156,17 +156,26 @@ CC_EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
 
 
 def extract_surface_nodes(batch: pa.Table) -> pa.Table:
-    """Raw triple rows -> distinct (surface node, entity block) rows."""
+    """Raw triple rows -> distinct (surface node, entity block) rows,
+    bucketed by block hash for the canonicalization exchange. Arrow
+    ``unique`` collapses repeats before the per-value parse, so the
+    Python loop runs over distinct node ids only."""
     from ..semantics import canon_block_key, parse_surface_node
+    uniq = pc.unique(pa.chunked_array([
+        batch.column("subj").combine_chunks(),
+        batch.column("obj").combine_chunks()]))
     nodes = set()
-    for col in ("subj", "obj"):
-        for v in batch.column(col).to_pylist():
-            p = parse_surface_node(v)
-            if p is not None:
-                nodes.add((v, canon_block_key(*p)))
+    for v in uniq.to_pylist():
+        p = parse_surface_node(v)
+        if p is not None:
+            nodes.add((v, canon_block_key(*p)))
     pairs = sorted(nodes)
-    return pa.table({"node": pa.array([n for n, _ in pairs], pa.string()),
-                     "block": pa.array([b for _, b in pairs], pa.string())})
+    return pa.table({
+        "node": pa.array([n for n, _ in pairs], pa.string()),
+        "block": pa.array([b for _, b in pairs], pa.string()),
+        "bucket": pa.array([zlib.crc32(b.encode()) % N_BUCKETS
+                            for _, b in pairs], pa.int32()),
+    })
 
 
 def surface_dedup_group(group: pa.Table) -> pa.Table:

@@ -502,7 +502,7 @@ def conv_batch(conv_indices, entities: pa.Table, seed: int = 42):
 
 
 def generate(sf: float, out_dir: str, seed: int = 42,
-             shard_rows: int = 12_000) -> dict:
+             shard_rows: int = 6_000) -> dict:
     """Write transcripts/entities/gold_events parquet under out_dir.
 
     Single-process but shard-at-a-time (bounded memory); sharded output
@@ -535,7 +535,7 @@ def generate(sf: float, out_dir: str, seed: int = 42,
 
 
 def generate_ray(sf: float, out_dir: str, seed: int = 42,
-                 shard_rows: int = 12_000) -> dict:
+                 shard_rows: int = 6_000) -> dict:
     """Parallel corpus generation on an existing Ray session: one task
     per output shard, each a pure function of (seed, conv range, entity
     table) — byte-identical to :func:`generate` output. The generator is

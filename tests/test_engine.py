@@ -157,3 +157,39 @@ def test_events_written_with_manifest_counters(kg_out):
         assert m["config_hash"]
     assert glob.glob(os.path.join(kg_out, "events", "group-*", "*.parquet"))
     assert glob.glob(os.path.join(kg_out, "nodes", "*.parquet"))
+
+
+def test_prescreen_mask_is_sound(smoke_corpus):
+    """Every turn the vectorized pre-pass marks boring must yield an
+    EMPTY detection from the full per-token pass (the skip is only legal
+    when provably output-equivalent)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.pipelines.kg import list_transcript_files
+    from casie_ray.semantics import detect_turn
+    from casie_ray.stages.detect import DetectTagger
+
+    ents = pq.read_table(os.path.join(smoke_corpus, "entities.parquet"))
+    tagger = DetectTagger(ents.to_pylist())
+    texts = []
+    for f in list_transcript_files(smoke_corpus)[:2]:
+        texts.extend(pq.read_table(f, columns=["text"])
+                     .column("text").to_pylist())
+    texts += [
+        "",  # empty
+        "the quick brown fox .",
+        "three million records were mentioned",   # numeral -> interesting
+        "a patch arrived",                        # arg word -> interesting
+        "cve-2019-1 lowercase still has digits",  # digits -> interesting
+        "Zorvex walked in",                       # uppercase -> interesting
+    ]
+    mask = tagger.interesting_mask(pa.array(texts, pa.string()))
+    n_boring = 0
+    for text, keep in zip(texts, mask):
+        if not keep:
+            n_boring += 1
+            det = detect_turn(text or "", tagger.catalog, tagger.fuzzy)
+            assert det.triggers == [] and det.mentions == [], text
+    # the corpus is mostly filler: the pre-pass must actually skip work
+    assert n_boring > len(texts) // 3

@@ -3,10 +3,12 @@
 ``entry()`` runs the flagship KG pipeline; ``queries()`` exposes one
 callable per implemented operator family (SURVEY.md §2 + the
 training-data ops); ``oracle_sql()`` gives the DuckDB-checkable subset.
-Non-SQL-expressible extraction stages (the CASIE-semantics KG pipeline,
-heuristic lang-ID, LSH variants) are rows-only by design — their exact
-correctness gate is the in-repo oracle comparison (tests/test_engine.py,
-P/R == 1.0 vs casie_ray.oracle).
+Everything is DuckDB-checkable except the two approximate-by-design
+LSH variants (ann_topk_lsh, dedup_embedding_pairs_lsh), which are
+rows-only; the KG trio is checked against the persisted sequential
+oracle (tests/test_engine.py proves the dataflows agree, P/R == 1.0),
+and even FNV-based fingerprints/simhash are reproduced exactly in SQL
+via HUGEINT mod-2^64 arithmetic.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in the library) calls ray.init()/ray.shutdown().
@@ -185,6 +187,101 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _text.STOPWORDS) + ")"
 
+# ---- FNV-1a 64-bit in SQL (shared with ops.bucketing.fnv1a_hashes) ----
+# DuckDB has no wrapping u64 arithmetic, so every multiply routes
+# through HUGEINT with an explicit mod 2^64. unicode() code points
+# equal UTF-8 bytes for ASCII input (the synthetic corpus is ASCII;
+# fnv1a_hashes hashes UTF-8 bytes).
+_FNV_OFF = 14695981039346656037
+_FNV_P = 1099511628211
+_M64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+_FNV_WORD = (
+    "list_reduce(list_prepend("
+    f"CAST({_FNV_OFF} AS UBIGINT), "
+    "[CAST(unicode(substring(w, i, 1)) AS UBIGINT) "
+    "FOR i IN generate_series(1, length(w))]), "
+    f"(a, b) -> CAST((CAST(xor(a, b) AS HUGEINT) * {_FNV_P}) % {_M64} "
+    "AS UBIGINT))"
+)
+
+# one rolling step: roll*P + h, wrapping at 2^64 like numpy uint64
+def _roll_sql(acc: str, nxt: str) -> str:
+    return (f"CAST((CAST({acc} AS HUGEINT) * {_FNV_P} + "
+            f"CAST({nxt} AS HUGEINT)) % {_M64} AS UBIGINT)")
+
+
+def _fingerprint_sql() -> str:
+    w4 = _roll_sql(_roll_sql(_roll_sql("hs[i]", "hs[i+1]"), "hs[i+2]"),
+                   "hs[i+3]")
+    fold = ("list_reduce(list_prepend(CAST(0 AS UBIGINT), hs), "
+            f"(a, b) -> {_roll_sql('a', 'b')})")
+    signed = ("CASE WHEN fp_u >= CAST(9223372036854775808 AS UBIGINT) "
+              f"THEN CAST(CAST(fp_u AS HUGEINT) - {_M64} AS BIGINT) "
+              "ELSE CAST(fp_u AS BIGINT) END")
+    return f"""
+        WITH hashes AS (
+          SELECT doc_id,
+                 [{_FNV_WORD} FOR w IN
+                  string_split(coalesce(text, ''), ' ')] AS hs
+          FROM documents
+        ), fp AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) >= 4
+                      THEN list_min([{w4}
+                           FOR i IN generate_series(1, len(hs) - 3)])
+                      ELSE {fold} END AS fp_u
+          FROM hashes
+        )
+        SELECT doc_id, {signed} AS fingerprint FROM fp"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    bit = ("CASE WHEN 2 * len(list_filter(hs, x -> "
+           "(x >> CAST(i AS UBIGINT)) & CAST(1 AS UBIGINT) = "
+           "CAST(1 AS UBIGINT))) > len(hs) "
+           "THEN CAST((CAST(1 AS HUGEINT) << i) AS UBIGINT) "
+           "ELSE CAST(0 AS UBIGINT) END")
+    return f"""
+        WITH hashes AS (
+          SELECT doc_id,
+                 [{_FNV_WORD} FOR w IN
+                  list_distinct(string_split(coalesce(text, ''), ' '))]
+                 AS hs
+          FROM documents
+        ), sig AS (
+          SELECT doc_id,
+                 CAST(list_sum([{bit} FOR i IN generate_series(0, 63)])
+                      AS UBIGINT) AS s
+          FROM hashes
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}"""
+
+
+def _lang_id_sql() -> str:
+    score_cols = ", ".join(
+        "len(list_filter(bg, x -> x IN ("
+        + ", ".join(f"'{b}'" for b in sorted(_text._LANG_PROFILES[lg]))
+        + f"))) AS s_{lg}" for lg in _text._LANGS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in _text._LANGS) + ")"
+    pick = " ".join(f"WHEN s_{lg} = best THEN '{lg}'"
+                    for lg in _text._LANGS)
+    return f"""
+        WITH bg AS (
+          SELECT doc_id,
+                 [substring(lower(coalesce(text, '')), i, 2)
+                  FOR i IN generate_series(
+                      1, length(coalesce(text, '')) - 1)] AS bg
+          FROM documents
+        ), s AS (
+          SELECT doc_id, {score_cols} FROM bg
+        )
+        SELECT doc_id, CASE {pick} END AS pred_lang, best AS score
+        FROM (SELECT *, {best} AS best FROM s)"""
+
 _JACCARD_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w,
@@ -268,6 +365,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text""",
         "dedup_jaccard_pairs": _JACCARD_SQL,
         "dedup_minhash_lsh": _JACCARD_SQL,
+        "dedup_simhash_pairs": _simhash_sql(),
+        "doc_lang_id": _lang_id_sql(),
+        "doc_fingerprint": _fingerprint_sql(),
+        "media_features": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(concat('0x', substring(sha256(text), 1, 15))
+                        AS BIGINT) AS checksum
+            FROM documents""",
+        "dup_clusters": f"""
+            WITH RECURSIVE pr AS (SELECT * FROM ({_JACCARD_SQL}) jq),
+            e AS (
+              SELECT CAST(doc_a AS VARCHAR) AS s,
+                     CAST(doc_b AS VARCHAR) AS d FROM pr
+              UNION
+              SELECT CAST(doc_b AS VARCHAR), CAST(doc_a AS VARCHAR) FROM pr
+            ),
+            r(node, lab) AS (
+              SELECT s, s FROM e
+              UNION
+              SELECT e.d, r.lab FROM r JOIN e ON e.s = r.node
+            )
+            SELECT node, min(lab) AS label FROM r GROUP BY node""",
         "dedup_embedding_pairs": """
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
             FROM embeddings a

@@ -95,27 +95,50 @@ _LANG_PROFILES = {
 _LANGS = sorted(_LANG_PROFILES)
 
 
+def _profile_codes(lang: str) -> np.ndarray:
+    """Profile bigrams as uint16 byte-pair codes (hi*256+lo)."""
+    return np.array(sorted(ord(b[0]) * 256 + ord(b[1])
+                           for b in _LANG_PROFILES[lang]), dtype=np.uint16)
+
+
+_PROFILE_CODES = {lg: _profile_codes(lg) for lg in _LANGS}
+
+
 def lang_id_batch(batch: pa.Table) -> pa.Table:
     """Score each doc's char-bigram multiset against the profiles;
-    deterministic argmax with alphabetical tie-break."""
-    texts = batch.column("text").to_pylist()
-    preds, scores = [], []
-    profs = {lg: set(bs) for lg, bs in _LANG_PROFILES.items()}
-    for t in texts:
-        s = (t or "").lower()
-        bigrams = [s[i:i + 2] for i in range(len(s) - 1)]
-        best_lang, best = _LANGS[0], -1
-        for lg in _LANGS:
-            p = profs[lg]
-            sc = sum(1 for b in bigrams if b in p)
-            if sc > best:
-                best, best_lang = sc, lg
-        preds.append(best_lang)
-        scores.append(best)
+    deterministic argmax with alphabetical tie-break.
+
+    Vectorized: one flat byte buffer for the whole batch, bigrams as
+    uint16 codes, one ``np.isin`` + ``bincount`` pass per language —
+    no per-row Python. Byte bigrams equal char bigrams for the ASCII
+    profile alphabet (a multi-byte char can never produce an ASCII
+    byte pair), so this is exact for any UTF-8 input."""
+    texts = [(t or "").lower() for t in batch.column("text").to_pylist()]
+    n = len(texts)
+    enc = [t.encode() for t in texts]
+    lens = np.fromiter((len(b) for b in enc), np.int64, n) if n else \
+        np.zeros(0, np.int64)
+    flat = np.frombuffer(b"".join(enc) or b"", dtype=np.uint8)
+    if len(flat) >= 2:
+        # a bigram is valid when both bytes belong to the same row
+        flat_rows = np.repeat(np.arange(n), lens)
+        valid = flat_rows[:-1] == flat_rows[1:]
+        codes = (flat[:-1].astype(np.uint16) * 256 + flat[1:])[valid]
+        row_of = flat_rows[:-1][valid]
+    else:
+        codes = np.empty(0, dtype=np.uint16)
+        row_of = np.empty(0, dtype=np.int64)
+    score_mat = np.zeros((len(_LANGS), n), dtype=np.int64)
+    for li, lg in enumerate(_LANGS):
+        hit = np.isin(codes, _PROFILE_CODES[lg])
+        if hit.any():
+            score_mat[li] = np.bincount(row_of[hit], minlength=n)
+    best_idx = np.argmax(score_mat, axis=0)      # first max = alpha order
+    best = score_mat[best_idx, np.arange(n)]
     return pa.table({
         "doc_id": batch.column("doc_id"),
-        "pred_lang": pa.array(preds, pa.string()),
-        "score": pa.array(scores, pa.int64()),
+        "pred_lang": pa.array([_LANGS[i] for i in best_idx], pa.string()),
+        "score": pa.array(best, pa.int64()),
     })
 
 

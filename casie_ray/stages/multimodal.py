@@ -86,9 +86,10 @@ class MediaDecoder:
             rows.append({
                 "media_id": mid, "media_type": mtype,
                 "n_bytes": len(p),
-                "checksum": int.from_bytes(
-                    hashlib.blake2b(p, digest_size=8).digest(), "big",
-                    signed=False) >> 1,
+                # 60-bit sha256 prefix: DuckDB reproduces this exactly
+                # (CAST('0x'||substring(sha256(payload),1,15) AS BIGINT)),
+                # making the metadata half of this stage oracle-checkable
+                "checksum": int(hashlib.sha256(p).hexdigest()[:15], 16),
                 "width": w, "height": h, "mean_luma": luma,
                 "embedding": self._embed(p).tolist(),
             })

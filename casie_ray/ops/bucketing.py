@@ -25,6 +25,26 @@ import numpy as np
 
 N_OPS_BUCKETS = 256
 
+
+def bucket_groupby(ds, fn, *, batch_format="pyarrow"):
+    """The standard bucketed exchange: coalesce to ~one block per
+    cluster task slot, then sort-groupby on the ``bucket`` column with
+    one vectorized ``fn`` call per bucket group.
+
+    The coalesce matters: Ray's sort exchange costs ~P^2 in partition
+    count (P boundary samples + P x P shuffle transfers), and P follows
+    the INPUT block count — which tracks file-split heuristics, not
+    data mass (a small file read still splits ~2 blocks per CPU). One
+    linear repartition pass caps P at the cluster's task-slot count, so
+    exchange overhead scales with cluster size instead of with however
+    many shards the upstream happened to emit. On a big cluster the cap
+    equals total CPUs, which is exactly the partition count you want
+    for an all-to-all anyway."""
+    import ray
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    return ds.repartition(ncpu).groupby("bucket") \
+        .map_groups(fn, batch_format=batch_format)
+
 _SPLIT1 = np.uint64(0xBF58476D1CE4E5B9)
 _SPLIT2 = np.uint64(0x94D049BB133111EB)
 _PHI = np.uint64(0x9E3779B97F4A7C15)

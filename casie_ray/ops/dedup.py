@@ -40,7 +40,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .bucketing import (
-    N_OPS_BUCKETS, fnv1a_hashes, hash_bucket, mix64, segment_pair_indices,
+    N_OPS_BUCKETS, bucket_groupby, fnv1a_hashes, hash_bucket, mix64,
+    segment_pair_indices,
 )
 
 SHINGLE_W = 3           # words per shingle
@@ -66,17 +67,62 @@ def _hash64(s: str) -> int:
         signed=False)
 
 
+def shingle_hash_batch(texts: list[str], w: int = SHINGLE_W) \
+        -> tuple[np.ndarray, np.ndarray]:
+    """Distinct word-w-gram shingle hashes for a WHOLE batch of texts,
+    fully vectorized: word-level FNV hashes (one numpy pass per byte
+    position), per-window splitmix combination (no shingle strings are
+    ever built), then a global lexsort dedupe — no per-shingle or
+    per-doc Python. Tokenization = split on single spaces, matching the
+    SQL oracle's string_split.
+
+    Returns (row_idx, hashes): parallel arrays of the distinct shingle
+    hashes per input row, sorted by (row_idx, hash). Shingle identity is
+    the 64-bit combined hash (collision odds ~ n^2/2^64, the same
+    exactness contract as any content-hash dedup)."""
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    all_words: list[str] = []
+    counts = np.empty(n, np.int64)
+    for i, t in enumerate(texts):
+        ws = (t or "").split(" ")
+        all_words.extend(ws)
+        counts[i] = len(ws)
+    h = fnv1a_hashes(all_words)
+    row_of = np.repeat(np.arange(n), counts)
+    rows_list, hash_list = [], []
+    # full windows: positions where all w words fall in the same row
+    if len(h) >= w:
+        valid = row_of[: len(h) - w + 1] == row_of[w - 1:]
+        cols = [h[k: len(h) - w + 1 + k][valid] for k in range(w)]
+        if len(cols[0]):
+            rows_list.append(row_of[: len(h) - w + 1][valid])
+            hash_list.append(mix64(cols))
+    # short docs (fewer than w words): one shingle folding all words
+    for short_n in range(1, w):
+        sel = counts == short_n
+        if not sel.any():
+            continue
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[sel]
+        cols = [h[starts + k] for k in range(short_n)]
+        rows_list.append(np.arange(n)[sel])
+        hash_list.append(mix64(cols))
+    if not rows_list:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    rows = np.concatenate(rows_list)
+    hashes = np.concatenate(hash_list)
+    order = np.lexsort((hashes, rows))
+    rows, hashes = rows[order], hashes[order]
+    keep = np.ones(len(rows), dtype=bool)
+    keep[1:] = (rows[1:] != rows[:-1]) | (hashes[1:] != hashes[:-1])
+    return rows[keep], hashes[keep]
+
+
 def shingle_hashes(text: str, w: int = SHINGLE_W) -> np.ndarray:
-    """Distinct word-w-gram shingle hashes (uint64). Tokenization =
-    split on single spaces, matching the SQL oracle's string_split."""
-    words = (text or "").split(" ")
-    if len(words) < w:
-        shingles = {" ".join(words)} if words else set()
-    else:
-        shingles = {" ".join(words[i:i + w])
-                    for i in range(len(words) - w + 1)}
-    return np.fromiter((_hash64(s) for s in sorted(shingles)),
-                       dtype=np.uint64, count=len(shingles))
+    """Distinct shingle hashes of one text (scalar convenience wrapper
+    over :func:`shingle_hash_batch`)."""
+    return shingle_hash_batch([text], w)[1]
 
 
 # ---------------------------------------------------------------------------
@@ -123,8 +169,7 @@ def exact_dedup(sf_dir: str):
     per-bucket reduce (SURVEY A7 pattern on documents)."""
     ds = _read_documents(sf_dir).map_batches(_text_hash_batch,
                                              batch_format="pyarrow")
-    return ds.groupby("bucket").map_groups(_exact_bucket,
-                                           batch_format="pyarrow")
+    return bucket_groupby(ds, _exact_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -149,21 +194,13 @@ PAIR_SCHEMA = pa.schema([
 def _shingle_rows_batch(batch: pa.Table) -> pa.Table:
     """flat_map: doc -> one row per distinct shingle, carrying the doc's
     shingle count so the pair reduce needs no size join/broadcast."""
-    doc_ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pylist()
-    sh, dids, dns = [], [], []
-    for did, text in zip(doc_ids, texts):
-        h = shingle_hashes(text)
-        sh.append(h)
-        dids.append(np.full(len(h), did, dtype=np.int64))
-        dns.append(np.full(len(h), len(h), dtype=np.int64))
-    shingle = np.concatenate(sh) if sh else np.empty(0, np.uint64)
+    doc_ids = batch.column("doc_id").to_numpy()
+    rows, shingle = shingle_hash_batch(batch.column("text").to_pylist())
+    per_doc = np.bincount(rows, minlength=batch.num_rows)
     return pa.table({
         "shingle": pa.array(shingle, pa.uint64()),
-        "doc_id": pa.array(np.concatenate(dids) if dids
-                           else np.empty(0, np.int64), pa.int64()),
-        "doc_n": pa.array(np.concatenate(dns) if dns
-                          else np.empty(0, np.int64), pa.int64()),
+        "doc_id": pa.array(doc_ids[rows], pa.int64()),
+        "doc_n": pa.array(per_doc[rows], pa.int64()),
         "bucket": pa.array(hash_bucket([shingle]), pa.int32()),
     })
 
@@ -232,8 +269,7 @@ def _hot_shingles(sh_rows, df_cap: int) -> set[int]:
         return g.filter(pc.greater(g.column("df"), df_cap)) \
             .select(["shingle"])
 
-    hot_ds = sh_rows.groupby("bucket").map_groups(df_bucket,
-                                                  batch_format="pyarrow")
+    hot_ds = bucket_groupby(sh_rows, df_bucket)
     return {r["shingle"] for r in hot_ds.take_all()}
 
 
@@ -265,14 +301,12 @@ def jaccard_pairs(sf_dir: str, threshold_pct: int = 80,
             return batch.filter(pa.array(keep))
 
         sh_rows = sh_rows.map_batches(drop_hot, batch_format="pyarrow")
-    pairs = sh_rows.groupby("bucket").map_groups(
-        _pairs_from_shingle_bucket, batch_format="pyarrow")
+    pairs = bucket_groupby(sh_rows, _pairs_from_shingle_bucket)
     if df_cap is not None:
-        cands = pairs.groupby("bucket").map_groups(
-            _distinct_pairs_bucket, batch_format="pyarrow")
-        return verify_pairs_exact(cands, sf_dir, threshold_pct)
-    return pairs.groupby("bucket").map_groups(
-        _finalize_pairs_bucket(threshold_pct), batch_format="pyarrow")
+        # attach dedupes the probe rows, so the partial pair rows can go
+        # straight to verification — no pair-distinct exchange needed
+        return verify_pairs_exact(pairs, sf_dir, threshold_pct)
+    return bucket_groupby(pairs, _finalize_pairs_bucket(threshold_pct))
 
 
 # ---------------------------------------------------------------------------
@@ -294,6 +328,38 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
     return m.min(axis=1)
 
 
+def minhash_signatures_flat(rows: np.ndarray, hashes: np.ndarray,
+                            n: int) -> np.ndarray:
+    """(n, N_PERM) signatures for a whole batch from the flat
+    (row_idx, shingle_hash) representation of :func:`shingle_hash_batch`
+    — one broadcast multiply + one ``minimum.reduceat`` per batch, no
+    per-doc Python. Docs with no shingles get the all-max sentinel."""
+    out = np.full((n, N_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(hashes) == 0 or n == 0:
+        return out
+    counts = np.bincount(rows, minlength=n)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    # chunk along DOC boundaries so the (shingles x N_PERM) working
+    # matrix stays ~100 MB regardless of block size
+    max_shingles = 200_000
+    lo = 0
+    while lo < n:
+        hi = lo + 1
+        while hi < n and starts[hi + 1] - starts[lo] <= max_shingles:
+            hi += 1
+        seg = slice(starts[lo], starts[hi])
+        sub_counts = counts[lo:hi]
+        nonempty = sub_counts > 0
+        if nonempty.any():
+            with np.errstate(over="ignore"):
+                m = _MH_A[None, :] * hashes[seg, None] + _MH_B[None, :]
+            sub_starts = starts[lo:hi] - starts[lo]
+            red = np.minimum.reduceat(m, sub_starts[nonempty], axis=0)
+            out[lo:hi][nonempty] = red
+        lo = hi
+    return out
+
+
 _BAND_ROW_SCHEMA = pa.schema([
     ("band", pa.int32()), ("band_hash", pa.uint64()),
     ("doc_id", pa.int64()), ("bucket", pa.int32()),
@@ -309,7 +375,7 @@ def _band_rows_batch(batch: pa.Table) -> pa.Table:
     n = len(texts)
     if n == 0:
         return _BAND_ROW_SCHEMA.empty_table()
-    sigs = np.stack([minhash_signature(shingle_hashes(t)) for t in texts])
+    sigs = minhash_signatures_flat(*shingle_hash_batch(texts), n)
     bands_sig = sigs.reshape(n, N_BANDS, BAND_R)
     bhash = mix64([bands_sig[:, :, r].ravel() for r in range(BAND_R)])
     band = np.tile(np.arange(N_BANDS, dtype=np.int32), n)
@@ -350,13 +416,6 @@ def _candidates_from_band_bucket(group: pa.Table) -> pa.Table:
         .cast(_CAND_SCHEMA)
 
 
-def _distinct_pairs_bucket(group: pa.Table) -> pa.Table:
-    """One pair-hash bucket: vectorized distinct over (doc_a, doc_b)."""
-    g = group.select(["doc_a", "doc_b"]) \
-        .group_by(["doc_a", "doc_b"]).aggregate([])
-    return g.rename_columns(["doc_a", "doc_b"])
-
-
 def minhash_lsh_pairs(sf_dir: str, threshold_pct: int = 80):
     """MinHash+LSH candidate generation, exact-Jaccard verification.
 
@@ -366,11 +425,9 @@ def minhash_lsh_pairs(sf_dir: str, threshold_pct: int = 80):
     collected to the driver. Output schema matches
     :func:`jaccard_pairs` (same oracle)."""
     ds = _read_documents(sf_dir)
-    cands = ds.map_batches(_band_rows_batch, batch_format="pyarrow") \
-        .groupby("bucket") \
-        .map_groups(_candidates_from_band_bucket, batch_format="pyarrow") \
-        .groupby("bucket") \
-        .map_groups(_distinct_pairs_bucket, batch_format="pyarrow")
+    cands = bucket_groupby(
+        ds.map_batches(_band_rows_batch, batch_format="pyarrow"),
+        _candidates_from_band_bucket)
     return verify_pairs_exact(cands, sf_dir, threshold_pct)
 
 
@@ -390,14 +447,17 @@ _SIDE_SCHEMA = pa.schema([
 
 def _doc_shingle_rows(batch: pa.Table) -> pa.Table:
     doc_ids = batch.column("doc_id").to_numpy()
-    texts = batch.column("text").to_pylist()
-    sh = [shingle_hashes(t) for t in texts]
+    n = batch.num_rows
+    rows, hashes = shingle_hash_batch(batch.column("text").to_pylist())
+    counts = np.bincount(rows, minlength=n)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    shingles = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(hashes, pa.uint64()))
     return pa.table({
         "dkey": pa.array(doc_ids, pa.int64()),
-        "shingles": pa.array([s.tolist() for s in sh],
-                             pa.list_(pa.uint64())),
-        "doc_a": pa.nulls(len(texts), pa.int64()),
-        "doc_b": pa.nulls(len(texts), pa.int64()),
+        "shingles": shingles,
+        "doc_a": pa.nulls(n, pa.int64()),
+        "doc_b": pa.nulls(n, pa.int64()),
         "bucket": pa.array(hash_bucket([doc_ids]), pa.int32()),
     }).cast(_JOIN_SCHEMA)
 
@@ -420,10 +480,15 @@ def _cand_side_rows(batch: pa.Table) -> pa.Table:
 
 def _attach_shingles_bucket(group: pa.Table) -> pa.Table:
     """One doc-hash bucket of (doc rows ∪ probe rows): vectorized
-    searchsorted join attaching each probe row's shingle set."""
+    searchsorted join attaching each probe row's shingle set. Probe rows
+    are DEDUPED first (a candidate pair reaching this bucket once per
+    matching band must ship its shingle set exactly once), which is what
+    lets the callers skip a separate global pair-distinct exchange."""
     is_doc = pc.is_valid(group.column("shingles"))
     docs = group.filter(is_doc).sort_by("dkey")
-    sides = group.filter(pc.invert(is_doc))
+    sides = group.filter(pc.invert(is_doc)) \
+        .group_by(["dkey", "doc_a", "doc_b"]).aggregate([]) \
+        .rename_columns(["dkey", "doc_a", "doc_b"])
     if docs.num_rows == 0 or sides.num_rows == 0:
         return _SIDE_SCHEMA.empty_table()
     dkeys = docs.column("dkey").to_numpy()
@@ -501,10 +566,8 @@ def verify_pairs_exact(cand_ds, sf_dir: str, threshold_pct: int):
     docs = _read_documents(sf_dir).map_batches(_doc_shingle_rows,
                                                batch_format="pyarrow")
     sides = cand_ds.map_batches(_cand_side_rows, batch_format="pyarrow")
-    joined = docs.union(sides).groupby("bucket").map_groups(
-        _attach_shingles_bucket, batch_format="pyarrow")
-    return joined.groupby("bucket").map_groups(
-        _verify_bucket(threshold_pct), batch_format="pyarrow")
+    joined = bucket_groupby(docs.union(sides), _attach_shingles_bucket)
+    return bucket_groupby(joined, _verify_bucket(threshold_pct))
 
 
 # ---------------------------------------------------------------------------
@@ -640,10 +703,8 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     (pigeonhole) every qualifying pair shares at least one band."""
     ds = _read_documents(sf_dir)
     ds = ds.map_batches(_simhash_band_rows, batch_format="pyarrow")
-    ds = ds.groupby("bucket").map_groups(
-        _simhash_pairs_bucket(max_hamming), batch_format="pyarrow")
-    return ds.groupby("bucket").map_groups(_sim_distinct_bucket,
-                                           batch_format="pyarrow")
+    ds = bucket_groupby(ds, _simhash_pairs_bucket(max_hamming))
+    return bucket_groupby(ds, _sim_distinct_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -801,6 +862,5 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.5,
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     ds = ds.map_batches(band_rows, batch_format="pyarrow")
-    ds = ds.groupby("bucket").map_groups(bucket_pairs,
-                                         batch_format="pyarrow")
-    return ds.groupby("bucket").map_groups(distinct, batch_format="pyarrow")
+    ds = bucket_groupby(ds, bucket_pairs)
+    return bucket_groupby(ds, distinct)

@@ -27,6 +27,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .bucketing import bucket_groupby
+
 LABEL_SCHEMA = pa.schema([("node", pa.string()), ("label", pa.string())])
 N_BUCKETS = 64
 
@@ -112,10 +114,10 @@ def connected_components(edges_ds, max_rounds: int = 32,
                 "bucket", _bucket_of(t.column("node"), n_buckets))
         return wrapped
 
-    labels = edges.map_batches(_init_labels_batch, batch_format="pyarrow") \
-        .map_batches(with_node_bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(rebucket(_dedup_nodes_bucket),
-                                      batch_format="pyarrow").materialize()
+    labels = bucket_groupby(
+        edges.map_batches(_init_labels_batch, batch_format="pyarrow")
+        .map_batches(with_node_bucket, batch_format="pyarrow"),
+        rebucket(_dedup_nodes_bucket)).materialize()
 
     def as_label_row(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -153,13 +155,9 @@ def connected_components(edges_ds, max_rounds: int = 32,
             .union(edges.map_batches(as_edge_row, batch_format="pyarrow")) \
             .union(labels.map_batches(as_pointer_edges,
                                       batch_format="pyarrow"))
-        msgs = mixed.groupby("bucket").map_groups(
-            rebucket(_propagate_bucket), batch_format="pyarrow")
-        # coalesce: without this the union doubles the label block count
-        # every round and round latency doubles with it
-        labels = msgs.groupby("bucket").map_groups(
-            rebucket(_reduce_bucket), batch_format="pyarrow") \
-            .repartition(n_buckets).materialize()
+        msgs = bucket_groupby(mixed, rebucket(_propagate_bucket))
+        labels = bucket_groupby(msgs, rebucket(_reduce_bucket)) \
+            .materialize()
         n_changed = labels.sum("changed")
         log.info("cc round %d: %s changed (%.2fs)", rnd, n_changed,
                  time.time() - t0)

@@ -126,7 +126,7 @@ def top_customers(sf_dir: str, k: int = 10):
     aggregate, BUCKETED keyed shuffle (one vectorized Arrow group_by per
     bucket, never per-customer Python), then sort+limit over the
     customer-cardinality aggregate."""
-    from .bucketing import hash_bucket
+    from .bucketing import bucket_groupby, hash_bucket
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"o_custkey": batch.column("o_custkey"),
@@ -143,8 +143,7 @@ def top_customers(sf_dir: str, k: int = 10):
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     ds = ds.map_batches(partial, batch_format="pyarrow")
-    ds = ds.groupby("bucket").map_groups(final_bucket,
-                                         batch_format="pyarrow")
+    ds = bucket_groupby(ds, final_bucket)
     ds = ds.sort(["revenue_cents", "o_custkey"],
                  descending=[True, False]).limit(k)
 
@@ -228,7 +227,7 @@ def _epoch_secs(col: pa.ChunkedArray) -> np.ndarray:
 
 
 def _asof_order_rows(batch: pa.Table) -> pa.Table:
-    from .bucketing import hash_bucket
+    from .bucketing import bucket_groupby, hash_bucket
     ck = batch.column("o_custkey").to_numpy()
     return pa.table({
         "ckey": pa.array(ck, pa.int64()),
@@ -240,7 +239,7 @@ def _asof_order_rows(batch: pa.Table) -> pa.Table:
 
 
 def _asof_event_rows(batch: pa.Table) -> pa.Table:
-    from .bucketing import hash_bucket
+    from .bucketing import bucket_groupby, hash_bucket
     ck = batch.column("user_id").to_numpy()
     return pa.table({
         "ckey": pa.array(ck, pa.int64()),
@@ -301,10 +300,11 @@ def events_asof_orders(sf_dir: str):
     customer's orders fit a bucket group (hot-key skew spreads across
     buckets only between customers; a single pathological customer
     would need a secondary time-range split)."""
+    from .bucketing import bucket_groupby
+
     orders = _read(sf_dir, "orders",
                    ["o_custkey", "o_orderkey", "o_orderdate"]) \
         .map_batches(_asof_order_rows, batch_format="pyarrow")
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
         .map_batches(_asof_event_rows, batch_format="pyarrow")
-    return orders.union(events).groupby("bucket").map_groups(
-        _asof_probe_bucket, batch_format="pyarrow")
+    return bucket_groupby(orders.union(events), _asof_probe_bucket)

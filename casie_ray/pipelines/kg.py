@@ -32,6 +32,7 @@ import time
 
 import pyarrow.parquet as pq
 
+from ..ops.bucketing import bucket_groupby
 from ..stages.detect import DetectTagger, ShardFileExtractor
 from ..stages.doclogic import extract_events_group
 from ..stages.triples import (
@@ -255,8 +256,7 @@ def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
     # the written files — a cheap column-pruned read of the small
     # unique-triple table, and at corpus scale the disk round-trip beats
     # pinning the edges in the object store across two consumers
-    edges = raw.groupby("bucket").map_groups(final_dedup_group,
-                                             batch_format="pyarrow")
+    edges = bucket_groupby(raw, final_dedup_group)
     edges_dir = os.path.join(out_dir, "edges")
     tmp = edges_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -268,10 +268,8 @@ def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
     nodes = rd.read_parquet(edge_files,
                             columns=["subj", "obj", "subj_type",
                                      "obj_type"]) \
-        .map_batches(emit_nodes_batch, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(final_nodes_group,
-                                      batch_format="pyarrow") \
-        .drop_columns(["bucket"])
+        .map_batches(emit_nodes_batch, batch_format="pyarrow")
+    nodes = bucket_groupby(nodes, final_nodes_group).drop_columns(["bucket"])
     nodes_dir = os.path.join(out_dir, "nodes")
     tmp = nodes_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -300,9 +298,7 @@ def compute_canonical_mapping(raw_ds) -> dict[str, str]:
     # (equal blocks co-located), each bucket processed vectorized
     surf = raw_ds.map_batches(extract_surface_nodes,
                               batch_format="pyarrow")
-    medges = surf.groupby("bucket").map_groups(merge_edges_multi,
-                                               batch_format="pyarrow") \
-        .materialize()
+    medges = bucket_groupby(surf, merge_edges_multi).materialize()
     n_edges = medges.count()
     if n_edges == 0:
         return {}

@@ -28,7 +28,7 @@ ARG_T = pa.struct([
 
 CAND_T = pa.struct([
     ("tok_idx", pa.int32()), ("start", pa.int32()), ("end", pa.int32()),
-    ("surface", pa.string()),
+    ("surface", pa.string()), ("cap", pa.bool_()),
 ])
 
 # per-turn detection row: transcript key columns + sufficient statistics
@@ -75,7 +75,8 @@ def detection_to_row(det: TurnDetection) -> dict:
                       "dataish": m.next_noun_dataish}
                      for m in det.mentions],
         "cand_tokens": [{"tok_idx": c[0], "start": c[1], "end": c[2],
-                         "surface": c[3]} for c in det.cand_tokens],
+                         "surface": c[3], "cap": c[4]}
+                        for c in det.cand_tokens],
     }
 
 
@@ -88,8 +89,8 @@ def row_to_detection(row: dict) -> TurnDetection:
         mentions=[Mention(m["start"], m["end"], m["text"], m["argtype"],
                           m["entity_id"], next_noun_dataish=m["dataish"])
                   for m in row["mentions"]],
-        cand_tokens=[(c["tok_idx"], c["start"], c["end"], c["surface"])
-                     for c in row.get("cand_tokens") or []],
+        cand_tokens=[(c["tok_idx"], c["start"], c["end"], c["surface"],
+                      c["cap"]) for c in row.get("cand_tokens") or []],
     )
 
 

@@ -70,9 +70,10 @@ class TurnDetection:
     token_flags: list[int]           # bit 1 = modal word, bit 2 = generic word
     triggers: list[Trigger]
     mentions: list[Mention]
-    # unclaimed content tokens (tok_idx, start, end, lower surface):
-    # the candidate pool for similarity-based trigger imputation (O2)
-    cand_tokens: list[tuple[int, int, int, str]] = field(
+    # unclaimed content tokens (tok_idx, start, end, lower surface,
+    # capitalized): the candidate pool for similarity-based trigger
+    # imputation (O2) and for coref-chain alias propagation (M12)
+    cand_tokens: list[tuple[int, int, int, str, bool]] = field(
         default_factory=list)
 
 
@@ -287,7 +288,7 @@ def detect_turn(text: str, catalog: dict, fuzzy: dict | None = None):
     # link_coref.py:966-976 — no parser, so "content word" = alphabetic,
     # not stopword/modal/generic, not a lexicon trigger, length >= 3)
     cands = [
-        (i, toks[i][1], toks[i][2], lowers[i])
+        (i, toks[i][1], toks[i][2], lowers[i], toks[i][0][0].isupper())
         for i in range(n)
         if not claimed[i] and lowers[i] not in lx.TRIGGER_SURFACES
         and toks[i][0].isalpha() and len(lowers[i]) >= 3
@@ -406,7 +407,7 @@ def impute_similarity_triggers(turn_triggers, turn_mentions, detections,
             continue
         spans = {(m.start, m.end) for m in mentions}
         scored = []       # (sim, etype, tok_idx, start, end, surface)
-        for tok_idx, s, e, low in det.cand_tokens:
+        for tok_idx, s, e, low, _cap in det.cand_tokens:
             if any(s < me and ms < e for ms, me in spans):
                 continue  # claimed by an argument (argument-wins)
             v = embed_surface(low)
@@ -429,6 +430,63 @@ def impute_similarity_triggers(turn_triggers, turn_mentions, detections,
         turn_triggers[ti] = [Trigger(tok_idx, s, e, low, (etype,),
                                      etype=etype, imputed=True)]
         hist[etype] = hist.get(etype, 0) + 1
+
+
+PROPAGATE_TYPES = frozenset({"Organization", "System", "Person"})
+
+
+def propagate_coref_aliases(turn_mentions, detections) -> None:
+    """Coref-chain NER propagation (M12; readCoref/combineCoref,
+    parseJsontoFeatures.py:60-106): the reference writes the
+    representative coref mention's NER type onto chain members whose
+    head token is untyped ('O'). The engine's chains are
+    conversation-level alias links — a bare capitalized token equal to
+    the FIRST or LAST token of a multi-token typed mention (org stem,
+    person surname) joins that mention's chain and inherits its argtype
+    and entity link.
+
+    Conservative by construction: chain heads must be >=4 alphabetic
+    chars and non-stop; a head claimed by two different (argtype,
+    entity) chains in the conversation is ambiguous and propagates
+    nothing. Claimed candidates leave the imputation pool (a token
+    cannot be both an argument and an imputed trigger — argument-wins,
+    link_coref.py:613-614). Mutates turn_mentions and det.cand_tokens.
+    """
+    _AMBIG = ("", None)
+    chains: dict[str, tuple[str, str | None]] = {}
+    for ti in sorted(turn_mentions):
+        for m in turn_mentions[ti]:
+            if m.argtype not in PROPAGATE_TYPES:
+                continue
+            words = m.text.split(" ")
+            if len(words) < 2:
+                continue
+            for head in {words[0].lower(), words[-1].lower()}:
+                if len(head) < 4 or not head.isalpha() \
+                        or head in lx.STOPWORDS:
+                    continue
+                key = (m.argtype, m.entity_id)
+                if chains.setdefault(head, key) != key:
+                    chains[head] = _AMBIG
+    chains = {h: k for h, k in chains.items() if k != _AMBIG}
+    if not chains:
+        return
+    for ti in sorted(detections):
+        det = detections[ti]
+        if det is None or not det.cand_tokens:
+            continue
+        kept, added = [], []
+        for c in det.cand_tokens:
+            link = chains.get(c[3]) if c[4] else None
+            if link is None:
+                kept.append(c)
+            else:
+                added.append(Mention(c[1], c[2], c[3], link[0], link[1]))
+        if added:
+            det.cand_tokens = kept
+            ms = turn_mentions.setdefault(ti, []) + added
+            ms.sort(key=lambda m: (m.start, m.end))
+            turn_mentions[ti] = ms
 
 
 def compatible_filter(turn_triggers, turn_mentions):
@@ -819,6 +877,7 @@ def doc_logic(conv_id: str, detections: dict[int, TurnDetection]) -> list[Event]
     WITHOUT realis/roles/coref — those are separate pipeline seats."""
     turn_triggers = {ti: d.triggers for ti, d in detections.items()}
     turn_mentions = {ti: d.mentions for ti, d in detections.items()}
+    propagate_coref_aliases(turn_mentions, detections)
     hist = resolve_triggers(turn_triggers)
     recheck_impute(turn_triggers, turn_mentions, hist)
     impute_similarity_triggers(turn_triggers, turn_mentions, detections,

@@ -359,6 +359,14 @@ def _render_event(rng: random.Random, template, cat, hot,
             surf = rng.choice(UNAMBIG_TRIGGERS[etype])
             s, e = emit(surf)
             nugget = {"text": surf, "start": s, "end": e}
+        elif isinstance(part, tuple) and part[0] == "ALIAS":
+            # bare coref alias of an earlier multi-token mention: the
+            # extractor must recover type+link via chain propagation
+            # (M12, parseJsontoFeatures.py:60-106), not the catalog
+            _, surf, argtype, arole = part
+            s, e = emit(surf)
+            args.append({"text": surf, "start": s, "end": e,
+                         "type": argtype, "role": arole})
         elif isinstance(part, tuple) and part[0] == "IMP":
             # unlexiconed trigger-like word: the extractor must recover
             # it via similarity imputation (O2), not the lexicon
@@ -375,9 +383,26 @@ def _render_event(rng: random.Random, template, cat, hot,
     return " ".join(tokens), etype, realis, nugget, args
 
 
+def _single_token_surfaces(cat: dict[str, list[dict]]) -> frozenset[str]:
+    """Lowercased single-token catalog surfaces (canonicals + aliases):
+    a planted bare-surname alias colliding with one of these would be
+    claimed by the catalog matcher as that entity instead of reaching
+    the coref-propagation path, so plants avoid them."""
+    out: set[str] = set()
+    for ents in cat.values():
+        for ent in ents:
+            for surf in [ent["canonical"], *ent["aliases"]]:
+                if " " not in surf:
+                    out.add(surf.lower())
+    return frozenset(out)
+
+
 def gen_conversation(conv_index: int, cat: dict[str, list[dict]],
-                     hot: list[dict], seed: int = 42, n_novel: int = 8):
+                     hot: list[dict], seed: int = 42, n_novel: int = 8,
+                     blocked: frozenset[str] | None = None):
     """Pure function -> (transcript rows, gold event rows) for one conv."""
+    if blocked is None:
+        blocked = _single_token_surfaces(cat)
     rng = random.Random(f"conv:{seed}:{conv_index}")
     conv_id = f"c{conv_index:08d}"
     is_hot_conv = conv_index % 100 == 7
@@ -394,6 +419,10 @@ def gen_conversation(conv_index: int, cat: dict[str, list[dict]],
     pending_repeat: dict[int, tuple] = {}
     # turn_idx -> event type for an imputed-trigger echo turn (O2)
     pending_impute: dict[int, str] = {}
+    # turn_idx -> (etype, surname, role): a follow-up event referencing a
+    # person by bare surname — only coref-chain propagation (M12) can
+    # type and link it
+    pending_alias: dict[int, tuple[str, str, str]] = {}
 
     for ti in range(n_turns):
         ts += dt.timedelta(seconds=rng.randint(10, 300))
@@ -413,6 +442,13 @@ def gen_conversation(conv_index: int, cat: dict[str, list[dict]],
             planted = (_render_event(rng, IMPUTED_TEMPLATES[etype_imp],
                                      cat, hot, n_novel, seed),
                        f"{conv_id}:hi{ti}")
+        elif ti in pending_alias:
+            etype_al, surname, arole = pending_alias.pop(ti)
+            tmpl = (etype_al, "Actual",
+                    [("ALIAS", surname, "Person", arole), "also", T,
+                     "according", "to", "the", "team", "."])
+            planted = (_render_event(rng, tmpl, cat, hot, n_novel, seed),
+                       f"{conv_id}:ha{ti}")
 
         if planted is None or rng.random() < 0.5:
             sent_parts.append(rng.choice(_FILLER) + " .")
@@ -448,6 +484,28 @@ def gen_conversation(conv_index: int, cat: dict[str, list[dict]],
                 if later not in event_turns and later not in pending_repeat \
                         and later not in pending_impute:
                     pending_impute[later] = etype
+            # follow up referencing a person by bare SURNAME -> exercises
+            # coref-chain alias propagation (M12)
+            if ti in event_turns and realis == "Actual" and ti + 2 < n_turns:
+                people = [a for a in args_abs
+                          if a["type"] == "Person"
+                          and len(a["text"].split(" ")) == 2
+                          and a["text"].split(" ")[-1].isalpha()
+                          and len(a["text"].split(" ")[-1]) >= 4
+                          and a["text"].split(" ")[-1].lower()
+                          not in blocked]
+                if people and rng.random() < 0.3 and etype in (
+                        "Databreach", "Phishing", "DiscoverVulnerability"):
+                    later = ti + rng.randint(1, min(3, n_turns - ti - 1))
+                    if later not in event_turns \
+                            and later not in pending_repeat \
+                            and later not in pending_impute \
+                            and later not in pending_alias:
+                        arole = ("Discoverer"
+                                 if etype == "DiscoverVulnerability"
+                                 else "Attacker")
+                        pending_alias[later] = (
+                            etype, people[0]["text"].split(" ")[-1], arole)
 
         text = " ".join(sent_parts) if sent_parts else rng.choice(_FILLER) + " ."
         t_rows.append({"conv_id": conv_id, "turn_idx": ti, "role": role,
@@ -490,9 +548,10 @@ def conv_batch(conv_indices, entities: pa.Table, seed: int = 42):
     cat = _catalog_by_type(entities)
     hot = entities.slice(0, N_HOT_ENTITIES).to_pylist()
     n_novel = n_novel_orgs(entities.num_rows)
+    blocked = _single_token_surfaces(cat)
     t_all, g_all = [], []
     for ci in conv_indices:
-        t, g = gen_conversation(int(ci), cat, hot, seed, n_novel)
+        t, g = gen_conversation(int(ci), cat, hot, seed, n_novel, blocked)
         t_all.extend(t)
         g_all.extend(g)
     t_tbl = pa.Table.from_pylist(t_all, schema=TRANSCRIPT_SCHEMA)

@@ -298,3 +298,69 @@ def test_confusion_matrix_counts_cross_label_and_misses():
     assert total == 4
     rendered = format_confusion(cfm)
     assert "total" in rendered and "Databreach" in rendered
+
+
+def test_coref_alias_propagation_unit():
+    """M12 (parseJsontoFeatures.py:60-106): a bare capitalized surname
+    joins the chain of the earlier full mention and inherits its type +
+    entity link; ambiguous heads propagate nothing."""
+    from casie_ray.semantics import build_catalog_matcher, detect_turn, doc_logic
+
+    ents = [
+        {"entity_id": "E1", "canonical": "Kiran Troveck", "aliases": [],
+         "type": "Person"},
+        {"entity_id": "E2", "canonical": "Harper Troveck", "aliases": [],
+         "type": "Person"},
+    ]
+    cat = build_catalog_matcher(ents)
+    dets = {
+        0: detect_turn("Kiran Troveck stole customer names from the portal .",
+                       cat),
+        1: detect_turn("Troveck also attacked according to the team .", cat),
+    }
+    # surname shared by two catalog persons BUT only one mentioned here:
+    # chain is unambiguous within the conversation
+    evs = doc_logic("c1", dets)
+    aliased = [(m.text, m.argtype, m.entity_id)
+               for e in evs for m in e.args if m.text == "troveck"]
+    assert aliased == [("troveck", "Person", "E1")]
+
+    # both persons mentioned -> surname chain ambiguous -> no propagation
+    dets = {
+        0: detect_turn("Kiran Troveck stole records from Harper Troveck .",
+                       cat),
+        1: detect_turn("Troveck also attacked according to the team .", cat),
+    }
+    evs = doc_logic("c1", dets)
+    assert not [m for e in evs for m in e.args if m.text == "troveck"]
+
+
+def test_alias_plants_recovered_from_gold(smoke_corpus):
+    """The synthetic corpus plants bare-surname alias events (hopper
+    'ha'); the oracle must recover their Person arguments via chain
+    propagation with the linked entity id."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from casie_ray.oracle import extract_events
+
+    gold = []
+    for f in sorted(glob.glob(f"{smoke_corpus}/gold_events/*.parquet")):
+        gold.extend(pq.read_table(f).to_pylist())
+    alias_gold = [g for g in gold if ":ha" in g["hopper_id"]]
+    assert alias_gold, "synth must plant alias events at sf0.001"
+
+    pred = {}
+    for conv_id, events in extract_events(smoke_corpus):
+        for e in events:
+            for m in e.args:
+                pred[(conv_id, e.turn_idx, m.start, m.end)] = m
+    hits = 0
+    for g in alias_gold:
+        a = next(x for x in g["arguments"] if x["role"] in
+                 ("Attacker", "Discoverer"))
+        m = pred.get((g["conv_id"], g["turn_idx"], a["start"], a["end"]))
+        if m is not None and m.argtype == "Person" and m.entity_id:
+            hits += 1
+    assert hits / len(alias_gold) >= 0.9, (hits, len(alias_gold))

@@ -21,6 +21,7 @@ import re as _re
 from collections.abc import Callable
 from typing import Any
 
+from casie_ray import lexicons as _lx
 from casie_ray.ops import ann as _ann
 from casie_ray.ops import dedup as _dedup
 from casie_ray.ops import graph as _graph
@@ -135,6 +136,25 @@ def _dup_clusters(sf_dir: str):
     return _graph.connected_components(edges)
 
 
+def _event_class_weights(sf_dir: str):
+    """A1 (role_phrase.py:270-281): inverse-frequency class weights over
+    the extracted event-type labels, 0.001 floor for absent labels."""
+    from casie_ray import lexicons as lx
+    from casie_ray.ops.mlprep import class_weights
+    return class_weights(_events_ds(sf_dir), tuple(lx.TRIGGER_TYPES))
+
+
+def _transcripts_split(sf_dir: str):
+    """O5 (nug_arg_detection.py:230-278): deterministic per-conversation
+    train/test assignment by content hash."""
+    import ray.data
+    from casie_ray.ops.mlprep import split_assignment
+    corpus = _corpus_dir(_sf_of(sf_dir))
+    ds = ray.data.read_parquet(os.path.join(corpus, "transcripts"),
+                               columns=["conv_id"])
+    return split_assignment(ds)
+
+
 def _media_features(sf_dir: str):
     from casie_ray.stages.multimodal import media_features
     # driver compares row-count only; drop the float columns
@@ -173,6 +193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search (embeddings)
         "ann_topk": _ann.ann_topk,
         "ann_topk_lsh": _ann.ann_topk_lsh,
+        # training prep (A1 class weights, O5 hash split)
+        "event_class_weights": _event_class_weights,
+        "transcripts_split": _transcripts_split,
         # multimodal plumbing (stubbed decode, real actor-pool stage)
         "media_features": _media_features,
         # relational surface (star schema + events stream)
@@ -196,14 +219,19 @@ _FNV_OFF = 14695981039346656037
 _FNV_P = 1099511628211
 _M64 = "CAST(18446744073709551616 AS HUGEINT)"
 
-_FNV_WORD = (
-    "list_reduce(list_prepend("
-    f"CAST({_FNV_OFF} AS UBIGINT), "
-    "[CAST(unicode(substring(w, i, 1)) AS UBIGINT) "
-    "FOR i IN generate_series(1, length(w))]), "
-    f"(a, b) -> CAST((CAST(xor(a, b) AS HUGEINT) * {_FNV_P}) % {_M64} "
-    "AS UBIGINT))"
-)
+def _fnv_expr(col: str) -> str:
+    """FNV-1a 64-bit of an ASCII string expression, in SQL."""
+    return (
+        "list_reduce(list_prepend("
+        f"CAST({_FNV_OFF} AS UBIGINT), "
+        f"[CAST(unicode(substring({col}, i, 1)) AS UBIGINT) "
+        f"FOR i IN generate_series(1, length({col}))]), "
+        f"(a, b) -> CAST((CAST(xor(a, b) AS HUGEINT) * {_FNV_P}) % {_M64} "
+        "AS UBIGINT))"
+    )
+
+
+_FNV_WORD = _fnv_expr("w")
 
 # one rolling step: roll*P + h, wrapping at 2^64 like numpy uint64
 def _roll_sql(acc: str, nxt: str) -> str:
@@ -334,6 +362,22 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_roundtrip": (
             "SELECT conv_id, turn_idx, text FROM read_parquet("
             f"'{corpus_001}/transcripts/*.parquet')"),
+        "event_class_weights": f"""
+            WITH c AS (
+              SELECT etype AS label, count(*) AS cnt
+              FROM read_parquet('{corpus_001}/gold_kg_events.parquet')
+              GROUP BY etype
+            ), v(label) AS (VALUES {", ".join(
+                f"('{t}')" for t in sorted(_lx.TRIGGER_TYPES))})
+            SELECT v.label, coalesce(c.cnt, 0) AS n,
+                   coalesce(1.0 / c.cnt, 0.001) AS weight
+            FROM v LEFT JOIN c USING (label)""",
+        "transcripts_split": f"""
+            SELECT conv_id,
+                   CASE WHEN {_fnv_expr("conv_id")} % 100 < 20
+                        THEN 'test' ELSE 'train' END AS split
+            FROM (SELECT DISTINCT conv_id FROM read_parquet(
+                  '{corpus_001}/transcripts/*.parquet'))""",
         "doc_stats": f"""
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,

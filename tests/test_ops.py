@@ -42,7 +42,8 @@ SQL_CHECKED = [
     "doc_stats", "doc_token_count", "doc_corpus_stats", "dedup_exact",
     "dedup_jaccard_pairs", "dedup_minhash_lsh", "dedup_simhash_pairs",
     "dedup_embedding_pairs", "dup_clusters", "doc_lang_id",
-    "doc_fingerprint", "media_features",
+    "doc_fingerprint", "media_features", "event_class_weights",
+    "transcripts_split",
     "ann_topk", "lineitem_agg", "segment_revenue", "top_customers",
     "events_hourly", "distinct_users", "events_asof_orders",
     # the KG trio checks the distributed engine against the persisted

@@ -155,6 +155,12 @@ def _transcripts_split(sf_dir: str):
     return split_assignment(ds)
 
 
+def _token_features(sf_dir: str):
+    """M6/M7 feature layer: per-token chunk/governor columns."""
+    from casie_ray.ops.features import token_features
+    return token_features(_corpus_dir(_sf_of(sf_dir)))
+
+
 def _media_features(sf_dir: str):
     from casie_ray.stages.multimodal import media_features
     # driver compares row-count only; drop the float columns
@@ -193,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search (embeddings)
         "ann_topk": _ann.ann_topk,
         "ann_topk_lsh": _ann.ann_topk_lsh,
+        # per-token feature layer (M6/M7 re-expression)
+        "turn_token_features": _token_features,
         # training prep (A1 class weights, O5 hash split)
         "event_class_weights": _event_class_weights,
         "transcripts_split": _transcripts_split,
@@ -335,6 +343,46 @@ WHERE inter * 100 >= 80 * (sa.n + sb.n - inter)
 """
 
 
+def _token_features_sql(corpus: str) -> str:
+    """M6/M7 window-function twin of ops.features.token_features."""
+    from casie_ray.ops.features import _NON_CONTENT
+    from casie_ray.tokenize import TOKEN_RE
+    pat = TOKEN_RE.pattern.replace("'", "''")
+    nc = "(" + ", ".join(f"'{w}'" for w in sorted(_NON_CONTENT)) + ")"
+    return f"""
+        WITH tok AS (
+          SELECT conv_id, turn_idx,
+                 unnest(regexp_extract_all(text, '{pat}')) AS surface,
+                 generate_subscripts(regexp_extract_all(text, '{pat}'), 1)
+                     AS tok_idx
+          FROM read_parquet('{corpus}/transcripts/*.parquet')
+        ), f AS (
+          SELECT *, (regexp_matches(surface, '^[A-Za-z]')
+                     AND lower(surface) NOT IN {nc}) AS is_content
+          FROM tok
+        ), w AS (
+          SELECT *, (is_content AND NOT
+                     coalesce(lag(is_content) OVER win, false)) AS begins
+          FROM f
+          WINDOW win AS (PARTITION BY conv_id, turn_idx ORDER BY tok_idx)
+        )
+        SELECT conv_id, turn_idx, CAST(tok_idx AS BIGINT) AS tok_idx,
+               surface, is_content,
+               CASE WHEN NOT is_content THEN 'O'
+                    WHEN begins THEN 'B-NP' ELSE 'I-NP' END AS chunk_tag,
+               CAST(CASE WHEN is_content THEN
+                    sum(CASE WHEN begins THEN 1 ELSE 0 END) OVER win2
+                    ELSE 0 END AS BIGINT) AS chunk_id,
+               CAST(coalesce(max(CASE WHEN is_content THEN tok_idx END)
+                    OVER win3, 0) AS BIGINT) AS gov_id
+        FROM w
+        WINDOW win2 AS (PARTITION BY conv_id, turn_idx ORDER BY tok_idx
+                        ROWS UNBOUNDED PRECEDING),
+               win3 AS (PARTITION BY conv_id, turn_idx ORDER BY tok_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # the roundtrip oracle reads the deterministic synthetic corpus the
     # engine query ran on — generate it before the driver's DuckDB pass,
@@ -378,6 +426,7 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'test' ELSE 'train' END AS split
             FROM (SELECT DISTINCT conv_id FROM read_parquet(
                   '{corpus_001}/transcripts/*.parquet'))""",
+        "turn_token_features": _token_features_sql(corpus_001),
         "doc_stats": f"""
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,

@@ -364,3 +364,40 @@ def test_alias_plants_recovered_from_gold(smoke_corpus):
         if m is not None and m.argtype == "Person" and m.entity_id:
             hits += 1
     assert hits / len(alias_gold) >= 0.9, (hits, len(alias_gold))
+
+
+def test_embedding_tagger_seat(smoke_corpus):
+    """T3 (nug_arg_detection_bert.py): the alternative tagger seat must
+    (a) keep every rule-tagger trigger (prototype cosine 1.0 on lexicon
+    surfaces), (b) additionally recover near-miss spellings above
+    TRIG_SIM, (c) build its prototype state once in __init__."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from casie_ray.stages.alttagger import EmbeddingTagger
+    from casie_ray.stages.detect import DetectTagger
+
+    ents = pq.read_table(os.path.join(smoke_corpus, "entities.parquet")) \
+        .to_pylist()
+    rule = DetectTagger(ents)
+    emb = EmbeddingTagger(ents)
+    assert emb.proto_mat.shape[0] == len(emb.proto_surfaces)
+
+    texts = [
+        "the attacker stole payment records from the portal .",
+        "a phishhing wave hit the helpdesk overnight .",   # near miss
+        "metrics are flat over the weekend window .",
+    ]
+    for t in texts:
+        d_rule = rule.detect_or_skip(t, True)
+        d_emb = emb.detect_or_skip(t, True)
+        rule_keys = {(tr.tok_idx, tr.surface) for tr in d_rule.triggers}
+        emb_keys = {(tr.tok_idx, tr.surface) for tr in d_emb.triggers}
+        assert rule_keys <= emb_keys          # superset contract
+        assert d_emb.mentions == d_rule.mentions
+    near = emb.detect_or_skip(texts[1], True)
+    assert any(tr.surface == "phishhing" and "Phishing" in tr.etypes
+               for tr in near.triggers)
+    assert not any(tr.surface == "phishhing"
+                   for tr in rule.detect_or_skip(texts[1], True).triggers)

@@ -509,6 +509,33 @@ def compatible_filter(turn_triggers, turn_mentions):
         turn_mentions[ti] = kept
 
 
+J6_WINDOW = 3
+
+
+def lookback_attach(events, turn_mentions_all, window: int = J6_WINDOW):
+    """J6 (findnearbyner, parseJsontoFeatures.py:951-958): an event left
+    with NO arguments borrows the nearest PRECEDING turn's compatible
+    mention within ``window`` turns — the reference's nearest-preceding-
+    sentence-with-wanted-NE feature applied at link time. Distance 1 is
+    already covered by link_events' previous-turn rule, so lookback
+    starts at 2. The borrowed mention is copied (a shared object would
+    make role assignment order-dependent) and taken from the PRE-filter
+    mention table: compatibility filtering is a ±1-turn window by
+    construction, which is exactly why a farther-back mention needs this
+    separate path. Mutates events."""
+    import dataclasses
+    for e in events:
+        if e.args:
+            continue
+        for d in range(2, window + 1):
+            cands = [m for m in turn_mentions_all.get(e.turn_idx - d, [])
+                     if m.argtype in lx.PAIR[e.etype]]
+            if cands:
+                src = max(cands, key=lambda m: m.start)
+                e.args.append(dataclasses.replace(src))
+                break
+
+
 def link_events(conv_id, turn_triggers, turn_mentions) -> list[Event]:
     """One event per resolved trigger; each argument attaches to the
     nearest compatible trigger in its own turn, else the last compatible
@@ -882,8 +909,13 @@ def doc_logic(conv_id: str, detections: dict[int, TurnDetection]) -> list[Event]
     recheck_impute(turn_triggers, turn_mentions, hist)
     impute_similarity_triggers(turn_triggers, turn_mentions, detections,
                                hist)
+    # pre-filter snapshot: the J6 lookback may reach mentions the
+    # ±1-turn compatibility filter is about to drop
+    mentions_all = {ti: list(ms) for ti, ms in turn_mentions.items()}
     compatible_filter(turn_triggers, turn_mentions)
-    return link_events(conv_id, turn_triggers, turn_mentions)
+    events = link_events(conv_id, turn_triggers, turn_mentions)
+    lookback_attach(events, mentions_all)
+    return events
 
 
 def extract_conversation(conv_id: str, turns: list[dict], catalog: dict,

@@ -423,6 +423,9 @@ def gen_conversation(conv_index: int, cat: dict[str, list[dict]],
     # person by bare surname — only coref-chain propagation (M12) can
     # type and link it
     pending_alias: dict[int, tuple[str, str, str]] = {}
+    # turn_idx -> (etype, borrowed-arg dict): a bare-trigger turn whose
+    # only argument must be borrowed from 2 turns back (J6 lookback)
+    pending_lookback: dict[int, tuple[str, dict]] = {}
 
     for ti in range(n_turns):
         ts += dt.timedelta(seconds=rng.randint(10, 300))
@@ -431,6 +434,7 @@ def gen_conversation(conv_index: int, cat: dict[str, list[dict]],
         sent_parts = []
 
         planted = None
+        lookback_arg = None
         if ti in event_turns:
             template = TEMPLATES[rng.randrange(len(TEMPLATES))]
             planted = (_render_event(rng, template, cat, hot, n_novel, seed),
@@ -449,6 +453,18 @@ def gen_conversation(conv_index: int, cat: dict[str, list[dict]],
                      "according", "to", "the", "team", "."])
             planted = (_render_event(rng, tmpl, cat, hot, n_novel, seed),
                        f"{conv_id}:ha{ti}")
+        elif ti in pending_lookback:
+            etype_lb, barg = pending_lookback.pop(ti)
+            tmpl = (etype_lb, "Actual",
+                    ["the", T, "was", "confirmed", "by", "the", "team",
+                     "."])
+            rendered = _render_event(rng, tmpl, cat, hot, n_novel, seed)
+            text_lb, _, realis_lb, nug_lb, _ = rendered
+            # gold: nugget in THIS turn, argument borrowed verbatim
+            # (span in its source turn) via the J6 lookback path
+            planted = ((text_lb, etype_lb, realis_lb, nug_lb, []),
+                       f"{conv_id}:hl{ti}")
+            lookback_arg = barg
 
         if planted is None or rng.random() < 0.5:
             sent_parts.append(rng.choice(_FILLER) + " .")
@@ -463,6 +479,8 @@ def gen_conversation(conv_index: int, cat: dict[str, list[dict]],
                        "end": nugget["end"] + offset}
             args_abs = [{**a, "start": a["start"] + offset,
                          "end": a["end"] + offset} for a in args]
+            if lookback_arg is not None:
+                args_abs = [lookback_arg]   # span stays in its source turn
             g_rows.append({
                 "conv_id": conv_id, "turn_idx": ti, "hopper_id": hopper_id,
                 "event_id": f"{conv_id}:{ti}:{nug_abs['start']}",
@@ -506,6 +524,24 @@ def gen_conversation(conv_index: int, cat: dict[str, list[dict]],
                                  else "Attacker")
                         pending_alias[later] = (
                             etype, people[0]["text"].split(" ")[-1], arole)
+            # follow up with a BARE trigger two turns later whose only
+            # argument sits back in this turn -> exercises the J6
+            # nearest-preceding-NE lookback
+            if (ti in event_turns and realis == "Actual"
+                    and rng.random() < 0.2 and ti + 2 < n_turns):
+                later = ti + 2
+                compat = [a for a in args_abs
+                          if a["type"] in lx.PAIR[etype]]
+                roles_of = (lx.ROLE_PAIR[etype].get(compat[-1]["type"])
+                            if compat else None)
+                if (compat and roles_of and len(roles_of) == 1
+                        and later not in event_turns
+                        and later not in pending_repeat
+                        and later not in pending_impute
+                        and later not in pending_alias
+                        and later not in pending_lookback):
+                    pending_lookback[later] = (
+                        etype, {**compat[-1], "role": roles_of[0]})
 
         text = " ".join(sent_parts) if sent_parts else rng.choice(_FILLER) + " ."
         t_rows.append({"conv_id": conv_id, "turn_idx": ti, "role": role,

@@ -401,3 +401,51 @@ def test_embedding_tagger_seat(smoke_corpus):
                for tr in near.triggers)
     assert not any(tr.surface == "phishhing"
                    for tr in rule.detect_or_skip(texts[1], True).triggers)
+
+
+def test_lookback_attach_unit():
+    """J6: an argless event borrows the nearest preceding compatible
+    mention at distance >= 2; events with args are untouched."""
+    from casie_ray.semantics import (
+        Event, Mention, lookback_attach,
+    )
+
+    m_far = Mention(10, 20, "acme corp", "Organization")
+    m_near = Mention(5, 9, "data", "Data")
+    bare = Event("e1", "c", 5, "Databreach", 0, 5, "stole")
+    full = Event("e2", "c", 5, "Databreach", 10, 15, "stole",
+                 args=[Mention(0, 4, "x", "Data")])
+    lookback_attach([bare, full], {2: [m_far], 3: [m_near]})
+    # nearest preceding turn is 3 (distance 2) -> borrows m_near copy
+    assert [(m.text, m.argtype) for m in bare.args] == [("data", "Data")]
+    assert bare.args[0] is not m_near          # copied, not shared
+    assert len(full.args) == 1                  # untouched
+
+
+def test_lookback_plants_recovered_from_gold(smoke_corpus):
+    """Planted bare-trigger events (hopper 'hl') must recover their
+    borrowed argument — span in the source turn — via the lookback."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from casie_ray.oracle import extract_events
+
+    gold = []
+    for f in sorted(glob.glob(f"{smoke_corpus}/gold_events/*.parquet")):
+        gold.extend(pq.read_table(f).to_pylist())
+    lb_gold = [g for g in gold if ":hl" in g["hopper_id"]]
+    assert lb_gold, "synth must plant lookback events at sf0.001"
+
+    pred = {}
+    for conv_id, events in extract_events(smoke_corpus):
+        for e in events:
+            for m in e.args:
+                pred[(conv_id, e.turn_idx, m.start, m.end)] = m
+    hits = 0
+    for g in lb_gold:
+        a = g["arguments"][0]
+        m = pred.get((g["conv_id"], g["turn_idx"], a["start"], a["end"]))
+        if m is not None and m.argtype == a["type"] and m.role == a["role"]:
+            hits += 1
+    assert hits / len(lb_gold) >= 0.9, (hits, len(lb_gold))

@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search (embeddings)
         "ann_topk": _ann.ann_topk,
         "ann_topk_lsh": _ann.ann_topk_lsh,
+        "ann_topk_ivf": _ann.ann_topk_ivf,
         # per-token feature layer (M6/M7 re-expression)
         "turn_token_features": _token_features,
         # training prep (A1 class weights, O5 hash split)
@@ -213,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _rel.events_hourly,
         "distinct_users": _rel.distinct_users,
         "events_asof_orders": _rel.events_asof_orders,
+        "events_sessions": _rel.events_sessions,
     }
 
 
@@ -531,6 +533,24 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type""",
+        "events_sessions": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT *, sum(new_sess) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) AS session_end, count(*) AS n_events
+            FROM s GROUP BY user_id, sid""",
         "events_asof_orders": """
             WITH j AS (
               SELECT e.event_id, o.o_orderkey,

@@ -20,6 +20,24 @@ DEFAULT_K = 10
 DEFAULT_NQ = 8
 LSH_PLANES = 6
 LSH_SEED = 99
+IVF_CELLS = 16
+IVF_NPROBE = 4
+IVF_ITERS = 10
+IVF_SAMPLE = 4096
+
+
+def emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """Arrow list<float> column -> (n, dim) float32 matrix without a
+    Python list round-trip: flatten the values buffer zero-copy and
+    reshape (embeddings are fixed-length per table)."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if batch.num_rows == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+        np.float32, copy=False)
+    return flat.reshape(batch.num_rows, -1)
 
 
 def _load_queries(sf_dir: str, n_queries: int):
@@ -51,9 +69,9 @@ def _partial_topk(q_ref, k: int):
 
     def fn(batch: pa.Table) -> pa.Table:
         q_ids, qm = ray.get(q_ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.asarray(batch.column("embedding").to_pylist(),
-                       dtype=np.float32)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        m = emb_matrix(batch)
         n = np.linalg.norm(m, axis=1, keepdims=True)
         n[n == 0] = 1.0
         sims = qm @ (m / n).T                      # (nq, batch)
@@ -142,16 +160,91 @@ def ann_topk_lsh(sf_dir: str, k: int = DEFAULT_K,
     partial = _partial_topk(q_ref, k)
 
     def bucket_filter(batch: pa.Table) -> pa.Table:
-        m = np.asarray(batch.column("embedding").to_pylist(),
-                       dtype=np.float32)
-        if len(m) == 0:
+        if batch.num_rows == 0:
             return batch
+        m = emb_matrix(batch)
         keep = np.isin(_bucket_of(m, planes), list(q_buckets))
         return batch.filter(pa.array(keep))
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     ds = ds.map_batches(bucket_filter, batch_format="pyarrow")
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("query_id").map_groups(_final_topk(k),
+                                             batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF variant (data-adaptive coarse quantizer; the production scale path)
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(sf_dir: str, n_cells: int = IVF_CELLS,
+                    iters: int = IVF_ITERS,
+                    sample_rows: int = IVF_SAMPLE) -> np.ndarray:
+    """Deterministic Lloyd's k-means over a bounded head sample of the
+    corpus (the classic IVF coarse quantizer). The sample is small-side
+    by construction (first `sample_rows` of row-group 0), so training is
+    a driver-local numpy job regardless of corpus size; the resulting
+    (n_cells, dim) matrix broadcasts via ray.put like any lookup table.
+    Seeded init (spread picks from the sample) + fixed iteration count
+    => identical centroids on every run/worker."""
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    tbl = pf.read_row_group(0, columns=["embedding"])
+    m = emb_matrix(tbl)[:sample_rows]
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    m = m / norms
+    n_cells = min(n_cells, len(m))
+    rng = np.random.default_rng(LSH_SEED)
+    cents = m[rng.choice(len(m), size=n_cells, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(n_cells):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                nv = np.linalg.norm(v)
+                cents[c] = v / nv if nv else cents[c]
+    return cents
+
+
+def ann_topk_ivf(sf_dir: str, k: int = DEFAULT_K,
+                 n_queries: int = DEFAULT_NQ, nprobe: int = IVF_NPROBE):
+    """Approximate top-k with an IVF coarse quantizer: every query
+    probes its `nprobe` nearest cells; the corpus pass scans only rows
+    assigned to a probed cell (scanned fraction ~ nprobe/n_cells, and
+    unlike the LSH variant the cells adapt to the data distribution).
+    Same output schema as :func:`ann_topk`; recall < 1 by design."""
+    import ray
+    import ray.data
+
+    q_ids, qm = _load_queries(sf_dir, n_queries)
+    cents = train_centroids(sf_dir)
+    qsims = qm @ cents.T
+    probed = set()
+    for row in np.argsort(-qsims, axis=1)[:, :nprobe]:
+        probed.update(int(c) for c in row)
+    probed_arr = np.fromiter(sorted(probed), dtype=np.int64,
+                             count=len(probed))
+    q_ref = ray.put((q_ids, qm))
+    cents_ref = ray.put(cents)
+    partial = _partial_topk(q_ref, k)
+
+    def cell_filter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        c = ray.get(cents_ref)
+        m = emb_matrix(batch)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        assign = np.argmax((m / n) @ c.T, axis=1)
+        return batch.filter(pa.array(np.isin(assign, probed_arr)))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    ds = ds.map_batches(cell_filter, batch_format="pyarrow")
     ds = ds.map_batches(partial, batch_format="pyarrow")
     return ds.groupby("query_id").map_groups(_final_topk(k),
                                              batch_format="pyarrow")

@@ -728,9 +728,10 @@ def _put_embedding_chunks(sf_dir: str):
     def load_chunk(rg: int, lo: int, hi: int):
         tbl = pq.ParquetFile(path).read_row_group(
             rg, columns=["vec_id", "embedding"]).slice(lo, hi - lo)
-        ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.asarray(tbl.column("embedding").to_pylist(),
-                         dtype=np.float32)
+        from .ann import emb_matrix
+        ids = tbl.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        mat = emb_matrix(tbl)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         return ids, mat / norms
@@ -757,9 +758,10 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.5):
     refs = _put_embedding_chunks(sf_dir)
 
     def pairs(batch: pa.Table) -> pa.Table:
-        bid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        bm = np.asarray(batch.column("embedding").to_pylist(),
-                        dtype=np.float32)
+        from .ann import emb_matrix
+        bid = batch.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        bm = emb_matrix(batch)
         bn = np.linalg.norm(bm, axis=1, keepdims=True)
         bn[bn == 0] = 1.0
         bm = bm / bn
@@ -795,9 +797,10 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.5,
     import ray.data
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.asarray(batch.column("embedding").to_pylist(),
-                       dtype=np.float32)
+        from .ann import emb_matrix
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        m = emb_matrix(batch)
         if len(ids) == 0:
             return pa.table({"band": pa.array([], pa.int32()),
                              "key": pa.array([], pa.uint64()),

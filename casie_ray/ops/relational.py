@@ -308,3 +308,59 @@ def events_asof_orders(sf_dir: str):
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
         .map_batches(_asof_event_rows, batch_format="pyarrow")
     return bucket_groupby(orders.union(events), _asof_probe_bucket)
+
+
+# ---------------------------------------------------------------------------
+# Session windows: gap-based sessionization per user (a streaming window
+# primitive Ray Data lacks; SURVEY §2 "custom operators")
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000   # 30 minutes, in timestamp[us] units
+
+
+def events_sessions(sf_dir: str, gap_us: int = SESSION_GAP_US):
+    """Gap-based session windows over the events stream: per user,
+    consecutive events closer than ``gap_us`` share a session. Output:
+    (user_id, session_start, session_end, n_events).
+
+    Shape: ONE exchange keyed by hash(user_id) bucket, then a fully
+    vectorized per-bucket sessionization (lexsort by (user, ts), gap
+    flags, cumulative session ids, reduceat bounds). Partitioning
+    assumption: one user's events fit a bucket group — the same
+    per-key-locality contract as the as-of join, with the same salting
+    escape hatch for a pathological user."""
+    from .bucketing import bucket_groupby, hash_bucket
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": batch.column("ts"),
+            "bucket": pa.array(hash_bucket([uid]), pa.int32()),
+        })
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy()
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        n = len(uid)
+        new_sess = np.ones(n, dtype=bool)
+        if n > 1:
+            new_sess[1:] = (uid[1:] != uid[:-1]) | \
+                (ts[1:] - ts[:-1] > gap_us)
+        starts = np.nonzero(new_sess)[0]
+        ends = np.concatenate([starts[1:], [n]])
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "session_start": pa.array(ts[starts], pa.int64()).cast(
+                pa.timestamp("us")),
+            "session_end": pa.array(ts[ends - 1], pa.int64()).cast(
+                pa.timestamp("us")),
+            "n_events": pa.array(ends - starts, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    ds = ds.map_batches(tag, batch_format="pyarrow")
+    return bucket_groupby(ds, sessionize)

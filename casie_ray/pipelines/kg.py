@@ -130,11 +130,57 @@ def _prune_stale_manifests(out_dir: str, n_groups: int) -> None:
                 pass
 
 
+GROUP_SIZE = 512
+
+
+def _stable_groups(out_dir: str, files: list[str],
+                   group_size: int = GROUP_SIZE) -> list[list[str]]:
+    """Persistent file->group assignment (state/groups.json keyed by
+    shard basename). Existing shards keep their group id forever; new
+    shards fill the last non-full group, then open new ids. Groups whose
+    file set is unchanged stay manifest-complete on a re-run, so only
+    the groups touched by new data are extracted."""
+    import json
+    os.makedirs(manifest.manifest_dir(out_dir), exist_ok=True)
+    path = os.path.join(manifest.manifest_dir(out_dir), "groups.json")
+    assign: dict[str, int] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            assign = json.load(f)
+    by_base = {os.path.basename(p): p for p in files}
+    # drop assignments for shards no longer present
+    assign = {b: g for b, g in assign.items() if b in by_base}
+    sizes: dict[int, int] = {}
+    for g in assign.values():
+        sizes[g] = sizes.get(g, 0) + 1
+    nxt = max(sizes) if sizes else 0
+    for base in sorted(by_base):
+        if base in assign:
+            continue
+        while sizes.get(nxt, 0) >= group_size:
+            nxt += 1
+        assign[base] = nxt
+        sizes[nxt] = sizes.get(nxt, 0) + 1
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(assign, f, sort_keys=True)
+    os.replace(tmp, path)
+    n = max(assign.values()) + 1 if assign else 0
+    groups: list[list[str]] = [[] for _ in range(n)]
+    for base in sorted(assign):
+        groups[assign[base]].append(by_base[base])
+    # keep empty slots: the list INDEX is the persisted gid (renumbering
+    # would mismatch existing group dirs/manifests); the run loop clears
+    # emptied groups' output
+    return groups
+
+
 def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
                     n_groups: int | None = None, resume: bool = True,
                     detect_concurrency=None, batch_size: int = 256,
                     keep_events: bool = True,
-                    conv_partitioned: bool = True) -> dict:
+                    conv_partitioned: bool = True,
+                    group_size: int = GROUP_SIZE) -> dict:
     """Run extraction + finalize; returns counters. Requires an active
     Ray session (callers own init/shutdown)."""
     import ray
@@ -149,10 +195,15 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
         # a group is the unit of checkpoint/resume; size it to ~512 input
         # shards so each group saturates the cluster and the per-group
         # barrier cost amortizes (at corpus scale there are thousands of
-        # shards -> tens of groups, each itself wide)
-        n_groups = max(1, (len(files) + 511) // 512)
-    groups = [files[i::n_groups] for i in range(n_groups)]
-    groups = [g for g in groups if g]
+        # shards -> tens of groups, each itself wide). Assignment is
+        # STABLE across runs (persisted file->gid map): appending new
+        # shards to the corpus only creates/extends trailing groups, so
+        # an incremental re-run extracts just the new data and
+        # re-finalizes — streaming KG maintenance at shard granularity.
+        groups = _stable_groups(out_dir, files, group_size)
+    else:
+        groups = [g for g in (files[i::n_groups] for i in range(n_groups))
+                  if g]
 
     entities = pq.read_table(os.path.join(corpus_dir, "entities.parquet"))
     entities_ref = ray.put(entities.to_pylist())
@@ -169,6 +220,18 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
     _prune_stale_manifests(out_dir, len(groups))
     skipped = 0
     for gid, gfiles in enumerate(groups):
+        if not gfiles:
+            # group emptied by shard removal: clear its stale output so
+            # finalize can't double-count it
+            shutil.rmtree(os.path.join(raw_root, f"group-{gid:05d}"),
+                          ignore_errors=True)
+            shutil.rmtree(os.path.join(ev_root, f"group-{gid:05d}"),
+                          ignore_errors=True)
+            try:
+                os.remove(manifest.manifest_path(out_dir, gid))
+            except OSError:
+                pass
+            continue
         if resume and manifest.is_complete(out_dir, gid, cfg, gfiles):
             skipped += 1
             continue

@@ -193,3 +193,44 @@ def test_prescreen_mask_is_sound(smoke_corpus):
             assert det.triggers == [] and det.mentions == [], text
     # the corpus is mostly filler: the pre-pass must actually skip work
     assert n_boring > len(texts) // 3
+
+
+def test_incremental_update_extracts_only_new_shards(smoke_corpus,
+                                                     tmp_path):
+    """Streaming KG maintenance: appending shards to the corpus and
+    re-running must (a) skip every previously-completed group, (b) give
+    byte-identical edges to a from-scratch run over the full corpus."""
+    import shutil
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from casie_ray.pipelines.kg import list_transcript_files, run_kg_pipeline
+
+    files = list_transcript_files(smoke_corpus)
+    assert len(files) >= 3
+    part = tmp_path / "part"
+    (part / "transcripts").mkdir(parents=True)
+    shutil.copy(os.path.join(smoke_corpus, "entities.parquet"), part)
+    for f in files[:-1]:
+        shutil.copy(f, part / "transcripts")
+
+    out = str(tmp_path / "kg")
+    info1 = run_kg_pipeline(str(part), out, group_size=1)
+    assert info1["groups_skipped"] == 0
+
+    # stream in the last shard and update
+    shutil.copy(files[-1], part / "transcripts")
+    info2 = run_kg_pipeline(str(part), out, group_size=1)
+    assert info2["groups_skipped"] == len(files) - 1   # old groups reused
+
+    fresh = str(tmp_path / "kg_fresh")
+    run_kg_pipeline(smoke_corpus, fresh, group_size=1)
+
+    def edges(d):
+        return pd.concat([pq.read_table(f).to_pandas() for f in
+                          sorted(glob.glob(os.path.join(d, "edges",
+                                                        "*.parquet")))]) \
+            .sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(edges(out), edges(fresh))

@@ -46,6 +46,7 @@ SQL_CHECKED = [
     "transcripts_split", "turn_token_features",
     "ann_topk", "lineitem_agg", "segment_revenue", "top_customers",
     "events_hourly", "distinct_users", "events_asof_orders",
+    "events_sessions",
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events",
@@ -180,3 +181,22 @@ def test_minhash_deterministic_and_sensitive():
     assert (s1 == s1b).all()
     frac = (s1 == s2).mean()
     assert 0.2 < frac < 1.0  # similar but not identical
+
+
+def test_ann_ivf_recall_vs_exact(ray_session):
+    """IVF probing must recover most of the exact top-k (the testdata's
+    near-dup clusters concentrate neighbors in one cell) and never
+    return a neighbor the exact scan ranks outside its similarity
+    range. Deterministic: seeded centroids, fixed iterations."""
+    from casie_ray.ops.ann import ann_topk, ann_topk_ivf
+
+    exact = ann_topk(SF_DIR).to_pandas()
+    ivf = ann_topk_ivf(SF_DIR).to_pandas()
+    got = {(r.query_id, r.neighbor_id) for r in ivf.itertuples()}
+    want = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.6, recall
+    ivf2 = ann_topk_ivf(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(
+        ivf.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        ivf2.sort_values(["query_id", "rank"]).reset_index(drop=True))

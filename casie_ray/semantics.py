@@ -172,6 +172,13 @@ def detect_turn(text: str, catalog: dict, fuzzy: dict | None = None):
     month+date > number-before-count-noun; then triggers on unclaimed
     tokens (argument wins on conflict, link_coref.py:613-614).
 
+    This is the engine's multi-channel NE merge (M9, combineExtNe
+    parseJsontoFeatures.py:232-256): the regex channel (CVE/Version/
+    Money), the catalog channel, and the capitalized-run + fuzzy-link
+    channel are merged here by span priority; the fourth channel —
+    conversation-level coref-chain propagation — joins at doc-logic
+    time (:func:`propagate_coref_aliases`).
+
     Returns a :class:`TurnDetection`.
     """
     toks = tokenize(text)

@@ -109,7 +109,8 @@ def _transcripts_roundtrip(sf_dir: str):
 
     corpus = _corpus_dir(_sf_of(sf_dir))
     entities = pq.read_table(os.path.join(corpus, "entities.parquet"))
-    ref = ray.put(entities.to_pylist())
+    from casie_ray.stages.detect import build_tagger_state
+    ref = ray.put(build_tagger_state(entities.to_pylist()))
     ds = ray.data.read_parquet(
         os.path.join(corpus, "transcripts"),
         columns=["conv_id", "turn_idx", "text", "ts"])

@@ -206,7 +206,8 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
                   if g]
 
     entities = pq.read_table(os.path.join(corpus_dir, "entities.parquet"))
-    entities_ref = ray.put(entities.to_pylist())
+    from ..stages.detect import build_tagger_state
+    entities_ref = ray.put(build_tagger_state(entities.to_pylist()))
     cfg = manifest.config_hash()
 
     raw_root = os.path.join(out_dir, "raw_triples")

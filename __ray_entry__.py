@@ -162,6 +162,11 @@ def _token_features(sf_dir: str):
     return token_features(_corpus_dir(_sf_of(sf_dir)))
 
 
+def _media_dedup(sf_dir: str):
+    from casie_ray.stages.multimodal import media_dedup
+    return media_dedup(sf_dir)
+
+
 def _media_features(sf_dir: str):
     from casie_ray.stages.multimodal import media_features
     # driver compares row-count only; drop the float columns
@@ -189,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": _text.lang_id,
         "doc_fingerprint": _text.fingerprint,
         "doc_corpus_stats": _text.corpus_stats,
+        "doc_sample": _text.sample_documents,
+        "vocab_top_words": _text.vocab_top_words,
         # dedup family (documents / embeddings)
         "dedup_exact": _dedup.exact_dedup,
         "dedup_jaccard_pairs": _dedup.jaccard_pairs,
@@ -208,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_split": _transcripts_split,
         # multimodal plumbing (stubbed decode, real actor-pool stage)
         "media_features": _media_features,
+        "media_dedup": _media_dedup,
         # relational surface (star schema + events stream)
         "lineitem_agg": _rel.lineitem_agg,
         "segment_revenue": _rel.segment_revenue,
@@ -459,6 +467,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text""",
+        "doc_sample": f"""
+            SELECT doc_id FROM documents
+            WHERE {_fnv_expr("CAST(doc_id AS VARCHAR)")} % 100 < 10""",
+        "vocab_top_words": """
+            SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY w ORDER BY n DESC, w LIMIT 50""",
+        "media_dedup": """
+            SELECT CAST(concat('0x', substring(sha256(text), 1, 15))
+                        AS BIGINT) AS checksum,
+                   CAST(min(doc_id) AS BIGINT) AS media_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1""",
         "dedup_jaccard_pairs": _JACCARD_SQL,
         "dedup_minhash_lsh": _JACCARD_SQL,
         "dedup_simhash_pairs": _simhash_sql(),

@@ -223,3 +223,65 @@ def corpus_stats(sf_dir: str):
     return ds.repartition(1).map_batches(_corpus_stats_final,
                                          batch_format="pyarrow",
                                          batch_size=None)
+
+
+# --- deterministic hash sampling (training-data pipeline primitive) ---
+
+
+def sample_documents(sf_dir: str, pct: int = 10):
+    """Reproducible pct% sample of documents by content-independent id
+    hash (FNV-1a of the decimal doc_id string, mod 100) — the
+    shuffle-free sampling primitive for training-data splits; the same
+    assignment is re-derivable anywhere, including SQL."""
+    from .bucketing import fnv1a_hashes
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = fnv1a_hashes([str(int(i)) for i in ids]) % np.uint64(100)
+        return batch.filter(pa.array(h < pct)).select(["doc_id"])
+
+    return _read_documents(sf_dir, ("doc_id",)).map_batches(
+        pick, batch_format="pyarrow")
+
+
+# --- vocabulary builder (D3 as a first-class op): corpus top-k words ---
+
+
+def vocab_top_words(sf_dir: str, k: int = 50):
+    """Top-k words by corpus frequency (space tokenization, ties broken
+    by word ascending). Per-batch Arrow group_by combiner -> bucketed
+    exchange on hash(word) (totals complete per bucket) -> per-bucket
+    top-k candidates -> tiny single-block final merge. Only word-level
+    partials cross the wire, never token streams."""
+    from .bucketing import bucket_groupby, fnv1a_hashes, hash_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for t in batch.column("text").to_pylist():
+            words.extend((t or "").split(" "))
+        t = pa.table({"word": pa.array(words, pa.string()),
+                      "n": pa.array(np.ones(len(words), np.int64))})
+        g = t.group_by(["word"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["word", "n"])
+        bucket = hash_bucket([fnv1a_hashes(g.column("word").to_pylist())])
+        return g.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        g = group.group_by(["word"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["word", "n"])
+        n = g.column("n").to_numpy()
+        w = g.column("word").to_pylist()
+        order = sorted(range(len(w)), key=lambda i: (-n[i], w[i]))[:k]
+        return g.take(pa.array(order, pa.int64()))
+
+    def final(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy()
+        w = batch.column("word").to_pylist()
+        order = sorted(range(len(w)), key=lambda i: (-n[i], w[i]))[:k]
+        return batch.take(pa.array(order, pa.int64()))
+
+    ds = _read_documents(sf_dir).map_batches(partial,
+                                             batch_format="pyarrow")
+    ds = bucket_groupby(ds, bucket_topk)
+    return ds.repartition(1).map_batches(final, batch_format="pyarrow",
+                                         batch_size=None)

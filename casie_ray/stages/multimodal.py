@@ -126,3 +126,40 @@ def media_features(sf_dir: str, concurrency=2):
     return ds.map_batches(MediaDecoder, batch_format="pyarrow",
                           batch_size=MEDIA_BATCH_SIZE,
                           concurrency=concurrency)
+
+
+def media_dedup(sf_dir: str):
+    """Exact payload dedup over the media table: one row per distinct
+    payload checksum (min media_id + copy count). The multimodal twin of
+    ops.dedup.exact_dedup: per-batch combiner over the 60-bit sha256
+    prefix, bucketed exchange, vectorized per-bucket reduce — payload
+    BYTES never cross the exchange, only (checksum, id, count) rows."""
+    import numpy as np
+
+    from ..ops.bucketing import bucket_groupby, hash_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        sums = np.fromiter(
+            (int(hashlib.sha256(p or b"").hexdigest()[:15], 16)
+             for p in payloads), dtype=np.int64, count=len(payloads))
+        t = pa.table({
+            "checksum": pa.array(sums, pa.int64()),
+            "media_id": batch.column("media_id"),
+            "n_copies": pa.array(np.ones(len(sums), np.int64)),
+        })
+        g = t.group_by(["checksum"]).aggregate(
+            [("media_id", "min"), ("n_copies", "sum")])
+        g = g.rename_columns(["checksum", "media_id", "n_copies"])
+        return g.append_column(
+            "bucket", pa.array(hash_bucket([g.column("checksum")]),
+                               pa.int32()))
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by(["checksum"]).aggregate(
+            [("media_id", "min"), ("n_copies", "sum")])
+        return g.rename_columns(["checksum", "media_id", "n_copies"])
+
+    ds = documents_as_media(sf_dir).map_batches(partial,
+                                                batch_format="pyarrow")
+    return bucket_groupby(ds, final)

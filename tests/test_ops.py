@@ -43,7 +43,8 @@ SQL_CHECKED = [
     "dedup_jaccard_pairs", "dedup_minhash_lsh", "dedup_simhash_pairs",
     "dedup_embedding_pairs", "dup_clusters", "doc_lang_id",
     "doc_fingerprint", "media_features", "event_class_weights",
-    "transcripts_split", "turn_token_features",
+    "transcripts_split", "turn_token_features", "doc_sample",
+    "vocab_top_words", "media_dedup",
     "ann_topk", "lineitem_agg", "segment_revenue", "top_customers",
     "events_hourly", "distinct_users", "events_asof_orders",
     "events_sessions",

@@ -78,12 +78,10 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
     from casie_ray.pipelines.kg import run_kg_pipeline
 
     queries: dict[str, float] = {}
-    out = f"/tmp/casie_bench/kg_sf{sf:g}_cpus{num_cpus}"
-    shutil.rmtree(out, ignore_errors=True)
-    t0 = time.time()
-    info = run_kg_pipeline(corpus, out, resume=False)
-    queries["kg_pipeline"] = round(time.time() - t0, 2)
-
+    # ops suite FIRST (reuses the warmed task-worker pool), the
+    # actor-pool-heavy KG pipeline last — its actor processes displace
+    # idle task workers past Ray's soft limit, so anything timed after
+    # it would pay a full worker respawn
     if not headline_only:
         from casie_ray.ops import ann, dedup, relational, text
 
@@ -100,6 +98,12 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
         timed("doc_stats", text.doc_stats)
         timed("lineitem_agg", relational.lineitem_agg)
         timed("events_hourly", relational.events_hourly)
+
+    out = f"/tmp/casie_bench/kg_sf{sf:g}_cpus{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    info = run_kg_pipeline(corpus, out, resume=False)
+    queries["kg_pipeline"] = round(time.time() - t0, 2)
 
     total = round(sum(queries.values()), 2)
     return {

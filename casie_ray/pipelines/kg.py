@@ -295,6 +295,54 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
     return _finalize(out_dir, raw_root, groups, skipped, timings, t0)
 
 
+SMALL_FINALIZE_BYTES = 32 * 1024 * 1024
+
+
+def _finalize_local(out_dir, raw_files, groups, skipped, timings,
+                    t0) -> dict:
+    """Small-input finalize: the SAME shared kernels as the distributed
+    path, applied once in-process. Below the byte cutoff the three
+    distributed executions cost more in orchestration than the data
+    (the same size-aware escape hatch as the 200k-merge-edge driver
+    union-find); output is tested identical to the distributed path."""
+    import pyarrow as pa
+
+    from ..ops.graph import components_local
+    from ..stages.triples import RAW_TRIPLE_SCHEMA
+
+    t1 = time.time()
+    tbl = pa.concat_tables([pq.read_table(f) for f in raw_files]) \
+        if raw_files else RAW_TRIPLE_SCHEMA.empty_table()
+    medges = merge_edges_multi(extract_surface_nodes(tbl))
+    comp = components_local(list(zip(medges.column("src").to_pylist(),
+                                     medges.column("dst").to_pylist())))
+    mapping = {n: r for n, r in comp.items() if n != r}
+    timings["canonicalize"] = round(time.time() - t1, 2)
+    t1 = time.time()
+    if mapping:
+        tbl = rewrite_triples(mapping)(tbl)
+    edges_tbl = final_dedup_group(tbl)
+    edges_dir = os.path.join(out_dir, "edges")
+    tmp = edges_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(edges_tbl, os.path.join(tmp, "part-00000.parquet"))
+    manifest.atomic_dir_swap(tmp, edges_dir)
+    nodes_tbl = final_nodes_group(emit_nodes_batch(edges_tbl)) \
+        .drop_columns(["bucket"])
+    nodes_dir = os.path.join(out_dir, "nodes")
+    tmp = nodes_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(nodes_tbl, os.path.join(tmp, "part-00000.parquet"))
+    manifest.atomic_dir_swap(tmp, nodes_dir)
+    timings["dedup_materialize"] = round(time.time() - t1, 2)
+    return {"groups": len(groups), "groups_skipped": skipped,
+            "edges": edges_tbl.num_rows, "canon_merged": len(mapping),
+            "out_dir": out_dir, "timings": timings,
+            "wall_sec": round(time.time() - t0, 2)}
+
+
 def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
     import ray
 
@@ -302,6 +350,9 @@ def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
     rd = _ray_data()
     raw_files = sorted(glob.glob(
         os.path.join(raw_root, "group-*", "*.parquet")))
+    if sum(os.path.getsize(f) for f in raw_files) <= SMALL_FINALIZE_BYTES:
+        return _finalize_local(out_dir, raw_files, groups, skipped,
+                               timings, t0)
     # canonicalization only needs the node columns — pruned read
     mapping = compute_canonical_mapping(
         rd.read_parquet(raw_files, columns=["subj", "obj"]))

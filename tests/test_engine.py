@@ -234,3 +234,45 @@ def test_incremental_update_extracts_only_new_shards(smoke_corpus,
             .sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(edges(out), edges(fresh))
+
+
+def test_local_and_distributed_finalize_identical(kg_out, tmp_path):
+    """The small-input finalize fast path must produce byte-identical
+    edges and nodes to the distributed path on the same raw triples."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from casie_ray.pipelines import kg as kgmod
+
+    raw_files = sorted(glob.glob(os.path.join(kg_out, "raw_triples",
+                                              "group-*", "*.parquet")))
+    assert raw_files
+    la = str(tmp_path / "local")
+    da = str(tmp_path / "dist")
+    os.makedirs(la), os.makedirs(da)
+    kgmod._finalize_local(la, raw_files, [[]], 0, {}, 0.0)
+    # force the distributed path regardless of input size
+    orig = kgmod.SMALL_FINALIZE_BYTES
+    kgmod.SMALL_FINALIZE_BYTES = -1
+    try:
+        # distributed _finalize re-globs from a raw_root layout
+        import shutil as _sh
+        rr = str(tmp_path / "raw_root")
+        for f in raw_files:
+            gdir = os.path.join(rr, os.path.basename(os.path.dirname(f)))
+            os.makedirs(gdir, exist_ok=True)
+            _sh.copy(f, gdir)
+        kgmod._finalize(da, rr, [[]], 0, {}, 0.0)
+    finally:
+        kgmod.SMALL_FINALIZE_BYTES = orig
+
+    def load(d, sub, keys):
+        files = sorted(glob.glob(os.path.join(d, sub, "*.parquet")))
+        return pd.concat([pq.read_table(f).to_pandas() for f in files]) \
+            .sort_values(keys).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        load(la, "edges", ["subj", "pred", "obj"]),
+        load(da, "edges", ["subj", "pred", "obj"]))
+    pd.testing.assert_frame_equal(
+        load(la, "nodes", ["node_id"]), load(da, "nodes", ["node_id"]))

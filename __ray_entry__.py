@@ -476,7 +476,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY w ORDER BY n DESC, w LIMIT 50""",
         "media_dedup": """
-            SELECT CAST(concat('0x', substring(sha256(text), 1, 15))
+            SELECT CAST(concat('0x', substring(
+                        sha256(coalesce(text, '')), 1, 15))
                         AS BIGINT) AS checksum,
                    CAST(min(doc_id) AS BIGINT) AS media_id,
                    count(*) AS n_copies
@@ -490,8 +491,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS media_id,
                    CASE doc_id % 3 WHEN 0 THEN 'image'
                         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   CAST(concat('0x', substring(sha256(text), 1, 15))
+                   CAST(octet_length(encode(coalesce(text, '')))
+                        AS BIGINT) AS n_bytes,
+                   CAST(concat('0x', substring(
+                        sha256(coalesce(text, '')), 1, 15))
                         AS BIGINT) AS checksum
             FROM documents""",
         "dup_clusters": f"""

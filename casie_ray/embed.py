@@ -26,8 +26,15 @@ def _ngrams(s: str, n: int = 3):
         yield s[i:i + n]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=65536)
 def embed_surface(surface: str, dim: int = DIM) -> np.ndarray:
-    """L2-normalized hashed char-trigram vector of a normalized surface."""
+    """L2-normalized hashed char-trigram vector of a normalized surface.
+    Memoized (surfaces repeat heavily in coref/imputation scoring; the
+    blake2b-per-trigram build is ~80 µs) — the returned array is frozen
+    read-only so cache hits can never be corrupted by a caller."""
     v = np.zeros(dim, dtype=np.float32)
     for g in _ngrams(surface):
         h = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
@@ -35,6 +42,7 @@ def embed_surface(surface: str, dim: int = DIM) -> np.ndarray:
     n = float(np.linalg.norm(v))
     if n > 0:
         v /= n
+    v.flags.writeable = False
     return v
 
 

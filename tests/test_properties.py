@@ -1,0 +1,123 @@
+"""Property tests (hypothesis) for the vectorized kernels: every batch
+kernel must agree with an obviously-correct scalar reference on
+arbitrary inputs, and the SQL-shared tokenizer must agree with DuckDB's
+regex engine. No Ray session needed — pure kernels only."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+ASCII_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=80)
+TEXTS = st.lists(ASCII_TEXT, max_size=8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXTS)
+def test_shingle_hash_batch_matches_scalar(texts):
+    from casie_ray.ops.dedup import shingle_hash_batch
+
+    rows, hashes = shingle_hash_batch(texts)
+    got: dict[int, set] = {}
+    for r, h in zip(rows.tolist(), hashes.tolist()):
+        got.setdefault(r, set()).add(h)
+    for i, t in enumerate(texts):
+        want = set(shingle_hash_batch([t])[1].tolist())
+        assert got.get(i, set()) == want, (i, t)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(ASCII_TEXT, max_size=6))
+def test_fnv1a_hashes_match_scalar_reference(words):
+    from casie_ray.ops.bucketing import fnv1a_hashes
+
+    got = fnv1a_hashes(words)
+    for w, g in zip(words, got.tolist()):
+        h = 14695981039346656037
+        for b in w.encode():
+            h = ((h ^ b) * 1099511628211) % (1 << 64)
+        assert g == h, w
+
+
+@settings(max_examples=40, deadline=None)
+@given(TEXTS)
+def test_lang_id_batch_matches_python_reference(texts):
+    import pyarrow as pa
+
+    from casie_ray.ops.text import _LANG_PROFILES, _LANGS, lang_id_batch
+
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = lang_id_batch(batch)
+    for i, t in enumerate(texts):
+        s = (t or "").lower()
+        bigrams = [s[k:k + 2] for k in range(len(s) - 1)]
+        best_lang, best = _LANGS[0], -1
+        for lg in _LANGS:
+            p = set(_LANG_PROFILES[lg])
+            sc = sum(1 for b in bigrams if b in p)
+            if sc > best:
+                best, best_lang = sc, lg
+        assert out.column("pred_lang")[i].as_py() == best_lang, t
+        assert out.column("score")[i].as_py() == max(best, 0), t
+
+
+@settings(max_examples=40, deadline=None)
+@given(TEXTS)
+def test_simhash_batch_matches_scalar_reference(texts):
+    from casie_ray.ops.bucketing import fnv1a_hashes
+    from casie_ray.ops.dedup import simhash64_batch
+
+    got = simhash64_batch(texts)
+    for t, g in zip(texts, got.tolist()):
+        words = sorted(set((t or "").split(" ")))
+        hs = fnv1a_hashes(words).tolist()
+        want = 0
+        for i in range(64):
+            ones = sum((h >> i) & 1 for h in hs)
+            if 2 * ones > len(hs):
+                want |= 1 << i
+        assert g == want, t
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=5), min_size=0,
+                max_size=40))
+def test_segment_pair_indices_match_bruteforce(keys):
+    from casie_ray.ops.bucketing import segment_pair_indices
+
+    arr = np.sort(np.asarray(keys, dtype=np.int64))
+    ia, ib = segment_pair_indices([arr])
+    got = sorted(zip(ia.tolist(), ib.tolist()))
+    want = sorted((i, j) for i in range(len(arr))
+                  for j in range(i + 1, len(arr)) if arr[i] == arr[j])
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def ddb_con():
+    import duckdb
+    return duckdb.connect()
+
+
+@settings(max_examples=60, deadline=None)
+@given(ASCII_TEXT)
+def test_tokenizer_matches_duckdb_regex(text):
+    """The SQL-shared token stream: Python re and DuckDB RE2 must agree
+    on the TOKEN_RE pattern for any printable-ASCII input (the
+    turn_token_features oracle depends on this)."""
+    import duckdb
+
+    from casie_ray.tokenize import TOKEN_RE
+
+    con = duckdb.connect()
+    pat = TOKEN_RE.pattern.replace("'", "''")
+    dk = con.execute(
+        "SELECT regexp_extract_all(?, '" + pat + "')", [text]).fetchone()[0]
+    assert TOKEN_RE.findall(text) == dk, text

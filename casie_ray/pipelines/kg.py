@@ -2,16 +2,18 @@
 
 Physical plan (SURVEY §4.3), all Ray Data, streaming executor:
 
-  Stage A (per resumable group of input shards; conv-partitioned layout
-  -> ZERO shuffles — see extract_group_ds for the general-layout
-  groupby(conv_id) fallback):
-    from_items(shard paths)
+  Stage A (fully fused, one execution per WAVE of resumable groups;
+  conv-partitioned layout -> ZERO shuffles — see extract_group_ds for
+  the general-layout groupby(conv_id) fallback):
+    from_items(shard paths of the wave)
       .map_batches(ShardFileExtractor, actor pool) # T1/T2+T4/T5 seats:
                                                    # detect + doc logic +
-                                                   # roles + realis + coref
-      .map_batches(emit_triples_batch)             # S8 -> raw triples
-      .map_batches(partial_dedup)                  # combiner (pre-exchange)
-      .write raw triples + events (atomic dir), commit manifest
+                                                   # roles + realis + coref;
+                                                   # each task ALSO emits +
+                                                   # partially dedupes (S8/A7
+                                                   # combiner) + writes its
+                                                   # shard's triples + events
+      -> per-shard stats rows -> swap group dirs, commit manifests
 
   Stage B (global finalize, reruns cheaply on resume; hash-shuffle):
     read raw triples
@@ -58,28 +60,37 @@ def list_transcript_files(corpus_dir: str) -> list[str]:
 def extract_group_ds(files: list[str], entities_ref, *,
                      detect_concurrency=None, batch_size: int = 256,
                      conv_partitioned: bool = True,
-                     events_dir: str | None = None):
+                     events_dir: str | None = None,
+                     sink: dict | None = None):
     """Build the stage-A Dataset (lazy) for one group of input shards.
 
     ``conv_partitioned=True`` (the corpus layout guarantee: conversations
     never span shards) runs the ZERO-SHUFFLE path — whole shards stream
     through the ShardExtractor actor pool and extraction needs no
-    exchange at all. ``False`` is the general-layout fallback: a detect
-    actor pool followed by a ``groupby(conv_id)`` sort shuffle."""
+    exchange at all. With ``sink`` set the tasks also write their own
+    events + partially-deduped triples (fully fused hot path; see
+    ShardFileExtractor) and the Dataset yields only per-shard stats
+    rows. ``conv_partitioned=False`` is the general-layout fallback: a
+    detect actor pool followed by a ``groupby(conv_id)`` sort shuffle."""
     import ray
 
     rd = _ray_data()
     if detect_concurrency is None:
-        # fixed actor pool takes 3/4 of CPUs — the same fraction at
-        # every cluster size (scaling-fair), leaving headroom for the
-        # read / write / shuffle stages so the executor never deadlocks
         ncpu = int(ray.cluster_resources().get("CPU", 4))
-        detect_concurrency = max(2, (ncpu * 3) // 4)
+        if sink is not None:
+            # fully fused path: no downstream stage exists, so the
+            # actor pool takes every slot
+            detect_concurrency = max(2, ncpu)
+        else:
+            # actor pool takes 3/4 of CPUs, leaving headroom for the
+            # read / write / shuffle stages so the executor never
+            # starves them
+            detect_concurrency = max(2, (ncpu * 3) // 4)
     if conv_partitioned:
         ds = rd.from_items(files)
         return ds.map_batches(
             ShardFileExtractor,
-            fn_constructor_args=(entities_ref, events_dir),
+            fn_constructor_args=(entities_ref, events_dir, sink),
             batch_format="pyarrow",
             batch_size=1,                # one shard file per actor call
             concurrency=detect_concurrency,
@@ -175,6 +186,59 @@ def _stable_groups(out_dir: str, files: list[str],
     return groups
 
 
+# groups per fused extraction wave: ONE dataset execution covers a wave
+# of resume groups, amortizing the per-execution fixed cost (actor-pool
+# spin-up + pipeline drain, ~1.5-2 s measured) that a per-group loop
+# pays per group — at corpus scale (thousands of groups) that loop cost
+# is serial hours. Manifests still commit per GROUP after each wave, so
+# the resume unit stays the group; the wave only bounds how much
+# completed work an interrupted run can lose.
+WAVE_GROUPS = 8
+
+
+def _extract_fused_waves(out_dir, raw_root, ev_root, pending, entities_ref,
+                         cfg, *, detect_concurrency=None,
+                         keep_events=True) -> None:
+    """Fully fused stage A over waves of groups: each shard task writes
+    its own events + partially-deduped raw triples into per-group temp
+    dirs and returns a stats row; the driver swaps dirs and commits
+    manifests per group when the wave's single execution finishes."""
+    for w in range(0, len(pending), WAVE_GROUPS):
+        wave = pending[w:w + WAVE_GROUPS]
+        gids: dict[str, int] = {}
+        files: list[str] = []
+        for gid, gfiles in wave:
+            for root in ([raw_root, ev_root] if keep_events
+                         else [raw_root]):
+                td = os.path.join(root, f".group-{gid:05d}.tmp")
+                shutil.rmtree(td, ignore_errors=True)
+                os.makedirs(td, exist_ok=True)
+            for p in gfiles:
+                gids[os.path.basename(p)] = gid
+                files.append(p)
+        sink = {"gids": gids, "raw_root": raw_root, "suffix": ".tmp",
+                "ev_root": ev_root if keep_events else None}
+        stats = extract_group_ds(
+            files, entities_ref, detect_concurrency=detect_concurrency,
+            conv_partitioned=True, sink=sink).take_all()
+        ev_by_gid: dict[int, int] = {}
+        for r in stats:
+            ev_by_gid[r["gid"]] = ev_by_gid.get(r["gid"], 0) \
+                + r["n_events"]
+        for gid, gfiles in wave:
+            manifest.atomic_dir_swap(
+                os.path.join(raw_root, f".group-{gid:05d}.tmp"),
+                os.path.join(raw_root, f"group-{gid:05d}"))
+            if keep_events:
+                manifest.atomic_dir_swap(
+                    os.path.join(ev_root, f".group-{gid:05d}.tmp"),
+                    os.path.join(ev_root, f"group-{gid:05d}"))
+            manifest.commit(out_dir, gid, cfg, gfiles, {
+                "input_files": len(gfiles),
+                "events": ev_by_gid.get(gid, 0),
+            })
+
+
 def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
                     n_groups: int | None = None, resume: bool = True,
                     detect_concurrency=None, batch_size: int = 256,
@@ -220,6 +284,7 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
     _prune_stale_groups(ev_root, len(groups))
     _prune_stale_manifests(out_dir, len(groups))
     skipped = 0
+    pending: list[tuple[int, list[str]]] = []
     for gid, gfiles in enumerate(groups):
         if not gfiles:
             # group emptied by shard removal: clear its stale output so
@@ -236,33 +301,19 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
         if resume and manifest.is_complete(out_dir, gid, cfg, gfiles):
             skipped += 1
             continue
-        tmp_e = None
-        if keep_events and conv_partitioned:
-            tmp_e = os.path.join(ev_root, f".group-{gid:05d}.tmp")
-            shutil.rmtree(tmp_e, ignore_errors=True)
-            os.makedirs(tmp_e, exist_ok=True)
-        ds = extract_group_ds(gfiles, entities_ref,
-                              detect_concurrency=detect_concurrency,
-                              batch_size=batch_size,
-                              conv_partitioned=conv_partitioned,
-                              events_dir=tmp_e)
-        if tmp_e is not None:
-            # fused hot path: events side-written inside the extraction
-            # tasks, triples written by the SAME single execution
-            trip = ds.map_batches(emit_triples_batch,
-                                  batch_format="pyarrow") \
-                     .map_batches(partial_dedup, batch_format="pyarrow")
-            tmp = os.path.join(raw_root, f".group-{gid:05d}.tmp")
-            shutil.rmtree(tmp, ignore_errors=True)
-            trip.write_parquet(tmp)
-            n_events = sum(
-                pq.ParquetFile(os.path.join(tmp_e, f)).metadata.num_rows
-                for f in os.listdir(tmp_e) if f.endswith(".parquet"))
-            manifest.atomic_dir_swap(tmp, os.path.join(
-                raw_root, f"group-{gid:05d}"))
-            manifest.atomic_dir_swap(tmp_e, os.path.join(
-                ev_root, f"group-{gid:05d}"))
-        else:
+        pending.append((gid, gfiles))
+
+    if conv_partitioned:
+        _extract_fused_waves(out_dir, raw_root, ev_root, pending,
+                             entities_ref, cfg,
+                             detect_concurrency=detect_concurrency,
+                             keep_events=keep_events)
+    else:
+        for gid, gfiles in pending:
+            ds = extract_group_ds(gfiles, entities_ref,
+                                  detect_concurrency=detect_concurrency,
+                                  batch_size=batch_size,
+                                  conv_partitioned=False)
             ds = ds.materialize()  # events reused for both outputs
             n_events = ds.count()
             trip = ds.map_batches(emit_triples_batch,
@@ -279,9 +330,9 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
                 ds.drop_columns(["args"]).write_parquet(tmp_e)
                 manifest.atomic_dir_swap(tmp_e, os.path.join(
                     ev_root, f"group-{gid:05d}"))
-        manifest.commit(out_dir, gid, cfg, gfiles, {
-            "input_files": len(gfiles), "events": n_events,
-        })
+            manifest.commit(out_dir, gid, cfg, gfiles, {
+                "input_files": len(gfiles), "events": n_events,
+            })
     timings["extract"] = round(time.time() - t0, 2)
 
     # ---- stage B: canonicalize + global dedup + graph materialize ----

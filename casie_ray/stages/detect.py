@@ -196,29 +196,64 @@ class ShardFileExtractor(ShardExtractor):
 
     ``events_dir``: when set, each shard's event rows (minus args) are
     also written to ``events_dir/<shard basename>`` from inside the
-    task — fusing the events sink into the extraction pass so one group
-    needs ONE dataset execution instead of three (materialize + two
-    writes). File names derive from the input shard, so a task retry
-    overwrites its own output (idempotent)."""
+    task — fusing the events sink into the extraction pass. File names
+    derive from the input shard, so a task retry overwrites its own
+    output (idempotent).
+
+    ``sink``: when set instead, the task is FULLY fused: it writes the
+    shard's events AND its partially-deduped raw triples itself (into
+    the per-group temp dirs ``sink`` names) and returns only a one-row
+    stats table per shard. One embarrassingly-parallel execution then
+    covers a whole WAVE of resume groups — no downstream stage, no
+    per-group actor-pool spin-up, no object-store traffic (the
+    extraction output never leaves the task). ``sink`` is a dict:
+    ``{"gids": {shard basename: gid}, "ev_root": dir | None,
+    "raw_root": dir, "suffix": tmp-dir suffix}``."""
 
     COLUMNS = ["conv_id", "turn_idx", "text", "ts"]
+    STATS_SCHEMA = pa.schema([
+        ("shard", pa.string()), ("gid", pa.int32()),
+        ("n_events", pa.int64()), ("n_triples", pa.int64()),
+    ])
 
-    def __init__(self, entities_ref, events_dir: str | None = None):
+    def __init__(self, entities_ref, events_dir: str | None = None,
+                 sink: dict | None = None):
         super().__init__(entities_ref)
         self.events_dir = events_dir
+        self.sink = sink
 
     def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
         import os
         import pyarrow.parquet as pq
         from ..schema import EVENT_SCHEMA
+        from ..stages.triples import emit_triples_batch, partial_dedup
 
         out = [EVENT_SCHEMA.empty_table()]
+        stats: list[dict] = []
         for path in batch.column("item").to_pylist():
             tbl = pq.read_table(path, columns=self.COLUMNS)
             events = self.extract_turns(tbl)
+            base = os.path.basename(path)
+            if self.sink is not None:
+                gid = self.sink["gids"][base]
+                trip = partial_dedup(emit_triples_batch(events))
+                pq.write_table(trip, os.path.join(
+                    self.sink["raw_root"],
+                    f".group-{gid:05d}{self.sink['suffix']}", base))
+                if self.sink.get("ev_root"):
+                    pq.write_table(events.drop_columns(["args"]),
+                                   os.path.join(
+                                       self.sink["ev_root"],
+                                       f".group-{gid:05d}"
+                                       f"{self.sink['suffix']}", base))
+                stats.append({"shard": base, "gid": gid,
+                              "n_events": events.num_rows,
+                              "n_triples": trip.num_rows})
+                continue
             if self.events_dir is not None:
-                pq.write_table(
-                    events.drop_columns(["args"]),
-                    os.path.join(self.events_dir, os.path.basename(path)))
+                pq.write_table(events.drop_columns(["args"]),
+                               os.path.join(self.events_dir, base))
             out.append(events)
+        if self.sink is not None:
+            return pa.Table.from_pylist(stats, schema=self.STATS_SCHEMA)
         return pa.concat_tables(out)

@@ -77,27 +77,27 @@ def partial_dedup(batch: pa.Table) -> pa.Table:
 
 def final_dedup_group(group: pa.Table) -> pa.Table:
     """Per-bucket final dedup + decode provenance -> TRIPLE_SCHEMA."""
+    import numpy as np
     if group.num_rows == 0:
         return TRIPLE_SCHEMA.empty_table()
     g = _dedup_table(group)
-    prov = g.column("prov").to_pylist()
-    conv, ti, st, en = [], [], [], []
-    for p in prov:
-        c, a, b, d = p.rsplit("\x00", 3)
-        conv.append(c)
-        ti.append(int(a))
-        st.append(int(b))
-        en.append(int(d))
+    # vectorized provenance decode: the suffix is fixed-width ASCII
+    # ("\x00%08d" x 3 = 27 codeunits), so negative-index slices recover
+    # the fields even when conv_id itself contains the separator
+    prov = g.column("prov")
+    conv = pc.utf8_slice_codeunits(prov, start=0, stop=-27)
+    ti = pc.cast(pc.utf8_slice_codeunits(prov, start=-26, stop=-18),
+                 pa.int32())
+    st = pc.cast(pc.utf8_slice_codeunits(prov, start=-17, stop=-9),
+                 pa.int32())
+    en = pc.cast(pc.utf8_slice_codeunits(prov, start=-8), pa.int32())
     # deterministic output order within the bucket
     out = pa.table({
         "subj": g.column("subj"), "pred": g.column("pred"),
         "obj": g.column("obj"), "subj_type": g.column("subj_type"),
         "obj_type": g.column("obj_type"),
-        "conv_id": pa.array(conv, pa.string()),
-        "turn_idx": pa.array(ti, pa.int32()),
-        "ev_start": pa.array(st, pa.int32()),
-        "ev_end": pa.array(en, pa.int32()),
-        "weight": pa.array([1.0] * g.num_rows, pa.float32()),
+        "conv_id": conv, "turn_idx": ti, "ev_start": st, "ev_end": en,
+        "weight": pa.array(np.ones(g.num_rows, np.float32)),
         "count": g.column("count"),
     }).cast(TRIPLE_SCHEMA)
     return out.sort_by([("subj", "ascending"), ("pred", "ascending"),
@@ -199,18 +199,41 @@ def rewrite_triples(mapping_ref):
     import ray
 
     def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
         mapping = ray.get(mapping_ref) if not isinstance(mapping_ref, dict) \
             else mapping_ref
-        subj = [mapping.get(v, v)
-                for v in batch.column("subj").to_pylist()]
-        obj = [mapping.get(v, v) for v in batch.column("obj").to_pylist()]
-        preds = batch.column("pred").to_pylist()
-        bucket = [zlib.crc32(f"{s}\x00{p}\x00{o}".encode()) % N_BUCKETS
-                  for s, p, o in zip(subj, preds, obj)]
+        keys = pa.array(list(mapping.keys()), pa.string())
+        vals = pa.array(list(mapping.values()), pa.string())
+
+        def replace(col):
+            idx = pc.index_in(col, value_set=keys)
+            rep = pc.take(vals, idx)
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            return pc.if_else(pc.is_null(idx), arr, rep), \
+                pc.is_valid(idx).to_numpy(zero_copy_only=False)
+
+        subj, s_hit = replace(batch.column("subj"))
+        obj, o_hit = replace(batch.column("obj"))
+        # bucket must stay the SAME function of (subj,pred,obj) as
+        # emit_triples_batch (equal keys -> equal bucket across changed
+        # and unchanged rows), so recompute crc32 — but only for the
+        # rows a mapping actually touched (the variant mass)
+        changed = np.nonzero(s_hit | o_hit)[0]
+        bucket = batch.column("bucket").to_numpy(
+            zero_copy_only=False).copy()
+        if len(changed):
+            s_l = pc.take(subj, pa.array(changed)).to_pylist()
+            o_l = pc.take(obj, pa.array(changed)).to_pylist()
+            p_l = pc.take(batch.column("pred"),
+                          pa.array(changed)).to_pylist()
+            bucket[changed] = [
+                zlib.crc32(f"{s}\x00{p}\x00{o}".encode()) % N_BUCKETS
+                for s, p, o in zip(s_l, p_l, o_l)]
         return pa.table({
-            "subj": pa.array(subj, pa.string()),
+            "subj": subj,
             "pred": batch.column("pred"),
-            "obj": pa.array(obj, pa.string()),
+            "obj": obj,
             "subj_type": batch.column("subj_type"),
             "obj_type": batch.column("obj_type"),
             "prov": batch.column("prov"),

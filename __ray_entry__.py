@@ -26,6 +26,7 @@ from casie_ray.ops import ann as _ann
 from casie_ray.ops import dedup as _dedup
 from casie_ray.ops import graph as _graph
 from casie_ray.ops import relational as _rel
+from casie_ray.ops import streaming as _stream
 from casie_ray.ops import text as _text
 
 _KG_RUNS: dict[float, str] = {}
@@ -224,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _rel.distinct_users,
         "events_asof_orders": _rel.events_asof_orders,
         "events_sessions": _rel.events_sessions,
+        "events_hourly_watermark": _stream.events_hourly_watermark,
     }
 
 
@@ -577,6 +579,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start,
                    max(ts) AS session_end, count(*) AS n_events
             FROM s GROUP BY user_id, sid""",
+        "events_hourly_watermark": """
+            WITH w AS (
+              SELECT event_type, ts,
+                     max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS high
+              FROM events
+            )
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events
+            FROM w
+            WHERE high IS NULL
+               OR epoch_us(ts) >= epoch_us(high) - 600000000
+            GROUP BY event_type, date_trunc('hour', ts)""",
         "events_asof_orders": """
             WITH j AS (
               SELECT e.event_id, o.o_orderkey,

@@ -203,13 +203,14 @@ def _extract_fused_waves(out_dir, raw_root, ev_root, pending, entities_ref,
     its own events + partially-deduped raw triples into per-group temp
     dirs and returns a stats row; the driver swaps dirs and commits
     manifests per group when the wave's single execution finishes."""
+    surf_root = os.path.join(out_dir, "surf")
     for w in range(0, len(pending), WAVE_GROUPS):
         wave = pending[w:w + WAVE_GROUPS]
         gids: dict[str, int] = {}
         files: list[str] = []
+        roots = [raw_root, surf_root] + ([ev_root] if keep_events else [])
         for gid, gfiles in wave:
-            for root in ([raw_root, ev_root] if keep_events
-                         else [raw_root]):
+            for root in roots:
                 td = os.path.join(root, f".group-{gid:05d}.tmp")
                 shutil.rmtree(td, ignore_errors=True)
                 os.makedirs(td, exist_ok=True)
@@ -217,6 +218,7 @@ def _extract_fused_waves(out_dir, raw_root, ev_root, pending, entities_ref,
                 gids[os.path.basename(p)] = gid
                 files.append(p)
         sink = {"gids": gids, "raw_root": raw_root, "suffix": ".tmp",
+                "surf_root": surf_root,
                 "ev_root": ev_root if keep_events else None}
         stats = extract_group_ds(
             files, entities_ref, detect_concurrency=detect_concurrency,
@@ -226,13 +228,10 @@ def _extract_fused_waves(out_dir, raw_root, ev_root, pending, entities_ref,
             ev_by_gid[r["gid"]] = ev_by_gid.get(r["gid"], 0) \
                 + r["n_events"]
         for gid, gfiles in wave:
-            manifest.atomic_dir_swap(
-                os.path.join(raw_root, f".group-{gid:05d}.tmp"),
-                os.path.join(raw_root, f"group-{gid:05d}"))
-            if keep_events:
+            for root in roots:
                 manifest.atomic_dir_swap(
-                    os.path.join(ev_root, f".group-{gid:05d}.tmp"),
-                    os.path.join(ev_root, f"group-{gid:05d}"))
+                    os.path.join(root, f".group-{gid:05d}.tmp"),
+                    os.path.join(root, f"group-{gid:05d}"))
             manifest.commit(out_dir, gid, cfg, gfiles, {
                 "input_files": len(gfiles),
                 "events": ev_by_gid.get(gid, 0),
@@ -269,9 +268,9 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
         groups = [g for g in (files[i::n_groups] for i in range(n_groups))
                   if g]
 
-    entities = pq.read_table(os.path.join(corpus_dir, "entities.parquet"))
-    from ..stages.detect import build_tagger_state
-    entities_ref = ray.put(build_tagger_state(entities.to_pylist()))
+    from ..stages.detect import load_tagger_state
+    entities_ref = ray.put(load_tagger_state(
+        os.path.join(corpus_dir, "entities.parquet")))
     cfg = manifest.config_hash()
 
     raw_root = os.path.join(out_dir, "raw_triples")
@@ -282,6 +281,7 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
     # group dir, so stale ones would double-count triples — prune them
     _prune_stale_groups(raw_root, len(groups))
     _prune_stale_groups(ev_root, len(groups))
+    _prune_stale_groups(os.path.join(out_dir, "surf"), len(groups))
     _prune_stale_manifests(out_dir, len(groups))
     skipped = 0
     pending: list[tuple[int, list[str]]] = []
@@ -289,10 +289,9 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
         if not gfiles:
             # group emptied by shard removal: clear its stale output so
             # finalize can't double-count it
-            shutil.rmtree(os.path.join(raw_root, f"group-{gid:05d}"),
-                          ignore_errors=True)
-            shutil.rmtree(os.path.join(ev_root, f"group-{gid:05d}"),
-                          ignore_errors=True)
+            for root in (raw_root, ev_root, os.path.join(out_dir, "surf")):
+                shutil.rmtree(os.path.join(root, f"group-{gid:05d}"),
+                              ignore_errors=True)
             try:
                 os.remove(manifest.manifest_path(out_dir, gid))
             except OSError:
@@ -310,6 +309,11 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
                              keep_events=keep_events)
     else:
         for gid, gfiles in pending:
+            # this layout writes no surf side tables; drop any stale
+            # ones a previous fused run left for this group
+            shutil.rmtree(os.path.join(out_dir, "surf",
+                                       f"group-{gid:05d}"),
+                          ignore_errors=True)
             ds = extract_group_ds(gfiles, entities_ref,
                                   detect_concurrency=detect_concurrency,
                                   batch_size=batch_size,
@@ -347,6 +351,9 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
 
 
 SMALL_FINALIZE_BYTES = 32 * 1024 * 1024
+# surf side tables below this total run canonicalization driver-local
+# (distinct-surface mass, typically ~1000x smaller than raw triples)
+SMALL_CANON_BYTES = 64 * 1024 * 1024
 
 
 def _finalize_local(out_dir, raw_files, groups, skipped, timings,
@@ -404,9 +411,34 @@ def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
     if sum(os.path.getsize(f) for f in raw_files) <= SMALL_FINALIZE_BYTES:
         return _finalize_local(out_dir, raw_files, groups, skipped,
                                timings, t0)
-    # canonicalization only needs the node columns — pruned read
-    mapping = compute_canonical_mapping(
-        rd.read_parquet(raw_files, columns=["subj", "obj"]))
+    # canonicalization reads the per-shard surf side tables (distinct
+    # surface nodes, a tiny fraction of the raw-triple mass) when the
+    # fused extraction wrote them; the general-layout fallback derives
+    # them from a pruned raw read
+    surf_files = sorted(glob.glob(
+        os.path.join(out_dir, "surf", "group-*", "*.parquet")))
+    if surf_files and sum(os.path.getsize(f)
+                          for f in surf_files) <= SMALL_CANON_BYTES:
+        # size-aware escape hatch (same pattern as the 200k-merge-edge
+        # driver union-find and the small finalize): below the cutoff
+        # the distributed exchange's fixed cost exceeds the work, and
+        # the kernels are identical either way
+        import pyarrow.dataset as pads
+
+        from ..ops.graph import components_local
+        tbl = pads.dataset(surf_files).to_table()
+        medges = merge_edges_multi(tbl)
+        comp = components_local(
+            list(zip(medges.column("src").to_pylist(),
+                     medges.column("dst").to_pylist())))
+        mapping = {n: r for n, r in comp.items() if n != r}
+    else:
+        if surf_files:
+            surf_ds = rd.read_parquet(surf_files)
+        else:
+            surf_ds = rd.read_parquet(raw_files, columns=["subj", "obj"]) \
+                .map_batches(extract_surface_nodes, batch_format="pyarrow")
+        mapping = compute_canonical_mapping(surf_ds)
     raw = rd.read_parquet(raw_files)
     timings["canonicalize"] = round(time.time() - t1, 2)
     t1 = time.time()
@@ -449,22 +481,20 @@ def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
             "wall_sec": round(time.time() - t0, 2)}
 
 
-def compute_canonical_mapping(raw_ds) -> dict[str, str]:
-    """Cross-conversation canonicalization over the raw triples: distinct
-    surface nodes -> groupby(entity_block) cosine merge edges ->
+def compute_canonical_mapping(surf_ds) -> dict[str, str]:
+    """Cross-conversation canonicalization over (surface node, entity
+    block) rows: groupby(entity_block) cosine merge edges ->
     distributed union-find -> {variant node: canonical node}. The result
     is variant-mass-sized (small), so it is collected and broadcast."""
     from ..ops.graph import connected_components
 
     import ray
 
-    # per-batch extraction already emits distinct (node, block) rows and
-    # the per-block merge kernel dedupes again — no per-node shuffle;
-    # the entity_block exchange groups by the block-hash bucket column
-    # (equal blocks co-located), each bucket processed vectorized
-    surf = raw_ds.map_batches(extract_surface_nodes,
-                              batch_format="pyarrow")
-    medges = bucket_groupby(surf, merge_edges_multi).materialize()
+    # the input rows are per-shard distinct and the per-block merge
+    # kernel dedupes again — no per-node shuffle; the entity_block
+    # exchange groups by the block-hash bucket column (equal blocks
+    # co-located), each bucket processed vectorized
+    medges = bucket_groupby(surf_ds, merge_edges_multi).materialize()
     n_edges = medges.count()
     if n_edges == 0:
         return {}

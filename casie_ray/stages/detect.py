@@ -70,6 +70,41 @@ def build_tagger_state(entities) -> dict:
     }
 
 
+def load_tagger_state(entities_path: str) -> dict:
+    """Disk-cached :func:`build_tagger_state`, keyed by the entities
+    table bytes + the semantic config hash. The build is ~1.3 s of
+    driver-serial embedding-index work per run — a fixed cost that does
+    not shrink with cluster size, so a warm cache directly improves
+    scaling efficiency. Cache writes are atomic (tmp + rename)."""
+    import hashlib
+    import os
+    import pickle
+    import tempfile
+
+    from ..state.manifest import config_hash
+
+    with open(entities_path, "rb") as f:
+        raw = f.read()
+    key = hashlib.blake2b(raw + config_hash().encode(),
+                          digest_size=16).hexdigest()
+    cdir = os.path.join(tempfile.gettempdir(), "casie_state_cache")
+    cpath = os.path.join(cdir, f"{key}.pkl")
+    if os.path.exists(cpath):
+        try:
+            with open(cpath, "rb") as f:
+                return pickle.load(f)
+        except (pickle.UnpicklingError, EOFError, OSError):
+            pass  # corrupt/partial cache: rebuild below
+    import pyarrow.parquet as pq
+    state = build_tagger_state(pq.read_table(entities_path).to_pylist())
+    os.makedirs(cdir, exist_ok=True)
+    tmp = cpath + f".{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(state, f)
+    os.replace(tmp, cpath)
+    return state
+
+
 class DetectTagger:
     """map_batches(DetectTagger, fn_constructor_args=(state_ref,),
     batch_format="pyarrow", concurrency=..). ``state_ref`` may be a
@@ -208,7 +243,11 @@ class ShardFileExtractor(ShardExtractor):
     per-group actor-pool spin-up, no object-store traffic (the
     extraction output never leaves the task). ``sink`` is a dict:
     ``{"gids": {shard basename: gid}, "ev_root": dir | None,
-    "raw_root": dir, "suffix": tmp-dir suffix}``."""
+    "raw_root": dir, "surf_root": dir | None, "suffix": tmp-dir
+    suffix}``. ``surf_root`` additionally side-writes the shard's
+    distinct (surface node, entity block) rows, so canonicalization
+    later reads only the tiny surf tables instead of re-scanning the
+    whole raw-triples output."""
 
     COLUMNS = ["conv_id", "turn_idx", "text", "ts"]
     STATS_SCHEMA = pa.schema([
@@ -240,6 +279,13 @@ class ShardFileExtractor(ShardExtractor):
                 pq.write_table(trip, os.path.join(
                     self.sink["raw_root"],
                     f".group-{gid:05d}{self.sink['suffix']}", base))
+                if self.sink.get("surf_root"):
+                    from ..stages.triples import extract_surface_nodes
+                    pq.write_table(extract_surface_nodes(trip),
+                                   os.path.join(
+                                       self.sink["surf_root"],
+                                       f".group-{gid:05d}"
+                                       f"{self.sink['suffix']}", base))
                 if self.sink.get("ev_root"):
                     pq.write_table(events.drop_columns(["args"]),
                                    os.path.join(

@@ -25,9 +25,10 @@ def _embed_dim() -> int:
     return DIM
 
 
-# bump whenever the on-disk raw-triples format changes (e.g. the prov
-# encoding) so resume never mixes formats across code versions
-FORMAT_VERSION = 3
+# bump whenever the on-disk output layout changes (e.g. the prov
+# encoding, or the surf/ side tables) so resume never mixes formats
+# across code versions
+FORMAT_VERSION = 4
 
 
 def config_hash() -> str:

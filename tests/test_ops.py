@@ -47,7 +47,7 @@ SQL_CHECKED = [
     "vocab_top_words", "media_dedup",
     "ann_topk", "lineitem_agg", "segment_revenue", "top_customers",
     "events_hourly", "distinct_users", "events_asof_orders",
-    "events_sessions",
+    "events_sessions", "events_hourly_watermark",
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events",
@@ -73,6 +73,52 @@ def test_rows_only_queries_run(ray_session):
     for name in ["ann_topk_lsh", "dedup_embedding_pairs_lsh"]:
         df = _to_df(qs[name](SF_DIR))
         assert df is not None
+
+
+@pytest.fixture(scope="module")
+def late_events_dir(tmp_path_factory):
+    """Events table with genuinely out-of-order arrivals: ~2% of rows
+    are pushed 10-60 min behind the preceding maximum, so the watermark
+    actually drops data (the real testdata stream is near-monotone and
+    never exercises the late path)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    base = 1_700_000_000_000_000
+    ts = base + np.arange(n) * 30_000_000 + rng.integers(0, 60_000_000, n)
+    late = rng.choice(n - 100, size=120, replace=False) + 100
+    ts[late] -= rng.integers(700_000_000, 3_600_000_000, size=120)
+    d = tmp_path_factory.mktemp("late_events")
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array([f"t{i % 3}" for i in range(n)]),
+        "value": pa.array(np.ones(n)),
+        "props": pa.array([""] * n),
+    }), str(d / "events.parquet"))
+    return str(d)
+
+
+def test_watermark_drops_late_events(ray_session, late_events_dir):
+    import __ray_entry__ as entrymod
+    from casie_ray.ops.streaming import events_hourly_watermark
+
+    got = _normalize(_to_df(
+        events_hourly_watermark(late_events_dir, range_size=512)))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM read_parquet("
+                f"'{late_events_dir}/events.parquet')")
+    want = _normalize(
+        con.execute(entrymod.oracle_sql()["events_hourly_watermark"])
+        .fetchdf())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert got["n_events"].sum() < 5000  # late rows actually dropped
 
 
 def test_connected_components_vs_local_oracle(ray_session):

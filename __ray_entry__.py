@@ -26,6 +26,7 @@ from casie_ray.ops import ann as _ann
 from casie_ray.ops import dedup as _dedup
 from casie_ray.ops import graph as _graph
 from casie_ray.ops import relational as _rel
+from casie_ray.ops import quantiles as _quant
 from casie_ray.ops import streaming as _stream
 from casie_ray.ops import text as _text
 
@@ -226,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": _rel.events_asof_orders,
         "events_sessions": _rel.events_sessions,
         "events_hourly_watermark": _stream.events_hourly_watermark,
+        "lineitem_price_quantiles": _quant.lineitem_price_quantiles,
     }
 
 
@@ -579,6 +581,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start,
                    max(ts) AS session_end, count(*) AS n_events
             FROM s GROUP BY user_id, sid""",
+        "lineitem_price_quantiles": """
+            SELECT 0.25 AS q, quantile_disc(
+                CAST(round(l_extendedprice * 100) AS BIGINT), 0.25)
+                AS value_cents FROM lineitem
+            UNION ALL SELECT 0.5, quantile_disc(
+                CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)
+                FROM lineitem
+            UNION ALL SELECT 0.75, quantile_disc(
+                CAST(round(l_extendedprice * 100) AS BIGINT), 0.75)
+                FROM lineitem
+            UNION ALL SELECT 0.9, quantile_disc(
+                CAST(round(l_extendedprice * 100) AS BIGINT), 0.9)
+                FROM lineitem""",
         "events_hourly_watermark": """
             WITH w AS (
               SELECT event_type, ts,

@@ -26,7 +26,8 @@ import numpy as np
 N_OPS_BUCKETS = 256
 
 
-def bucket_groupby(ds, fn, *, batch_format="pyarrow"):
+def bucket_groupby(ds, fn, *, batch_format="pyarrow",
+                   coarse_per_cpu: int | None = None):
     """The standard bucketed exchange: coalesce to ~one block per
     cluster task slot, then sort-groupby on the ``bucket`` column with
     one vectorized ``fn`` call per bucket group.
@@ -39,11 +40,37 @@ def bucket_groupby(ds, fn, *, batch_format="pyarrow"):
     exchange overhead scales with cluster size instead of with however
     many shards the upstream happened to emit. On a big cluster the cap
     equals total CPUs, which is exactly the partition count you want
-    for an all-to-all anyway."""
+    for an all-to-all anyway.
+
+    ``coarse_per_cpu``: opt-in for BUCKET-AGNOSTIC ``fn`` (one whose
+    result does not depend on grouping granularity — e.g. an Arrow
+    ``group_by`` on the real keys): group on ``bucket mod
+    (coarse_per_cpu x cluster CPUs)`` instead of the raw bucket,
+    cutting the per-group call count from N_BUCKETS to a few per task
+    slot while equal keys still co-locate (equal bucket -> equal
+    coarse group). Hot-KEY spreading is unaffected (a hot key is one
+    key in one vectorized group either way); per-group memory grows by
+    the coarsening factor, so only use it for reduce fns whose output
+    is much smaller than their input or whose input already fits."""
     import ray
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    return ds.repartition(ncpu).groupby("bucket") \
-        .map_groups(fn, batch_format=batch_format)
+    ds = ds.repartition(ncpu)
+    if not coarse_per_cpu:
+        return ds.groupby("bucket").map_groups(
+            fn, batch_format=batch_format)
+    m = max(1, ncpu * coarse_per_cpu)
+
+    def _tag(t):
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        import pyarrow as pa
+        return t.append_column(
+            "cgroup", pa.array((b % m).astype(np.int32)))
+
+    def _untag(g):
+        return fn(g.drop_columns(["cgroup"]))
+
+    return ds.map_batches(_tag, batch_format="pyarrow") \
+        .groupby("cgroup").map_groups(_untag, batch_format=batch_format)
 
 _SPLIT1 = np.uint64(0xBF58476D1CE4E5B9)
 _SPLIT2 = np.uint64(0x94D049BB133111EB)

@@ -454,7 +454,7 @@ def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
     # the written files — a cheap column-pruned read of the small
     # unique-triple table, and at corpus scale the disk round-trip beats
     # pinning the edges in the object store across two consumers
-    edges = bucket_groupby(raw, final_dedup_group)
+    edges = bucket_groupby(raw, final_dedup_group, coarse_per_cpu=4)
     edges_dir = os.path.join(out_dir, "edges")
     tmp = edges_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -467,7 +467,8 @@ def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
                             columns=["subj", "obj", "subj_type",
                                      "obj_type"]) \
         .map_batches(emit_nodes_batch, batch_format="pyarrow")
-    nodes = bucket_groupby(nodes, final_nodes_group).drop_columns(["bucket"])
+    nodes = bucket_groupby(nodes, final_nodes_group,
+                           coarse_per_cpu=4).drop_columns(["bucket"])
     nodes_dir = os.path.join(out_dir, "nodes")
     tmp = nodes_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -494,7 +495,8 @@ def compute_canonical_mapping(surf_ds) -> dict[str, str]:
     # kernel dedupes again — no per-node shuffle; the entity_block
     # exchange groups by the block-hash bucket column (equal blocks
     # co-located), each bucket processed vectorized
-    medges = bucket_groupby(surf_ds, merge_edges_multi).materialize()
+    medges = bucket_groupby(surf_ds, merge_edges_multi,
+                            coarse_per_cpu=4).materialize()
     n_edges = medges.count()
     if n_edges == 0:
         return {}

@@ -48,6 +48,7 @@ SQL_CHECKED = [
     "ann_topk", "lineitem_agg", "segment_revenue", "top_customers",
     "events_hourly", "distinct_users", "events_asof_orders",
     "events_sessions", "events_hourly_watermark",
+    "lineitem_price_quantiles",
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events",
@@ -119,6 +120,38 @@ def test_watermark_drops_late_events(ray_session, late_events_dir):
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
     assert got["n_events"].sum() < 5000  # late rows actually dropped
+
+
+def test_exact_quantiles_refinement_path(ray_session):
+    """Force the histogram-refinement loop (tiny collect_cap) and check
+    exact agreement with a local sort at every rank rule."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from casie_ray.ops.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    # heavy-tailed + duplicate-heavy values across many 2^16 buckets
+    vals = np.concatenate([
+        rng.integers(0, 50_000_000, 4000),
+        np.full(1500, 123_456),                 # hot duplicate value
+        rng.integers(0, 2_000, 1000),
+    ])
+    tbl = pa.table({"price": pa.array(vals / 100.0, pa.float64())})
+
+    def factory():
+        return ray.data.from_arrow(tbl)
+
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    got = exact_quantiles(factory, "price", qs,
+                          collect_cap=64).to_pandas()
+    cents = np.sort(np.int64(np.round(vals / 100.0 * 100)))
+    n = len(cents)
+    for q, v in zip(got["q"], got["value_cents"]):
+        assert v == cents[max(1, math.ceil(q * n)) - 1], q
 
 
 def test_connected_components_vs_local_oracle(ray_session):

@@ -124,7 +124,8 @@ def ann_topk(sf_dir: str, k: int = DEFAULT_K, n_queries: int = DEFAULT_NQ):
     q_ref = ray.put(_load_queries(sf_dir, n_queries))
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    ds = ds.map_batches(_partial_topk(q_ref, k), batch_format="pyarrow")
+    ds = ds.map_batches(_partial_topk(q_ref, k), batch_format="pyarrow",
+                        batch_size=None)
     return ds.groupby("query_id").map_groups(_final_topk(k),
                                              batch_format="pyarrow")
 

@@ -69,7 +69,8 @@ def bucket_groupby(ds, fn, *, batch_format="pyarrow",
     def _untag(g):
         return fn(g.drop_columns(["cgroup"]))
 
-    return ds.map_batches(_tag, batch_format="pyarrow") \
+    return ds.map_batches(_tag, batch_format="pyarrow",
+                          batch_size=None) \
         .groupby("cgroup").map_groups(_untag, batch_format=batch_format)
 
 _SPLIT1 = np.uint64(0xBF58476D1CE4E5B9)

@@ -66,7 +66,7 @@ def _hist_pass(ds_factory, column: str, shift: int,
 
     counts: dict[int, int] = {}
     for r in ds_factory().map_batches(
-            partial, batch_format="pyarrow").take_all():
+            partial, batch_format="pyarrow", batch_size=None).take_all():
         counts[int(r["bucket"])] = counts.get(int(r["bucket"]), 0) \
             + int(r["n"])
     return counts
@@ -133,7 +133,8 @@ def exact_quantiles(ds_factory, column: str, qs=DEFAULT_QS,
 
         vals = np.sort(np.array(
             [r["v"] for r in ds_factory().map_batches(
-                collect, batch_format="pyarrow").take_all()],
+                collect, batch_format="pyarrow",
+                batch_size=None).take_all()],
             dtype=np.int64))
         for r in pending:
             lo, hi, below = state[r]

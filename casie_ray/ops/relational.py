@@ -73,7 +73,8 @@ def lineitem_agg(sf_dir: str):
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
                 "l_extendedprice"])
-    ds = ds.map_batches(_lineitem_partial, batch_format="pyarrow")
+    ds = ds.map_batches(_lineitem_partial, batch_format="pyarrow",
+                        batch_size=None)
     return ds.groupby(["l_returnflag", "l_linestatus"]).map_groups(
         _lineitem_final, batch_format="pyarrow")
 
@@ -116,7 +117,8 @@ def segment_revenue(sf_dir: str):
                                  "n_orders"])
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    ds = ds.map_batches(join_partial, batch_format="pyarrow")
+    ds = ds.map_batches(join_partial, batch_format="pyarrow",
+                             batch_size=None)
     return ds.groupby("c_mktsegment").map_groups(final,
                                                  batch_format="pyarrow")
 
@@ -142,7 +144,8 @@ def top_customers(sf_dir: str, k: int = 10):
         return g.rename_columns(["o_custkey", "revenue_cents"])
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    ds = ds.map_batches(partial, batch_format="pyarrow")
+    ds = ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=None)
     ds = bucket_groupby(ds, final_bucket)
     ds = ds.sort(["revenue_cents", "o_custkey"],
                  descending=[True, False]).limit(k)
@@ -180,7 +183,8 @@ def events_hourly(sf_dir: str):
         return g.rename_columns(["event_type", "window_start", "n_events"])
 
     ds = _read(sf_dir, "events", ["event_type", "ts"])
-    ds = ds.map_batches(partial, batch_format="pyarrow")
+    ds = ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=None)
     return ds.groupby(["event_type", "window_start"]).map_groups(
         final, batch_format="pyarrow")
 
@@ -201,7 +205,8 @@ def distinct_users(sf_dir: str):
                          "n_users": pa.array([n], pa.int64())})
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    ds = ds.map_batches(partial, batch_format="pyarrow")
+    ds = ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=None)
     return ds.groupby("event_type").map_groups(final,
                                                batch_format="pyarrow")
 

@@ -67,7 +67,8 @@ def _bucket_high_marks(sf_dir: str, range_size: int) -> dict[int, int]:
         return g.rename_columns(["bucket", "max_ts"])
 
     rows = _read_events(sf_dir, ["event_id", "ts"]) \
-        .map_batches(partial, batch_format="pyarrow").take_all()
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=None).take_all()
     by_bucket: dict[int, int] = {}
     for r in rows:
         b = int(r["bucket"])

@@ -321,8 +321,10 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
             ds = ds.materialize()  # events reused for both outputs
             n_events = ds.count()
             trip = ds.map_batches(emit_triples_batch,
-                                  batch_format="pyarrow") \
-                     .map_batches(partial_dedup, batch_format="pyarrow")
+                                  batch_format="pyarrow",
+                                  batch_size=None) \
+                     .map_batches(partial_dedup, batch_format="pyarrow",
+                                  batch_size=None)
             tmp = os.path.join(raw_root, f".group-{gid:05d}.tmp")
             shutil.rmtree(tmp, ignore_errors=True)
             trip.write_parquet(tmp)
@@ -437,14 +439,15 @@ def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
             surf_ds = rd.read_parquet(surf_files)
         else:
             surf_ds = rd.read_parquet(raw_files, columns=["subj", "obj"]) \
-                .map_batches(extract_surface_nodes, batch_format="pyarrow")
+                .map_batches(extract_surface_nodes, batch_format="pyarrow",
+                             batch_size=None)
         mapping = compute_canonical_mapping(surf_ds)
     raw = rd.read_parquet(raw_files)
     timings["canonicalize"] = round(time.time() - t1, 2)
     t1 = time.time()
     if mapping:
         raw = raw.map_batches(rewrite_triples(ray.put(mapping)),
-                              batch_format="pyarrow")
+                              batch_format="pyarrow", batch_size=None)
     # exact dedup via HASH exchange, not sort: repartition co-locates
     # equal (subj, pred, obj) keys, then one vectorized Arrow group_by
     # per whole block (batch_size=None). Hot keys only grow one block's
@@ -466,7 +469,8 @@ def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
     nodes = rd.read_parquet(edge_files,
                             columns=["subj", "obj", "subj_type",
                                      "obj_type"]) \
-        .map_batches(emit_nodes_batch, batch_format="pyarrow")
+        .map_batches(emit_nodes_batch, batch_format="pyarrow",
+                     batch_size=None)
     nodes = bucket_groupby(nodes, final_nodes_group,
                            coarse_per_cpu=4).drop_columns(["bucket"])
     nodes_dir = os.path.join(out_dir, "nodes")

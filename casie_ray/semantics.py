@@ -191,14 +191,17 @@ def detect_turn(text: str, catalog: dict, fuzzy: dict | None = None):
     while i < n:
         tok, s, e = toks[i]
         low = lowers[i]
+        c0 = tok[0]
         span = None  # (n_tokens, argtype, entity_id)
-        if lx.CVE_RE.match(tok):
+        # first-char gates: each pattern pins its first character
+        # (^CVE / ^(v)?\d / ^\$), so word tokens skip the regex calls
+        if c0 == "C" and lx.CVE_RE.match(tok):
             span = (1, "CVE", None)
-        elif lx.VERSION_RE.match(tok):
+        elif (c0 == "v" or c0.isdigit()) and lx.VERSION_RE.match(tok):
             span = (1, "Version", None)
-        elif lx.MONEY_RE.match(tok):
+        elif c0 == "$" and lx.MONEY_RE.match(tok):
             span = (1, "Money", None)
-        if span is None and tok[0].isupper() and tok[0].isalpha():
+        if span is None and c0.isupper() and c0.isalpha():
             # capitalized-run NER: a run of >=2 capitalized tokens
             # containing an org designator is an Organization mention —
             # exact catalog surface if the full run matches, else fuzzy
@@ -247,8 +250,8 @@ def detect_turn(text: str, catalog: dict, fuzzy: dict | None = None):
                 ln = j - i + 1
             if ln > 1:
                 span = (ln, "Time", None)
-        if span is None and lx.NUMERIC_RE.match(tok) and i + 1 < n \
-                and lowers[i + 1] in _COUNT_NOUNS:
+        if span is None and c0.isdigit() and lx.NUMERIC_RE.match(tok) \
+                and i + 1 < n and lowers[i + 1] in _COUNT_NOUNS:
             span = (1, "Number", None)
         if span is None and low in lx.NUMERAL_WORDS:
             # English numeral phrase before a count noun ("three million

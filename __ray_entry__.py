@@ -27,6 +27,7 @@ from casie_ray.ops import dedup as _dedup
 from casie_ray.ops import graph as _graph
 from casie_ray.ops import relational as _rel
 from casie_ray.ops import quantiles as _quant
+from casie_ray.ops import sketch as _sketch
 from casie_ray.ops import streaming as _stream
 from casie_ray.ops import text as _text
 
@@ -198,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_corpus_stats": _text.corpus_stats,
         "doc_sample": _text.sample_documents,
         "vocab_top_words": _text.vocab_top_words,
+        "vocab_top_words_sketch": _sketch.top_words_sketch,
         # dedup family (documents / embeddings)
         "dedup_exact": _dedup.exact_dedup,
         "dedup_jaccard_pairs": _dedup.jaccard_pairs,
@@ -226,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _rel.distinct_users,
         "events_asof_orders": _rel.events_asof_orders,
         "events_sessions": _rel.events_sessions,
+        "events_orders_range_join": _rel.events_orders_range_join,
         "events_hourly_watermark": _stream.events_hourly_watermark,
         "lineitem_price_quantiles": _quant.lineitem_price_quantiles,
     }
@@ -479,6 +482,11 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(text, ' ')) AS w
                   FROM documents)
             GROUP BY w ORDER BY n DESC, w LIMIT 50""",
+        "vocab_top_words_sketch": """
+            SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY w ORDER BY n DESC, w LIMIT 50""",
         "media_dedup": """
             SELECT CAST(concat('0x', substring(
                         sha256(coalesce(text, '')), 1, 15))
@@ -581,6 +589,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start,
                    max(ts) AS session_end, count(*) AS n_events
             FROM s GROUP BY user_id, sid""",
+        "events_orders_range_join": """
+            SELECT e.event_id,
+                   count(o.o_custkey) AS n_orders,
+                   CAST(coalesce(sum(CAST(round(o.o_totalprice * 100)
+                                          AS BIGINT)), 0) AS BIGINT)
+                       AS revenue_cents
+            FROM events e
+            LEFT JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                 BETWEEN epoch_us(date_trunc('second', e.ts))
+                         - 2592000000000
+                     AND epoch_us(date_trunc('second', e.ts))
+            GROUP BY e.event_id""",
         "lineitem_price_quantiles": """
             SELECT 0.25 AS q, quantile_disc(
                 CAST(round(l_extendedprice * 100) AS BIGINT), 0.25)

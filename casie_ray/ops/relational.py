@@ -212,6 +212,108 @@ def distinct_users(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Range join: each event -> aggregate of the same user's orders inside
+# a trailing time window (a custom operator Ray Data lacks; SURVEY §2
+# "custom operators"). Same bucketed shape as the as-of join below, but
+# the probe answers an interval with TWO searchsorteds + prefix sums.
+# ---------------------------------------------------------------------------
+
+RANGE_JOIN_WINDOW_SECS = 30 * 86400
+
+
+def _range_order_rows(batch: pa.Table) -> pa.Table:
+    from .bucketing import hash_bucket
+    ck = batch.column("o_custkey").to_numpy()
+    return pa.table({
+        "ckey": pa.array(ck, pa.int64()),
+        "t": pa.array(_epoch_secs(batch.column("o_orderdate")),
+                      pa.int64()),
+        "cents": pa.array(_cents(batch.column("o_totalprice"))),
+        "event_id": pa.nulls(len(ck), pa.int64()),
+        "bucket": pa.array(hash_bucket([ck]), pa.int32()),
+    })
+
+
+def _range_event_rows(batch: pa.Table) -> pa.Table:
+    from .bucketing import hash_bucket
+    ck = batch.column("user_id").to_numpy()
+    return pa.table({
+        "ckey": pa.array(ck, pa.int64()),
+        "t": pa.array(_epoch_secs(batch.column("ts")), pa.int64()),
+        "cents": pa.nulls(len(ck), pa.int64()),
+        "event_id": batch.column("event_id").cast(pa.int64()),
+        "bucket": pa.array(hash_bucket([ck]), pa.int32()),
+    })
+
+
+def _range_probe_bucket(window_secs: int):
+    def probe(group: pa.Table) -> pa.Table:
+        is_event = pc.is_valid(group.column("event_id"))
+        orders = group.filter(pc.invert(is_event))
+        events = group.filter(is_event)
+        eid = events.column("event_id").to_numpy()
+        if events.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64()),
+                             "revenue_cents": pa.array([], pa.int64())})
+        n_ev = events.num_rows
+        if orders.num_rows == 0:
+            z = np.zeros(n_ev, np.int64)
+            return pa.table({"event_id": pa.array(eid, pa.int64()),
+                             "n_orders": pa.array(z),
+                             "revenue_cents": pa.array(z)})
+        ock = orders.column("ckey").to_numpy()
+        ot = orders.column("t").to_numpy()
+        oc = orders.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ot, ock))
+        ock, ot, oc = ock[order], ot[order], oc[order]
+        uniq = np.unique(ock)
+        orank = np.searchsorted(uniq, ock).astype(np.uint64)
+        comp_o = (orank << np.uint64(34)) | ot.astype(np.uint64)
+        prefix = np.concatenate([[0], np.cumsum(oc)])
+
+        eck = events.column("ckey").to_numpy()
+        et = events.column("t").to_numpy()
+        erank = np.searchsorted(uniq, np.clip(eck, uniq[0], uniq[-1]))
+        known = uniq[erank] == eck
+        base = erank.astype(np.uint64) << np.uint64(34)
+        hi = np.searchsorted(comp_o, base | et.astype(np.uint64),
+                             side="right")
+        lo = np.searchsorted(
+            comp_o, base | (et - window_secs).astype(np.uint64),
+            side="left")
+        n = np.where(known, hi - lo, 0).astype(np.int64)
+        rev = np.where(known, prefix[hi] - prefix[lo], 0).astype(np.int64)
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "n_orders": pa.array(n),
+                         "revenue_cents": pa.array(rev)})
+    return probe
+
+
+def events_orders_range_join(sf_dir: str,
+                             window_secs: int = RANGE_JOIN_WINDOW_SECS):
+    """Distributed range join: per event, count + revenue of the SAME
+    user's orders with order time in ``[event_ts - window, event_ts]``
+    (left semantics — every event gets a row). Both sides bucketed by
+    hash(user): one exchange each, no driver build, no broadcast; each
+    bucket answers every probe with two vectorized searchsorteds over
+    composite (user-rank << 34 | epoch-secs) keys plus a revenue prefix
+    sum. Partitioning assumption: one user's orders fit a bucket group
+    (same contract + salting escape hatch as the as-of join)."""
+    from .bucketing import bucket_groupby
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_totalprice", "o_orderdate"]) \
+        .map_batches(_range_order_rows, batch_format="pyarrow",
+                     batch_size=None)
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(_range_event_rows, batch_format="pyarrow",
+                     batch_size=None)
+    return bucket_groupby(orders.union(events),
+                          _range_probe_bucket(window_secs))
+
+
+# ---------------------------------------------------------------------------
 # As-of join: each event -> the latest order of the same user at event
 # time (a custom operator Ray Data lacks; SURVEY §2 "custom operators")
 # ---------------------------------------------------------------------------

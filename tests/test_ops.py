@@ -48,7 +48,8 @@ SQL_CHECKED = [
     "ann_topk", "lineitem_agg", "segment_revenue", "top_customers",
     "events_hourly", "distinct_users", "events_asof_orders",
     "events_sessions", "events_hourly_watermark",
-    "lineitem_price_quantiles",
+    "lineitem_price_quantiles", "events_orders_range_join",
+    "vocab_top_words_sketch",
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events",
@@ -120,6 +121,60 @@ def test_watermark_drops_late_events(ray_session, late_events_dir):
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
     assert got["n_events"].sum() < 5000  # late rows actually dropped
+
+
+def test_top_words_sketch_fallback_path(ray_session):
+    """With a tiny candidate budget the exactness proof fails and the
+    operator must fall back to the exchange plan — result identical to
+    vocab_top_words either way."""
+    import pyarrow as pa
+
+    from casie_ray.ops.sketch import top_words_sketch
+    from casie_ray.ops.text import vocab_top_words
+
+    got = top_words_sketch(SF_DIR, k=20, cand_k=2).to_pandas()
+    ds = vocab_top_words(SF_DIR, 20)
+    want = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow")]).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["word"]).reset_index(drop=True),
+        want.sort_values(["word"]).reset_index(drop=True))
+
+
+def test_top_words_sketch_proof_path(ray_session, tmp_path, monkeypatch):
+    """A skewed vocabulary where the exactness proof SUCCEEDS: the
+    sketch plan must return the exact top-k without falling back (the
+    fallback is monkeypatched to explode)."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops import sketch as sk
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i:03d}" for i in range(200)]
+    # Zipf-ish: heavy head, long flat tail
+    weights = 1.0 / np.arange(1, len(vocab) + 1) ** 1.5
+    weights /= weights.sum()
+    docs = [" ".join(rng.choice(vocab, size=40, p=weights))
+            for _ in range(400)]
+    d = tmp_path / "skew"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(range(len(docs)),
+                                                pa.int64()),
+                             "text": pa.array(docs, pa.string())}),
+                   str(d / "documents.parquet"))
+
+    def boom(*a, **kw):
+        raise AssertionError("sketch proof failed; fallback taken")
+
+    monkeypatch.setattr("casie_ray.ops.text.vocab_top_words", boom)
+    got = sk.top_words_sketch(str(d), k=10, cand_k=128).to_pandas()
+    counts = collections.Counter(w for t in docs for w in t.split(" "))
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["word"], got["n"])) == want
 
 
 def test_exact_quantiles_refinement_path(ray_session):

@@ -426,7 +426,8 @@ def minhash_lsh_pairs(sf_dir: str, threshold_pct: int = 80):
     :func:`jaccard_pairs` (same oracle)."""
     ds = _read_documents(sf_dir)
     cands = bucket_groupby(
-        ds.map_batches(_band_rows_batch, batch_format="pyarrow"),
+        ds.map_batches(_band_rows_batch, batch_format="pyarrow",
+                       batch_size=None),
         _candidates_from_band_bucket)
     return verify_pairs_exact(cands, sf_dir, threshold_pct)
 
@@ -564,8 +565,10 @@ def verify_pairs_exact(cand_ds, sf_dir: str, threshold_pct: int):
     magnitude as the inverted-index pass); the pair-side exchange is
     candidate-mass-sized."""
     docs = _read_documents(sf_dir).map_batches(_doc_shingle_rows,
-                                               batch_format="pyarrow")
-    sides = cand_ds.map_batches(_cand_side_rows, batch_format="pyarrow")
+                                               batch_format="pyarrow",
+                                               batch_size=None)
+    sides = cand_ds.map_batches(_cand_side_rows, batch_format="pyarrow",
+                                batch_size=None)
     joined = bucket_groupby(docs.union(sides), _attach_shingles_bucket)
     return bucket_groupby(joined, _verify_bucket(threshold_pct))
 

@@ -24,7 +24,9 @@ from typing import Any
 from casie_ray import lexicons as _lx
 from casie_ray.ops import ann as _ann
 from casie_ray.ops import dedup as _dedup
+from casie_ray.ops import clean as _clean
 from casie_ray.ops import graph as _graph
+from casie_ray.ops import graphx as _graphx
 from casie_ray.ops import relational as _rel
 from casie_ray.ops import quantiles as _quant
 from casie_ray.ops import sketch as _sketch
@@ -231,6 +233,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orders_range_join": _rel.events_orders_range_join,
         "events_hourly_watermark": _stream.events_hourly_watermark,
         "lineitem_price_quantiles": _quant.lineitem_price_quantiles,
+        "customers_no_events": _rel.customers_without_events,
+        "top_docs_per_lang": _rel.top_docs_per_lang,
+        # KG graph analytics + transcript cleaning
+        "kg_degree_hist": lambda d: _graphx.degree_hist(_edges_ds(d)),
+        "kg_co_mentions": lambda d: _graphx.co_mention_pairs(_edges_ds(d)),
+        "kg_pagerank": lambda d: _graphx.pagerank(_edges_ds(d)),
+        "transcripts_redact": lambda d: _clean.redact_transcripts(
+            _corpus_dir(_sf_of(d))),
     }
 
 
@@ -263,6 +273,14 @@ _FNV_WORD = _fnv_expr("w")
 def _roll_sql(acc: str, nxt: str) -> str:
     return (f"CAST((CAST({acc} AS HUGEINT) * {_FNV_P} + "
             f"CAST({nxt} AS HUGEINT)) % {_M64} AS UBIGINT)")
+
+
+def _redact_sql(corpus: str) -> str:
+    clean, n = _clean.redact_sql_expr("text")
+    return f"""
+        SELECT conv_id, turn_idx, {clean} AS clean_text,
+               CAST({n} AS BIGINT) AS n_redactions
+        FROM read_parquet('{corpus}/transcripts/*.parquet')"""
 
 
 def _fingerprint_sql() -> str:
@@ -642,4 +660,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, o_orderkey AS last_orderkey FROM j
             WHERE rn = 1""",
+        "customers_no_events": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c.c_custkey)""",
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars, rk FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id) AS rk
+              FROM documents) WHERE rk <= 3""",
+        "kg_degree_hist": f"""
+            WITH ends AS (
+              SELECT CAST(subj AS VARCHAR) AS node
+              FROM read_parquet('{corpus_001}/gold_triples.parquet')
+              UNION ALL
+              SELECT CAST(obj AS VARCHAR)
+              FROM read_parquet('{corpus_001}/gold_triples.parquet')
+            ), deg AS (
+              SELECT node, count(*) AS degree FROM ends GROUP BY node
+            )
+            SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree""",
+        "kg_co_mentions": f"""
+            WITH so AS (
+              SELECT DISTINCT CAST(subj AS VARCHAR) AS subj,
+                              CAST(obj AS VARCHAR) AS obj
+              FROM read_parquet('{corpus_001}/gold_triples.parquet')
+            ), ok AS (
+              SELECT obj FROM so GROUP BY obj HAVING count(*) <= 32
+            ), p AS (
+              SELECT a.subj AS subj_a, b.subj AS subj_b
+              FROM so a JOIN so b ON a.obj = b.obj
+                        JOIN ok ON a.obj = ok.obj
+              WHERE a.subj < b.subj
+            )
+            SELECT subj_a, subj_b, count(*) AS n_shared FROM p
+            GROUP BY subj_a, subj_b HAVING count(*) >= 2""",
+        "kg_pagerank": _graphx.pagerank_sql(
+            f"{corpus_001}/gold_triples.parquet"),
+        "transcripts_redact": _redact_sql(corpus_001),
     }

@@ -1,0 +1,386 @@
+"""Graph analytics over the materialized KG edge table.
+
+The KG pipeline ends at node/edge parquet (stages/triples.py); a real
+knowledge-graph deployment then ASKS things of that graph. This module
+is the analytics surface: degree distribution, co-mention pairs
+(subjects sharing objects — the classic entity-affinity signal), and
+PageRank — each expressed in the engine's standard bucketed-exchange
+shape (ops/bucketing.py): derive a bounded ``bucket`` column from the
+key hash, exchange once, process each bucket group with vectorized
+Arrow/numpy kernels over all its keys at once. No per-node Python
+calls, no driver-side graph materialization; per-round state is the
+node-sized rank table, exactly like ops/graph.py's union-find labels.
+
+PageRank is computed in FIXED-POINT integer arithmetic (rank scaled by
+1e6, damping 85/100 as integer multiply-divide): integer sums are
+associative, so distributed reduction order can never change the
+result, and the whole iteration unrolls into plain (non-recursive)
+DuckDB SQL for exact value checking. Dangling-node mass is dropped
+(the standard simplification) identically in both dataflows.
+
+At 100 TB: degree/co-mention are one exchange each (plus the tiny
+final); PageRank is two exchanges per iteration over edge mass with
+node-sized materialized state between rounds. The ``obj_cap`` guard in
+co-mention bounds the pair explosion of boilerplate objects the same
+way the Jaccard df_cap does (ops/dedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .bucketing import bucket_groupby, fnv1a_hashes
+
+N_GRAPH_BUCKETS = 64
+
+# PageRank fixed-point: ranks scaled by SCALE; damping d = DAMP_NUM/DAMP_DEN
+PR_SCALE = 1_000_000
+DAMP_NUM, DAMP_DEN = 85, 100
+PR_BASE = PR_SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN  # 150000
+
+
+def _str_bucket(col, n_buckets: int = N_GRAPH_BUCKETS) -> pa.Array:
+    """Vectorized FNV-1a hash bucket for a string column."""
+    h = fnv1a_hashes([s if s is not None else "" for s in col.to_pylist()])
+    return pa.array((h % np.uint64(n_buckets)).astype(np.int32))
+
+
+# ---------------------------------------------------------------------------
+# Degree histogram
+# ---------------------------------------------------------------------------
+
+_DEG_PART_SCHEMA = pa.schema([
+    ("node", pa.string()), ("deg", pa.int64()), ("bucket", pa.int32()),
+])
+
+
+def _degree_partial(batch: pa.Table) -> pa.Table:
+    """Per-block combiner: count each edge row once per endpoint."""
+    ends = pa.table({"node": pa.concat_arrays([
+        batch.column("subj").combine_chunks().cast(pa.string()),
+        batch.column("obj").combine_chunks().cast(pa.string())])})
+    g = ends.group_by(["node"]).aggregate([([], "count_all")])
+    g = g.rename_columns(["node", "deg"])
+    return pa.table({
+        "node": g.column("node"),
+        "deg": g.column("deg").cast(pa.int64()),
+        "bucket": _str_bucket(g.column("node")),
+    })
+
+
+def _degree_reduce_to_hist_partial(group: pa.Table) -> pa.Table:
+    """One node bucket: final per-node degree, then the bucket's partial
+    histogram (degree -> node count) — the second exchange ships only
+    #distinct-degrees rows per bucket."""
+    g = group.group_by(["node"]).aggregate([("deg", "sum")])
+    h = g.group_by(["deg_sum"]).aggregate([([], "count_all")])
+    h = h.rename_columns(["degree", "n_nodes"])
+    deg = h.column("degree").to_numpy().astype(np.int64)
+    return pa.table({
+        "degree": pa.array(deg, pa.int64()),
+        "n_nodes": h.column("n_nodes").cast(pa.int64()),
+        "bucket": pa.array((deg % N_GRAPH_BUCKETS).astype(np.int32)),
+    })
+
+
+def _hist_final(group: pa.Table) -> pa.Table:
+    g = group.group_by(["degree"]).aggregate([("n_nodes", "sum")])
+    return g.rename_columns(["degree", "n_nodes"])
+
+
+def degree_hist(edges_ds):
+    """Node-degree distribution of the KG: (degree, n_nodes).
+
+    Degree = incident unique-edge rows (the same count kg_nodes
+    reports). Shape: per-block combiner -> hash(node) exchange with an
+    in-bucket histogram partial -> tiny hash(degree) final.
+    """
+    parts = edges_ds.map_batches(_degree_partial, batch_format="pyarrow",
+                                 batch_size=None)
+    hist_parts = bucket_groupby(parts, _degree_reduce_to_hist_partial)
+    return bucket_groupby(hist_parts, _hist_final)
+
+
+# ---------------------------------------------------------------------------
+# Co-mention pairs (subjects sharing objects)
+# ---------------------------------------------------------------------------
+
+_SO_SCHEMA = pa.schema([
+    ("subj", pa.string()), ("obj", pa.string()), ("bucket", pa.int32()),
+])
+
+_CO_PART_SCHEMA = pa.schema([
+    ("subj_a", pa.string()), ("subj_b", pa.string()),
+    ("n", pa.int64()), ("bucket", pa.int32()),
+])
+
+
+def _subj_obj_partial(batch: pa.Table) -> pa.Table:
+    t = pa.table({"subj": batch.column("subj").cast(pa.string()),
+                  "obj": batch.column("obj").cast(pa.string())})
+    g = t.group_by(["subj", "obj"]).aggregate([])
+    return pa.table({
+        "subj": g.column("subj"), "obj": g.column("obj"),
+        "bucket": _str_bucket(g.column("obj")),
+    })
+
+
+def _co_pairs_bucket(obj_cap: int):
+    def pairs(group: pa.Table) -> pa.Table:
+        # distinct across blocks, drop boilerplate objects, expand pairs
+        g = group.group_by(["subj", "obj"]).aggregate([])
+        g = g.sort_by([("obj", "ascending"), ("subj", "ascending")])
+        obj = np.asarray(g.column("obj").to_pylist(), dtype=object)
+        subj = np.asarray(g.column("subj").to_pylist(), dtype=object)
+        # object run sizes (rows are distinct (subj,obj): size = #subjects)
+        if len(obj) == 0:
+            return _CO_PART_SCHEMA.empty_table()
+        change = np.concatenate([[True], obj[1:] != obj[:-1]])
+        seg_id = np.cumsum(change) - 1
+        sizes = np.bincount(seg_id)
+        keep = sizes[seg_id] <= obj_cap
+        obj, subj = obj[keep], subj[keep]
+        from .bucketing import segment_pair_indices
+        ia, ib = segment_pair_indices([obj])
+        if len(ia) == 0:
+            return _CO_PART_SCHEMA.empty_table()
+        a, b = subj[ia], subj[ib]       # sorted by subj within obj: a < b
+        h = (fnv1a_hashes(list(a)) ^ fnv1a_hashes(list(b)))
+        return pa.table({
+            "subj_a": pa.array(list(a), pa.string()),
+            "subj_b": pa.array(list(b), pa.string()),
+            "n": pa.array(np.ones(len(a), np.int64)),
+            "bucket": pa.array(
+                (h % np.uint64(N_GRAPH_BUCKETS)).astype(np.int32)),
+        })
+    return pairs
+
+
+def _co_final(min_shared: int):
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by(["subj_a", "subj_b"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["subj_a", "subj_b", "n_shared"])
+        return g.filter(pc.greater_equal(g.column("n_shared"),
+                                         pa.scalar(min_shared, pa.int64())))
+    return final
+
+
+def co_mention_pairs(edges_ds, obj_cap: int = 32, min_shared: int = 2):
+    """Subject pairs sharing >= ``min_shared`` distinct objects:
+    (subj_a, subj_b, n_shared), subj_a < subj_b.
+
+    Objects with more than ``obj_cap`` distinct subjects are excluded
+    from pair generation (boilerplate guard — a hub object contributes
+    O(cap^2) pairs instead of O(n^2)); the SQL oracle applies the same
+    cap, so values stay exact.
+    """
+    so = edges_ds.map_batches(_subj_obj_partial, batch_format="pyarrow",
+                              batch_size=None)
+    pairs = bucket_groupby(so, _co_pairs_bucket(obj_cap))
+    return bucket_groupby(pairs, _co_final(min_shared))
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-point integer, exact)
+# ---------------------------------------------------------------------------
+
+
+def _pr_edges_partial(batch: pa.Table) -> pa.Table:
+    t = pa.table({"src": batch.column("subj").cast(pa.string()),
+                  "dst": batch.column("obj").cast(pa.string())})
+    g = t.group_by(["src", "dst"]).aggregate([])
+    return pa.table({
+        "src": g.column("src"), "dst": g.column("dst"),
+        "bucket": _str_bucket(g.column("src")),
+    })
+
+
+def _pr_edges_bucket(group: pa.Table) -> pa.Table:
+    g = group.group_by(["src", "dst"]).aggregate([])
+    return pa.table({
+        "src": g.column("src"), "dst": g.column("dst"),
+        "bucket": _str_bucket(g.column("src")),
+    })
+
+
+def _pr_nodes_partial(batch: pa.Table) -> pa.Table:
+    u = pc.unique(pa.concat_arrays([
+        batch.column("src").combine_chunks(),
+        batch.column("dst").combine_chunks()]))
+    return pa.table({"node": u, "bucket": _str_bucket(u)})
+
+
+def _pr_outdeg_bucket(group: pa.Table) -> pa.Table:
+    """One src bucket of distinct edges: (node=src, outdeg)."""
+    g = group.group_by(["src"]).aggregate([([], "count_all")])
+    g = g.rename_columns(["node", "outdeg"])
+    return pa.table({
+        "node": g.column("node"),
+        "outdeg": g.column("outdeg").cast(pa.int64()),
+        "bucket": _str_bucket(g.column("node")),
+    })
+
+
+def _pr_init_bucket(group: pa.Table) -> pa.Table:
+    """One node bucket of node rows (outdeg null) + outdeg rows:
+    (node, rank=SCALE, outdeg)."""
+    g = group.group_by(["node"]).aggregate([("outdeg", "max")])
+    g = g.rename_columns(["node", "outdeg"])
+    n = g.num_rows
+    return pa.table({
+        "node": g.column("node"),
+        "rank": pa.array(np.full(n, PR_SCALE, np.int64)),
+        "outdeg": pc.fill_null(g.column("outdeg"), 0),
+        "bucket": _str_bucket(g.column("node")),
+    })
+
+
+def _pr_contrib_bucket(group: pa.Table) -> pa.Table:
+    """One hash bucket keyed by src: rank rows (dst null) + edge rows.
+    Vectorized join; each rank row also emits its (node, 0, outdeg)
+    seed so every node survives the reduce with its outdeg intact."""
+    is_rank = pc.is_valid(group.column("rank"))
+    ranks = group.filter(is_rank)
+    edges = group.filter(pc.invert(is_rank)).select(["src", "dst"])
+    rt = pa.table({"src": ranks.column("src"),
+                   "rank": ranks.column("rank"),
+                   "outdeg": ranks.column("outdeg")})
+    fwd = edges.join(rt, keys="src", join_type="inner")
+    r = fwd.column("rank").to_numpy()
+    od = fwd.column("outdeg").to_numpy()
+    od = np.where(od > 0, od, 1)          # src of an edge always has outdeg>0
+    contrib = (r * DAMP_NUM // DAMP_DEN) // od
+    return pa.table({
+        "node": pa.concat_arrays([
+            fwd.column("dst").combine_chunks(),
+            rt.column("src").combine_chunks()]),
+        "contrib": pa.array(np.concatenate(
+            [contrib, np.zeros(rt.num_rows, np.int64)]), pa.int64()),
+        "outdeg": pa.concat_arrays([
+            pa.nulls(fwd.num_rows, pa.int64()),
+            rt.column("outdeg").combine_chunks()]),
+    })
+
+
+def _pr_reduce_bucket(group: pa.Table) -> pa.Table:
+    g = group.group_by(["node"]).aggregate([("contrib", "sum"),
+                                            ("outdeg", "max")])
+    g = g.rename_columns(["node", "c", "outdeg"])
+    return pa.table({
+        "node": g.column("node"),
+        "rank": pc.add(pa.scalar(PR_BASE, pa.int64()),
+                       g.column("c").cast(pa.int64())),
+        "outdeg": g.column("outdeg"),
+        "bucket": _str_bucket(g.column("node")),
+    })
+
+
+def pagerank(edges_ds, iters: int = 3):
+    """Fixed-point integer PageRank over distinct (subj -> obj) edges:
+    (node, pr) with pr = rank * 1e6 after ``iters`` iterations,
+    damping 0.85, dangling mass dropped.
+
+    rank'(n) = 150000 + sum over in-edges (m,n) of
+               (rank(m) * 85 // 100) // outdeg(m)
+
+    All-integer, so the distributed sum is order-independent and the
+    unrolled DuckDB oracle matches bit-for-bit. Two bucketed exchanges
+    per iteration; inter-round state is the node-sized rank table.
+    """
+    ep = edges_ds.map_batches(_pr_edges_partial, batch_format="pyarrow",
+                              batch_size=None)
+    edges = bucket_groupby(ep, _pr_edges_bucket).materialize()
+
+    outdeg = bucket_groupby(edges, _pr_outdeg_bucket)
+    node_rows = edges.map_batches(_pr_nodes_partial,
+                                  batch_format="pyarrow", batch_size=None)
+
+    def as_node_row(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"),
+                         "outdeg": pa.nulls(batch.num_rows, pa.int64()),
+                         "bucket": batch.column("bucket")})
+
+    seed = node_rows.map_batches(as_node_row, batch_format="pyarrow") \
+        .union(outdeg)
+    ranks = bucket_groupby(seed, _pr_init_bucket).materialize()
+
+    def as_rank_row(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch.column("node"),
+            "dst": pa.nulls(batch.num_rows, pa.string()),
+            "rank": batch.column("rank"),
+            "outdeg": batch.column("outdeg"),
+            "bucket": batch.column("bucket"),
+        })
+
+    def as_edge_row(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "src": batch.column("src"),
+            "dst": batch.column("dst"),
+            "rank": pa.nulls(n, pa.int64()),
+            "outdeg": pa.nulls(n, pa.int64()),
+            "bucket": batch.column("bucket"),
+        })
+
+    def rebucket_node(fn):
+        def wrapped(g: pa.Table) -> pa.Table:
+            t = fn(g)
+            if "bucket" in t.column_names:
+                return t
+            return t.append_column("bucket", _str_bucket(t.column("node")))
+        return wrapped
+
+    for _ in range(iters):
+        mixed = ranks.map_batches(as_rank_row, batch_format="pyarrow") \
+            .union(edges.map_batches(as_edge_row, batch_format="pyarrow"))
+        contribs = bucket_groupby(mixed, rebucket_node(_pr_contrib_bucket))
+        ranks = bucket_groupby(contribs, _pr_reduce_bucket).materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"),
+                         "pr": batch.column("rank")})
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def pagerank_local(edges: list[tuple[str, str]], iters: int = 3
+                   ) -> dict[str, int]:
+    """Sequential fixed-point oracle for tests."""
+    e = sorted(set(edges))
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    outdeg: dict[str, int] = {}
+    for a, _ in e:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    rank = {n: PR_SCALE for n in nodes}
+    for _ in range(iters):
+        nxt = {n: PR_BASE for n in nodes}
+        for a, b in e:
+            nxt[b] += (rank[a] * DAMP_NUM // DAMP_DEN) // outdeg[a]
+        rank = nxt
+    return rank
+
+
+def pagerank_sql(triples_glob: str, iters: int = 3) -> str:
+    """Unrolled DuckDB oracle for :func:`pagerank` — one CTE per
+    iteration, all-integer arithmetic, bit-exact vs the engine."""
+    sql = [f"""WITH e AS (SELECT DISTINCT CAST(subj AS VARCHAR) AS src,
+                   CAST(obj AS VARCHAR) AS dst
+            FROM read_parquet('{triples_glob}')),
+ nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+ od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+ r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes)"""]
+    for i in range(1, iters + 1):
+        sql.append(f""",
+ r{i} AS (SELECT n.node,
+          CAST({PR_BASE} + coalesce(s.c, 0) AS BIGINT) AS pr
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   sum((r.pr * {DAMP_NUM} // {DAMP_DEN}) // od.outdeg) AS c
+            FROM e JOIN r{i - 1} r ON e.src = r.node
+                   JOIN od ON e.src = od.src
+            GROUP BY e.dst) s ON n.node = s.node)""")
+    sql.append(f"\nSELECT node, pr FROM r{iters}")
+    return "".join(sql)

@@ -471,3 +471,102 @@ def events_sessions(sf_dir: str, gap_us: int = SESSION_GAP_US):
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     ds = ds.map_batches(tag, batch_format="pyarrow")
     return bucket_groupby(ds, sessionize)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed anti-join (keys on one side absent from the other)
+# ---------------------------------------------------------------------------
+
+
+def customers_without_events(sf_dir: str):
+    """Customers who never produced an event — the distributed ANTI-JOIN
+    shape: both
+    sides are combined per block to distinct keys, hash-bucketed on the
+    join key (equal keys co-locate), and each bucket group resolves the
+    difference with one vectorized ``np.isin`` — no broadcast of either
+    side, no per-key Python. At 100 TB this is one exchange of the
+    distinct-key mass, which the per-block combiners have already
+    shrunk to key cardinality."""
+    from .bucketing import bucket_groupby, hash_bucket
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        t = pa.table({"key": batch.column("c_custkey"),
+                      "c_mktsegment": batch.column("c_mktsegment")})
+        b = hash_bucket([t.column("key")])
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def event_rows(batch: pa.Table) -> pa.Table:
+        k = pc.unique(batch.column("user_id").combine_chunks())
+        t = pa.table({"key": k,
+                      "c_mktsegment": pa.nulls(len(k), pa.string())})
+        b = hash_bucket([t.column("key")])
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def anti_bucket(group: pa.Table) -> pa.Table:
+        is_cust = pc.is_valid(group.column("c_mktsegment"))
+        cust = group.filter(is_cust)
+        probe = group.filter(pc.invert(is_cust))
+        ck = cust.column("key").to_numpy()
+        ok = probe.column("key").to_numpy()
+        keep = ~np.isin(ck, ok)
+        out = cust.filter(pa.array(keep))
+        return pa.table({"c_custkey": out.column("key"),
+                         "c_mktsegment": out.column("c_mktsegment")})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(cust_rows, batch_format="pyarrow", batch_size=None)
+    events = _read(sf_dir, "events", ["user_id"]) \
+        .map_batches(event_rows, batch_format="pyarrow", batch_size=None)
+    return bucket_groupby(cust.union(events), anti_bucket)
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k (top documents per language)
+# ---------------------------------------------------------------------------
+
+
+def _grouped_topk_kernel(t: pa.Table, k: int) -> pa.Table:
+    """Top-k rows per lang by (n_chars desc, doc_id asc), vectorized:
+    sort once, then rank-within-run via arange minus run starts."""
+    t = t.sort_by([("lang", "ascending"), ("n_chars", "descending"),
+                   ("doc_id", "ascending")])
+    lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
+    n = len(lang)
+    if n == 0:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "n_chars": pa.array([], pa.int64()),
+                         "rk": pa.array([], pa.int64())})
+    change = np.concatenate([[True], lang[1:] != lang[:-1]])
+    run_start = np.maximum.accumulate(np.where(change, np.arange(n), 0))
+    rk = np.arange(n) - run_start + 1
+    t = t.append_column("rk", pa.array(rk, pa.int64()))
+    return t.filter(pa.array(rk <= k))
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 3):
+    """Per-group top-k: the k longest documents of each language with
+    their in-group rank — per-block partial top-k (only k rows per
+    group survive a block), one bucketed exchange keyed on lang, same
+    vectorized kernel as the final. Deterministic tie-break by doc_id
+    matches the SQL row_number ordering."""
+    from .bucketing import bucket_groupby, fnv1a_hashes
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch.column("lang"),
+                      "doc_id": batch.column("doc_id"),
+                      "n_chars": batch.column("n_chars")})
+        t = _grouped_topk_kernel(t, k).drop_columns(["rk"])
+        h = fnv1a_hashes(t.column("lang").to_pylist())
+        return t.append_column("bucket", pa.array(
+            (h % np.uint64(64)).astype(np.int32)))
+
+    def final(group: pa.Table) -> pa.Table:
+        return _grouped_topk_kernel(
+            group.drop_columns(["bucket"]), k)
+
+    import ray.data
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return bucket_groupby(ds, final)

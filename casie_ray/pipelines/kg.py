@@ -32,6 +32,8 @@ import os
 import shutil
 import time
 
+import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..ops.bucketing import bucket_groupby
@@ -442,42 +444,60 @@ def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
                 .map_batches(extract_surface_nodes, batch_format="pyarrow",
                              batch_size=None)
         mapping = compute_canonical_mapping(surf_ds)
-    raw = rd.read_parquet(raw_files)
+    # size read blocks to ~128 MB of on-disk raw triples (never fewer
+    # than one per CPU): the raw dir holds one tiny file per input
+    # shard, and letting the reader split per-file would pay per-task
+    # overhead thousands of times at corpus scale
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    raw_bytes = sum(os.path.getsize(f) for f in raw_files)
+    n_blocks = max(ncpu, raw_bytes // (128 << 20))
+    raw = rd.read_parquet(raw_files, override_num_blocks=n_blocks)
     timings["canonicalize"] = round(time.time() - t1, 2)
     t1 = time.time()
     if mapping:
         raw = raw.map_batches(rewrite_triples(ray.put(mapping)),
                               batch_format="pyarrow", batch_size=None)
-    # exact dedup via HASH exchange, not sort: repartition co-locates
-    # equal (subj, pred, obj) keys, then one vectorized Arrow group_by
-    # per whole block (batch_size=None). Hot keys only grow one block's
-    # O(rows) aggregate, never a per-key Python loop.
-    # edges stream STRAIGHT to parquet (one execution, no object-store
-    # materialization of the edge table); the node aggregation re-reads
-    # the written files — a cheap column-pruned read of the small
-    # unique-triple table, and at corpus scale the disk round-trip beats
-    # pinning the edges in the object store across two consumers
-    edges = bucket_groupby(raw, final_dedup_group, coarse_per_cpu=4)
+    # ONE fused execution for edges + nodes: the (subj,pred,obj)-keyed
+    # exchange co-locates equal triples (4096 hash buckets coarsened to
+    # ~4 groups per task slot), each group task runs the vectorized
+    # final dedup, WRITES ITS OWN edge parquet shard (deterministic
+    # per-group filename -> idempotent under task retry), and emits
+    # node partial rows straight into the chained node-keyed exchange —
+    # no intermediate read-back of the edge table, no second and third
+    # dataset executions with their fixed orchestration cost. Hot keys
+    # only grow one group's O(rows) Arrow aggregate, never a per-key
+    # Python loop.
     edges_dir = os.path.join(out_dir, "edges")
     tmp = edges_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    edges.write_parquet(tmp)
-    manifest.atomic_dir_swap(tmp, edges_dir)
-    edge_files = sorted(glob.glob(os.path.join(edges_dir, "*.parquet")))
-    n_edges = sum(pq.ParquetFile(f).metadata.num_rows for f in edge_files)
+    os.makedirs(tmp, exist_ok=True)
+    m = max(1, ncpu * 4)
 
-    nodes = rd.read_parquet(edge_files,
-                            columns=["subj", "obj", "subj_type",
-                                     "obj_type"]) \
-        .map_batches(emit_nodes_batch, batch_format="pyarrow",
-                     batch_size=None)
+    def tag(t: "pa.Table") -> "pa.Table":
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "cgroup", pa.array((b % m).astype(np.int32)))
+
+    def dedup_write_emit_nodes(g: "pa.Table") -> "pa.Table":
+        cg = int(g.column("cgroup")[0].as_py())
+        out = final_dedup_group(g.drop_columns(["cgroup"]))
+        pq.write_table(out, os.path.join(tmp, f"part-{cg:05d}.parquet"))
+        return emit_nodes_batch(out)
+
+    nodes = raw.map_batches(tag, batch_format="pyarrow",
+                            batch_size=None) \
+        .groupby("cgroup").map_groups(dedup_write_emit_nodes,
+                                      batch_format="pyarrow")
     nodes = bucket_groupby(nodes, final_nodes_group,
                            coarse_per_cpu=4).drop_columns(["bucket"])
     nodes_dir = os.path.join(out_dir, "nodes")
-    tmp = nodes_dir + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    nodes.write_parquet(tmp)
-    manifest.atomic_dir_swap(tmp, nodes_dir)
+    ntmp = nodes_dir + ".tmp"
+    shutil.rmtree(ntmp, ignore_errors=True)
+    nodes.write_parquet(ntmp)
+    manifest.atomic_dir_swap(tmp, edges_dir)
+    manifest.atomic_dir_swap(ntmp, nodes_dir)
+    edge_files = sorted(glob.glob(os.path.join(edges_dir, "*.parquet")))
+    n_edges = sum(pq.ParquetFile(f).metadata.num_rows for f in edge_files)
 
     timings["dedup_materialize"] = round(time.time() - t1, 2)
     return {"groups": len(groups), "groups_skipped": skipped,

@@ -124,8 +124,12 @@ def emit_nodes_batch(batch: pa.Table) -> pa.Table:
     g = t.group_by(["node_id"]).aggregate([("degree", "sum"),
                                            ("type", "min")])
     g = g.rename_columns(["node_id", "degree", "type"])
-    bucket = pa.array([zlib.crc32(x.encode()) % N_BUCKETS
-                       for x in g.column("node_id").to_pylist()],
+    # vectorized FNV bucket (pure function of node_id, so equal nodes
+    # co-locate; the bucket column is dropped from the final output)
+    from ..ops.bucketing import fnv1a_hashes
+    import numpy as np
+    h = fnv1a_hashes(g.column("node_id").to_pylist())
+    bucket = pa.array((h % np.uint64(N_BUCKETS)).astype(np.int32),
                       pa.int32())
     return pa.table({"node_id": g.column("node_id"),
                      "type": g.column("type"),

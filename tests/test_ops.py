@@ -50,6 +50,9 @@ SQL_CHECKED = [
     "events_sessions", "events_hourly_watermark",
     "lineitem_price_quantiles", "events_orders_range_join",
     "vocab_top_words_sketch",
+    "customers_no_events", "top_docs_per_lang",
+    "kg_degree_hist", "kg_co_mentions", "kg_pagerank",
+    "transcripts_redact",
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events",

@@ -27,6 +27,7 @@ from casie_ray.ops import dedup as _dedup
 from casie_ray.ops import clean as _clean
 from casie_ray.ops import graph as _graph
 from casie_ray.ops import graphx as _graphx
+from casie_ray.ops import join as _join
 from casie_ray.ops import relational as _rel
 from casie_ray.ops import quantiles as _quant
 from casie_ray.ops import sketch as _sketch
@@ -230,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _rel.distinct_users,
         "events_asof_orders": _rel.events_asof_orders,
         "events_sessions": _rel.events_sessions,
+        "events_prev_gap": _rel.events_prev_gap,
+        "order_lineitem_totals": _join.order_lineitem_totals,
         "events_orders_range_join": _rel.events_orders_range_join,
         "events_hourly_watermark": _stream.events_hourly_watermark,
         "lineitem_price_quantiles": _quant.lineitem_price_quantiles,
@@ -607,6 +610,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start,
                    max(ts) AS session_end, count(*) AS n_events
             FROM s GROUP BY user_id, sid""",
+        "events_prev_gap": """
+            SELECT event_id,
+                   CAST(coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id)), -1) AS BIGINT)
+                       AS prev_gap_us
+            FROM events""",
+        "order_lineitem_totals": _join.ORDER_LINEITEM_SQL,
         "events_orders_range_join": """
             SELECT e.event_id,
                    count(o.o_custkey) AS n_orders,

@@ -474,6 +474,49 @@ def events_sessions(sf_dir: str, gap_us: int = SESSION_GAP_US):
 
 
 # ---------------------------------------------------------------------------
+# Windowed lag: per-row delta vs the previous row of the same key (the
+# LAG() OVER (PARTITION BY ... ORDER BY ...) window primitive)
+# ---------------------------------------------------------------------------
+
+
+def events_prev_gap(sf_dir: str):
+    """Per event: microseconds since the SAME user's previous event
+    (-1 for a user's first event) — the general partitioned window-lag
+    operator, same one-exchange bucketed shape as ``events_sessions``:
+    hash(user) bucket exchange, then a fully vectorized per-bucket
+    lexsort + diff (order (user, ts, event_id) so duplicate timestamps
+    resolve identically to the SQL oracle's ORDER BY tie-break)."""
+    from .bucketing import bucket_groupby, hash_bucket
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        return pa.table({
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "t": batch.column("ts").cast(pa.int64()),
+            "bucket": pa.array(hash_bucket([uid]), pa.int32()),
+        })
+
+    def lag_gap(group: pa.Table) -> pa.Table:
+        eid = group.column("event_id").to_numpy()
+        uid = group.column("user_id").to_numpy()
+        t = group.column("t").to_numpy()
+        order = np.lexsort((eid, t, uid))
+        eid, uid, t = eid[order], uid[order], t[order]
+        gap = np.full(len(t), -1, np.int64)
+        if len(t) > 1:
+            same = uid[1:] == uid[:-1]
+            gap[1:][same] = (t[1:] - t[:-1])[same]
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "prev_gap_us": pa.array(gap, pa.int64())})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    ds = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    return bucket_groupby(ds, lag_gap)
+
+
+# ---------------------------------------------------------------------------
 # Bucketed anti-join (keys on one side absent from the other)
 # ---------------------------------------------------------------------------
 

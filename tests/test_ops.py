@@ -47,7 +47,8 @@ SQL_CHECKED = [
     "vocab_top_words", "media_dedup",
     "ann_topk", "lineitem_agg", "segment_revenue", "top_customers",
     "events_hourly", "distinct_users", "events_asof_orders",
-    "events_sessions", "events_hourly_watermark",
+    "events_sessions", "events_prev_gap", "order_lineitem_totals",
+    "events_hourly_watermark",
     "lineitem_price_quantiles", "events_orders_range_join",
     "vocab_top_words_sketch",
     "customers_no_events", "top_docs_per_lang",
@@ -70,6 +71,36 @@ def test_query_matches_oracle_sql(ray_session, ddb, name):
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_hash_join_unit(ray_session):
+    """General bucketed equi-join: inner + left outer, string keys
+    (FNV hash path), duplicate right keys, and the payload-collision
+    guard."""
+    import ray
+
+    from casie_ray.ops.join import hash_join
+
+    left = ray.data.from_items(
+        [{"k": "a", "lx": 1}, {"k": "b", "lx": 2}, {"k": "c", "lx": 3}])
+    right = ray.data.from_items(
+        [{"k2": "b", "ry": 10}, {"k2": "b", "ry": 11}, {"k2": "d", "ry": 12}])
+
+    inner = hash_join(left, right, on="k", right_on="k2").to_pandas()
+    inner = inner.sort_values(["k", "ry"]).reset_index(drop=True)
+    assert list(inner["k"]) == ["b", "b"]
+    assert list(inner["lx"]) == [2, 2]
+    assert list(inner["ry"]) == [10, 11]
+
+    outer = hash_join(left, right, on="k", right_on="k2",
+                      how="left outer").to_pandas()
+    outer = outer.sort_values(["k", "ry"]).reset_index(drop=True)
+    assert list(outer["k"]) == ["a", "b", "b", "c"]
+    assert outer["ry"].isna().sum() == 2
+
+    bad = ray.data.from_items([{"k2": "b", "lx": 9}])
+    with pytest.raises(ValueError, match="colliding"):
+        hash_join(left, bad, on="k", right_on="k2")
 
 
 def test_rows_only_queries_run(ray_session):

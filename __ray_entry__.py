@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _text.sample_documents,
         "vocab_top_words": _text.vocab_top_words,
         "vocab_top_words_sketch": _sketch.top_words_sketch,
+        "hll_distinct_users": _sketch.hll_user_registers,
         # dedup family (documents / embeddings)
         "dedup_exact": _dedup.exact_dedup,
         "dedup_jaccard_pairs": _dedup.jaccard_pairs,
@@ -276,6 +277,45 @@ _FNV_WORD = _fnv_expr("w")
 def _roll_sql(acc: str, nxt: str) -> str:
     return (f"CAST((CAST({acc} AS HUGEINT) * {_FNV_P} + "
             f"CAST({nxt} AS HUGEINT)) % {_M64} AS UBIGINT)")
+
+
+# ---- splitmix64 in SQL (shared with ops.bucketing.mix64) ----
+# The splitmix multipliers are ~2^63, so h*c would overflow HUGEINT
+# (2^64 x 2^63 > 2^127); split the constant into 32-bit halves and
+# combine mod 2^64: (h*c) mod 2^64 = ((h*c_hi mod 2^32) << 32 + h*c_lo)
+# mod 2^64 — every intermediate stays under 2^97.
+def _mulmod64_sql(h: str, const: int) -> str:
+    hi, lo = const >> 32, const & 0xFFFFFFFF
+    return (f"CAST((((CAST({h} AS HUGEINT) * {hi}) % 4294967296) "
+            f"* 4294967296 + CAST({h} AS HUGEINT) * {lo}) % {_M64} "
+            "AS UBIGINT)")
+
+
+def _hll_sql() -> str:
+    """DuckDB twin of ops.sketch.hll_user_registers: splitmix64 of each
+    distinct user_id, top 12 bits -> register, 53 - bit_length(low-52
+    window) -> rank (length(bin(w)) is exact integer bit_length; no
+    float log2), max rank per register."""
+    phi = 0x9E3779B97F4A7C15
+    s1c = 0xBF58476D1CE4E5B9
+    s2c = 0x94D049BB133111EB
+    w = "h % CAST(4503599627370496 AS UBIGINT)"
+    return f"""
+        WITH u AS (SELECT DISTINCT CAST(user_id AS UBIGINT) AS a
+                   FROM events),
+        s1 AS (SELECT {_mulmod64_sql('a', phi)} AS h0 FROM u),
+        s1b AS (SELECT CAST((CAST(h0 AS HUGEINT) + 1) % {_M64}
+                            AS UBIGINT) AS h FROM s1),
+        s2 AS (SELECT xor(h, h >> 30) AS h FROM s1b),
+        s3 AS (SELECT {_mulmod64_sql('h', s1c)} AS h FROM s2),
+        s4 AS (SELECT xor(h, h >> 27) AS h FROM s3),
+        s5 AS (SELECT {_mulmod64_sql('h', s2c)} AS h FROM s4),
+        s6 AS (SELECT xor(h, h >> 31) AS h FROM s5)
+        SELECT CAST(h >> 52 AS BIGINT) AS register,
+               CAST(max(CASE WHEN {w} = CAST(0 AS UBIGINT) THEN 53
+                        ELSE 53 - length(bin({w})) END) AS BIGINT)
+                   AS max_rank
+        FROM s6 GROUP BY register"""
 
 
 def _redact_sql(corpus: str) -> str:
@@ -610,6 +650,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start,
                    max(ts) AS session_end, count(*) AS n_events
             FROM s GROUP BY user_id, sid""",
+        "hll_distinct_users": _hll_sql(),
         "events_prev_gap": """
             SELECT event_id,
                    CAST(coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER (

@@ -99,3 +99,86 @@ def top_words_sketch(sf_dir: str, k: int = 50, cand_k: int = CAND_K):
         "word": pa.array([w for w, _ in top], pa.string()),
         "n": pa.array([c for _, c in top], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (mergeable; registers are the
+# contract, so the result is exactly checkable despite being a sketch)
+# ---------------------------------------------------------------------------
+
+HLL_P = 12                      # 2^12 = 4096 registers
+_W_BITS = 64 - HLL_P            # rank window width
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized integer bit_length for uint64 (0 -> 0): six binary-
+    search shift passes, no floats (log2 would misround near powers of
+    two for 52-bit values)."""
+    x = x.copy()
+    r = np.zeros(len(x), np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.uint64(1) << np.uint64(s))
+        r[m] += s
+        x[m] >>= np.uint64(s)
+    return r + (x == 1)
+
+
+def hll_partial(ids: np.ndarray) -> pa.Table:
+    """One block's HLL register partial over int64 ids: splitmix64 hash
+    -> top HLL_P bits pick the register, the rank is the leading-zero
+    count (+1) of the remaining window. Output <= 4096 (register,
+    max_rank) rows regardless of block size — the mergeable property
+    that makes distinct-count a shuffle-free one-scan at any scale."""
+    from .bucketing import mix64
+    h = mix64([ids.astype(np.int64)])
+    reg = (h >> np.uint64(_W_BITS)).astype(np.int64)
+    w = h & np.uint64((1 << _W_BITS) - 1)
+    rank = _W_BITS + 1 - _bit_length_u64(w)
+    t = pa.table({"register": pa.array(reg, pa.int64()),
+                  "max_rank": pa.array(rank, pa.int64())})
+    g = t.group_by(["register"]).aggregate([("max_rank", "max")])
+    return g.rename_columns(["register", "max_rank"])
+
+
+def hll_user_registers(sf_dir: str):
+    """HLL registers for distinct ``events.user_id``: per-block partials
+    (bounded 4096 rows each) merged in ONE tiny final task — no
+    exchange of row data at all; only register partials move. On a
+    cluster the merge input is #blocks x 4096 rows max; tree-merge via
+    an intermediate repartition if #blocks grows past driver comfort.
+    The register table (not the float estimate) is the query contract:
+    it is deterministic integer data, hash-checkable against a DuckDB
+    oracle reproducing splitmix64 + bit_length in SQL."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return hll_partial(
+            batch.column("user_id").to_numpy(zero_copy_only=False))
+
+    def merge(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["register"]).aggregate([("max_rank", "max")])
+        g = g.rename_columns(["register", "max_rank"])
+        return g.sort_by("register")
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["user_id"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+
+
+def hll_estimate(registers: pa.Table, p: int = HLL_P) -> float:
+    """Standard HLL estimate (with the small-range linear-counting
+    correction) from a register table as returned by
+    ``hll_user_registers``. Kept separate from the query contract so
+    the checkable artifact stays integer-exact."""
+    m = 1 << p
+    ranks = np.zeros(m, np.int64)
+    idx = registers.column("register").to_numpy()
+    ranks[idx] = registers.column("max_rank").to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -ranks.astype(np.float64)))
+    zeros = int(np.sum(ranks == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)

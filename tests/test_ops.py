@@ -50,7 +50,7 @@ SQL_CHECKED = [
     "events_sessions", "events_prev_gap", "order_lineitem_totals",
     "events_hourly_watermark",
     "lineitem_price_quantiles", "events_orders_range_join",
-    "vocab_top_words_sketch",
+    "vocab_top_words_sketch", "hll_distinct_users",
     "customers_no_events", "top_docs_per_lang",
     "kg_degree_hist", "kg_co_mentions", "kg_pagerank",
     "transcripts_redact",
@@ -71,6 +71,22 @@ def test_query_matches_oracle_sql(ray_session, ddb, name):
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_hll_estimate_accuracy(ray_session, ddb):
+    """The HLL registers are the exactly-checked contract (see
+    SQL_CHECKED); the derived estimate must land within the standard
+    ~1.04/sqrt(4096) error band of the true distinct count."""
+    import pyarrow as pa
+
+    from casie_ray.ops.sketch import hll_estimate, hll_user_registers
+
+    regs = pa.concat_tables(hll_user_registers(SF_DIR)
+                            .iter_batches(batch_format="pyarrow"))
+    est = hll_estimate(regs)
+    exact = ddb.execute(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert abs(est - exact) / exact < 0.05
 
 
 def test_hash_join_unit(ray_session):

@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _rel.events_sessions,
         "events_prev_gap": _rel.events_prev_gap,
         "order_lineitem_totals": _join.order_lineitem_totals,
+        "customer_event_values": _join.customer_event_values,
         "events_orders_range_join": _rel.events_orders_range_join,
         "events_hourly_watermark": _stream.events_hourly_watermark,
         "lineitem_price_quantiles": _quant.lineitem_price_quantiles,
@@ -659,6 +660,7 @@ def oracle_sql() -> dict[str, str]:
                        AS prev_gap_us
             FROM events""",
         "order_lineitem_totals": _join.ORDER_LINEITEM_SQL,
+        "customer_event_values": _join.CUSTOMER_EVENT_SQL,
         "events_orders_range_join": """
             SELECT e.event_id,
                    count(o.o_custkey) AS n_orders,

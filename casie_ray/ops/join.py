@@ -39,10 +39,82 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .bucketing import bucket_groupby, fnv1a_hashes, hash_bucket
+from .bucketing import bucket_groupby, fnv1a_hashes, hash_bucket, mix64
 
 _KEY = "__k"
 _SIDE = "__side"
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (the classic "bloom join"): one scan over
+# the build side's KEYS produces a fixed-size bit array (default 2^22
+# bits = 512 KB regardless of input size — per-block partials are the
+# same fixed size and OR together, so only O(m_bits) bytes ever move),
+# broadcast via ray.put, and the probe side drops non-member rows
+# BEFORE the join's exchange. For a selective join this cuts the
+# all-to-all volume by the non-match fraction at the cost of one extra
+# build-side scan; false positives only pass extra rows through to the
+# exact per-bucket join, so results are identical with or without it.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 22
+BLOOM_K = 4
+
+
+def _bloom_positions(keys: pa.ChunkedArray, m_bits: int, k: int):
+    """Double-hashed bit positions for each key: pos_i = h1 + i*h2
+    (mod m). Yields k arrays of uint64 positions, fully vectorized."""
+    h1 = mix64([_key_hashes(keys)])
+    h2 = mix64([h1]) | np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            yield (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+
+
+def build_bloom(ds, key: str, *, m_bits: int = BLOOM_BITS,
+                k: int = BLOOM_K) -> np.ndarray:
+    """Bloom filter over ``ds[key]`` as a packed uint64 word array.
+
+    Per-block partials are fixed-size (``m_bits/64`` words) tables that
+    OR together in one tiny merge task — the same mergeable-sketch
+    shape as ``ops.sketch.hll_user_registers``; at 100 TB the merge
+    input is #blocks x 512 KB of partials, never row data. FPR at k=4
+    is ~(1-e^(-4n/m))^4 — under 1e-3 up to ~n = m/8 keys; size m_bits
+    up when the build side's key count approaches that."""
+    import ray.data
+
+    n_words = m_bits >> 6
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, np.uint64)
+        for pos in _bloom_positions(batch.column(key), m_bits, k):
+            np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        # sparse partial: only nonzero words leave the task, so a
+        # small block ships O(k x rows) words, never the full array
+        nz = np.flatnonzero(words)
+        return pa.table({"i": pa.array(nz, pa.int64()),
+                         "w": pa.array(words[nz], pa.uint64())})
+
+    merged = np.zeros(n_words, np.uint64)
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None) \
+            .iter_batches(batch_format="pyarrow"):
+        np.bitwise_or.at(merged, b.column("i").to_numpy(),
+                         b.column("w").to_numpy())
+    return merged
+
+
+def bloom_may_contain(words: np.ndarray, keys: pa.ChunkedArray,
+                      *, k: int = BLOOM_K) -> np.ndarray:
+    """Vectorized membership mask (true = possibly present; never a
+    false negative) against a ``build_bloom`` word array."""
+    m_bits = len(words) << 6
+    mask = np.ones(len(keys), bool)
+    for pos in _bloom_positions(keys, m_bits, k):
+        bit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+               >> (pos & np.uint64(63))) & np.uint64(1)
+        mask &= bit.astype(bool)
+    return mask
 
 
 def _pa_schema(ds) -> pa.Schema:
@@ -103,7 +175,8 @@ def _join_bucket(key_out: str, how: str,
 
 
 def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
-              *, how: str = "inner", bucket_fn=None):
+              *, how: str = "inner", bucket_fn=None,
+              bloom_prune: str | None = None):
     """Distributed equi-join of two Datasets on one key column.
 
     ``on`` names the left key; ``right_on`` the right key (defaults to
@@ -117,8 +190,26 @@ def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
     per-bucket join task (joined group table -> table). Because a
     bucket group holds EVERY row of its keys, a key-grouped aggregate
     here is already final — fusing it avoids materializing wide join
-    output into the object store and needs no second exchange."""
+    output into the object store and needs no second exchange.
+
+    ``bloom_prune``: "right" builds a bloom filter over the LEFT keys
+    (one extra left scan; O(512 KB) moved) and drops right rows whose
+    key cannot match before the exchange — use when the join is
+    selective and the right side is the big one. "left" is the mirror
+    and is only legal for ``how="inner"`` (left-outer must keep
+    unmatched left rows). Results are exactly identical either way;
+    bloom false positives just ride through to the exact per-bucket
+    join. When one side is small enough to broadcast outright, a
+    broadcast join (``relational.segment_revenue`` pattern) beats
+    bloom + exchange; this path is for selective LARGE x LARGE."""
+    import ray
+
     right_on = right_on or on
+    if bloom_prune not in (None, "left", "right"):
+        raise ValueError("bloom_prune must be None, 'left' or 'right'")
+    if bloom_prune == "left" and how != "inner":
+        raise ValueError("bloom_prune='left' would drop unmatched left "
+                         "rows; only legal for how='inner'")
     ls, rs = _pa_schema(left_ds), _pa_schema(right_ds)
     key_type = ls.field(on).type
     if pa.types.is_integer(key_type):
@@ -129,12 +220,30 @@ def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
     if dup:
         raise ValueError(f"colliding payload columns: {sorted(dup)}")
 
-    left = left_ds.map_batches(
-        lambda b: _carrier(b, on, key_type, 0, lpay, rpay),
-        batch_format="pyarrow", batch_size=None)
-    right = right_ds.map_batches(
-        lambda b: _carrier(b, right_on, key_type, 1, rpay, lpay),
-        batch_format="pyarrow", batch_size=None)
+    bloom_ref = None
+    if bloom_prune == "right":
+        bloom_ref = ray.put(build_bloom(left_ds, on))
+    elif bloom_prune == "left":
+        bloom_ref = ray.put(build_bloom(right_ds, right_on))
+
+    def _pruned(b: pa.Table, key: str) -> pa.Table:
+        words = ray.get(bloom_ref)
+        return b.filter(pa.array(bloom_may_contain(words, b.column(key))))
+
+    def _lcarrier(b: pa.Table) -> pa.Table:
+        if bloom_prune == "left":
+            b = _pruned(b, on)
+        return _carrier(b, on, key_type, 0, lpay, rpay)
+
+    def _rcarrier(b: pa.Table) -> pa.Table:
+        if bloom_prune == "right":
+            b = _pruned(b, right_on)
+        return _carrier(b, right_on, key_type, 1, rpay, lpay)
+
+    left = left_ds.map_batches(_lcarrier, batch_format="pyarrow",
+                               batch_size=None)
+    right = right_ds.map_batches(_rcarrier, batch_format="pyarrow",
+                                 batch_size=None)
     return bucket_groupby(
         left.union(right),
         _join_bucket(on, how, [n for n, _ in lpay], [n for n, _ in rpay],
@@ -184,6 +293,63 @@ def order_lineitem_totals(sf_dir: str):
                     right_on="l_orderkey",
                     bucket_fn=_order_totals_bucket)
     return out.drop_columns(["bucket"])
+
+
+# ---------------------------------------------------------------------------
+# Showcase query: bloom-pruned selective join — BUILDING-segment
+# customers (one of five segments) x the events stream. The bloom
+# filter over the filtered customers' keys drops ~4/5 of the events
+# BEFORE the exchange; the fused per-bucket aggregate means the wide
+# join output never hits the object store either.
+# ---------------------------------------------------------------------------
+
+
+def _cust_event_bucket(group: pa.Table) -> pa.Table:
+    g = group.group_by(["c_custkey", "c_name"]).aggregate(
+        [("value_cents", "sum"), ("c_custkey", "count")])
+    g = g.rename_columns(["c_custkey", "c_name", "value_cents",
+                          "n_events"])
+    return g.sort_by("c_custkey").select(
+        ["c_custkey", "c_name", "n_events", "value_cents"])
+
+
+def customer_event_values(sf_dir: str, segment: str = "BUILDING"):
+    """Per-customer event totals for one market segment via the
+    bloom-pruned general join (events side never broadcast, non-member
+    events dropped pre-exchange)."""
+    import ray.data
+
+    from .relational import _cents, _read
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("c_mktsegment"), segment)
+        return b.filter(keep).select(["c_custkey", "c_name"])
+
+    customers = _read(sf_dir, "customer",
+                      ["c_custkey", "c_name", "c_mktsegment"]) \
+        .map_batches(cust_prep, batch_format="pyarrow", batch_size=None)
+
+    def ev_prep(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "value_cents": _cents(b.column("value"))})
+
+    events = _read(sf_dir, "events", ["user_id", "value"]) \
+        .map_batches(ev_prep, batch_format="pyarrow", batch_size=None)
+    out = hash_join(customers, events, on="c_custkey",
+                    right_on="user_id", bloom_prune="right",
+                    bucket_fn=_cust_event_bucket)
+    return out.drop_columns(["bucket"])
+
+
+CUSTOMER_EVENT_SQL = """
+    SELECT c.c_custkey, c.c_name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM customer c JOIN events e ON e.user_id = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY c.c_custkey, c.c_name
+"""
 
 
 ORDER_LINEITEM_SQL = """

@@ -48,6 +48,7 @@ SQL_CHECKED = [
     "ann_topk", "lineitem_agg", "segment_revenue", "top_customers",
     "events_hourly", "distinct_users", "events_asof_orders",
     "events_sessions", "events_prev_gap", "order_lineitem_totals",
+    "customer_event_values",
     "events_hourly_watermark",
     "lineitem_price_quantiles", "events_orders_range_join",
     "vocab_top_words_sketch", "hll_distinct_users",
@@ -117,6 +118,64 @@ def test_hash_join_unit(ray_session):
     bad = ray.data.from_items([{"k2": "b", "lx": 9}])
     with pytest.raises(ValueError, match="colliding"):
         hash_join(left, bad, on="k", right_on="k2")
+
+
+def test_bloom_filter_unit(ray_session):
+    """build_bloom: zero false negatives, FPR within the analytic
+    bound, and string keys route through the FNV path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from casie_ray.ops.join import bloom_may_contain, build_bloom
+
+    keys = np.arange(0, 70_000, 7, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(4)
+    words = build_bloom(ds, "k")
+    assert bloom_may_contain(
+        words, pa.chunked_array([pa.array(keys)])).all()
+    non = pa.chunked_array(
+        [pa.array(np.arange(1_000_000, 1_050_000, dtype=np.int64))])
+    assert bloom_may_contain(words, non).mean() < 1e-3
+
+    sds = ray.data.from_items(
+        [{"s": f"key{i}"} for i in range(500)]).repartition(2)
+    swords = build_bloom(sds, "s")
+    present = pa.chunked_array([pa.array([f"key{i}" for i in range(500)])])
+    absent = pa.chunked_array([pa.array([f"nope{i}" for i in range(500)])])
+    assert bloom_may_contain(swords, present).all()
+    assert bloom_may_contain(swords, absent).mean() < 0.01
+
+
+def test_bloom_pruned_join_identical(ray_session):
+    """bloom_prune must never change join results — only cut exchange
+    volume. Selective fixture: 10% of right keys have a left match."""
+    import numpy as np
+    import ray
+
+    from casie_ray.ops.join import hash_join
+
+    rng = np.random.default_rng(5)
+    left = ray.data.from_items(
+        [{"k": int(i), "lv": int(i * 3)}
+         for i in range(0, 1000, 10)]).repartition(2)
+    right = ray.data.from_items(
+        [{"rk": int(k), "rv": int(k + 1)}
+         for k in rng.integers(0, 1000, 2000)]).repartition(4)
+
+    def norm(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    base = norm(hash_join(left, right, on="k", right_on="rk")
+                .drop_columns(["bucket"]).to_pandas())
+    for prune in ("left", "right"):
+        got = norm(hash_join(left, right, on="k", right_on="rk",
+                             bloom_prune=prune)
+                   .drop_columns(["bucket"]).to_pandas())
+        pd.testing.assert_frame_equal(got, base, check_exact=True)
+    with pytest.raises(ValueError, match="left"):
+        hash_join(left, right, on="k", right_on="rk",
+                  how="left outer", bloom_prune="left")
 
 
 def test_rows_only_queries_run(ray_session):

@@ -28,6 +28,7 @@ from casie_ray.ops import clean as _clean
 from casie_ray.ops import graph as _graph
 from casie_ray.ops import graphx as _graphx
 from casie_ray.ops import join as _join
+from casie_ray.ops import mlprep as _mlprep
 from casie_ray.ops import relational as _rel
 from casie_ray.ops import quantiles as _quant
 from casie_ray.ops import sketch as _sketch
@@ -221,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training prep (A1 class weights, O5 hash split)
         "event_class_weights": _event_class_weights,
         "transcripts_split": _transcripts_split,
+        "pack_sequences": _mlprep.pack_sequences,
         # multimodal plumbing (stubbed decode, real actor-pool stage)
         "media_features": _media_features,
         "media_dedup": _media_dedup,
@@ -317,6 +319,44 @@ def _hll_sql() -> str:
                         ELSE 53 - length(bin({w})) END) AS BIGINT)
                    AS max_rank
         FROM s6 GROUP BY register"""
+
+
+def _pack_sql(seq_len: int = 512, n_buckets: int = 64) -> str:
+    """DuckDB twin of ops.mlprep.pack_sequences: splitmix64(doc_id) mod
+    n_buckets picks the pack bucket, tokens stream in (doc_id, position)
+    order per bucket, and each seq_len window's order-sensitive
+    checksum is sum(fnv(w) * (pos_in_window+1)) mod 2^64 — so the
+    packing layout itself is value-checked, not just counts."""
+    phi = 0x9E3779B97F4A7C15
+    s1c = 0xBF58476D1CE4E5B9
+    s2c = 0x94D049BB133111EB
+    prod = f"(CAST(h AS HUGEINT) * ((g % {seq_len}) + 1)) % {_M64}"
+    return f"""
+        WITH b0 AS (SELECT doc_id, CAST(doc_id AS UBIGINT) AS a
+                    FROM documents),
+        b1 AS (SELECT doc_id, {_mulmod64_sql('a', phi)} AS h0 FROM b0),
+        b2 AS (SELECT doc_id, CAST((CAST(h0 AS HUGEINT) + 1) % {_M64}
+                                   AS UBIGINT) AS h FROM b1),
+        b3 AS (SELECT doc_id, xor(h, h >> 30) AS h FROM b2),
+        b4 AS (SELECT doc_id, {_mulmod64_sql('h', s1c)} AS h FROM b3),
+        b5 AS (SELECT doc_id, xor(h, h >> 27) AS h FROM b4),
+        b6 AS (SELECT doc_id, {_mulmod64_sql('h', s2c)} AS h FROM b5),
+        bk AS (SELECT doc_id,
+                      CAST(xor(h, h >> 31) % {n_buckets} AS INTEGER)
+                          AS bucket FROM b6),
+        tok AS (SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS i
+                FROM documents),
+        pos AS (SELECT bk.bucket, {_FNV_WORD} AS h,
+                       row_number() OVER (PARTITION BY bk.bucket
+                           ORDER BY tok.doc_id, tok.i) - 1 AS g
+                FROM tok JOIN bk USING (doc_id))
+        SELECT bucket, CAST(g // {seq_len} AS BIGINT) AS window_idx,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum({prod}) % {_M64} AS UBIGINT) AS checksum
+        FROM pos GROUP BY bucket, window_idx"""
 
 
 def _redact_sql(corpus: str) -> str:
@@ -661,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events""",
         "order_lineitem_totals": _join.ORDER_LINEITEM_SQL,
         "customer_event_values": _join.CUSTOMER_EVENT_SQL,
+        "pack_sequences": _pack_sql(),
         "events_orders_range_join": """
             SELECT e.event_id,
                    count(o.o_custkey) AS n_orders,

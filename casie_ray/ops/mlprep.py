@@ -82,3 +82,86 @@ def split_assignment(transcripts_ds, test_pct: int = TEST_PCT):
 
     ds = transcripts_ds.map_batches(partial, batch_format="pyarrow")
     return bucket_groupby(ds, bucket_distinct)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing for LLM pretraining: documents -> fixed-length token
+# windows. The classic pretraining data layout (concatenate documents,
+# slice into seq_len context windows) re-expressed for a cluster:
+#
+#     hash(doc_id) -> pack bucket        (one exchange; docs never split
+#       -> per bucket: deterministic      across buckets, window ids are
+#          doc_id order, vectorized       content-derived and stable
+#          tokenize + one reduceat        under re-runs / resume)
+#
+# Windows never span buckets — the standard shard-local packing used by
+# real pretraining pipelines (each reader shard packs independently);
+# the per-bucket tail window is emitted short rather than dropped so
+# token counts are exactly auditable. Token ids are FNV-1a word hashes
+# (a stand-in vocabulary: the real BPE seat would swap into the same
+# kernel). Size N_PACK_BUCKETS to the cluster's task slots at
+# deployment; per-bucket memory is the bucket's text mass.
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 512
+N_PACK_BUCKETS = 64
+
+
+def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN,
+                   emit_tokens: bool = False):
+    """Pack ``documents.text`` into ``seq_len``-token windows.
+
+    Returns one row per (bucket, window_idx) with ``n_tokens`` and an
+    order-sensitive ``checksum`` = sum of token_hash * (pos_in_window+1)
+    mod 2^64 — integer-exact and reproduced token-for-token by a DuckDB
+    window-function oracle (PACK_SEQUENCES_SQL), so the packing layout
+    itself (doc order, window boundaries, token positions) is
+    hash-checkable, not just row counts. ``emit_tokens=True`` adds the
+    actual ``tokens`` list column (the training payload; excluded from
+    the driver contract to keep the compared table scalar)."""
+    import ray.data
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(
+                hash_bucket([ids], n_buckets=N_PACK_BUCKETS), pa.int32()),
+            "doc_id": b.column("doc_id"),
+            "text": b.column("text"),
+        })
+
+    def pack(group: pa.Table) -> pa.Table:
+        g = group.sort_by("doc_id")
+        words: list[str] = []
+        for t in g.column("text").to_pylist():
+            words.extend((t or "").split(" "))
+        h = fnv1a_hashes(words)
+        total = len(h)
+        gpos = np.arange(total, dtype=np.uint64)
+        wpos = gpos % np.uint64(seq_len)
+        with np.errstate(over="ignore"):
+            weighted = h * (wpos + np.uint64(1))
+        starts = np.arange(0, total, seq_len)
+        checksum = np.add.reduceat(weighted, starts) if total else \
+            np.zeros(0, np.uint64)
+        n_win = len(starts)
+        counts = np.full(n_win, seq_len, np.int64)
+        if n_win:
+            counts[-1] = total - starts[-1]
+        b = group.column("bucket")[0].as_py() if group.num_rows else 0
+        out = {
+            "bucket": pa.array(np.full(n_win, b, np.int32)),
+            "window_idx": pa.array(np.arange(n_win, dtype=np.int64)),
+            "n_tokens": pa.array(counts, pa.int64()),
+            "checksum": pa.array(checksum, pa.uint64()),
+        }
+        if emit_tokens:
+            out["tokens"] = pa.ListArray.from_arrays(
+                pa.array(np.concatenate([starts, [total]]), pa.int32()),
+                pa.array(h, pa.uint64()))
+        return pa.table(out)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]) \
+        .map_batches(tag, batch_format="pyarrow", batch_size=None)
+    return bucket_groupby(ds, pack)

@@ -51,7 +51,7 @@ SQL_CHECKED = [
     "customer_event_values",
     "events_hourly_watermark",
     "lineitem_price_quantiles", "events_orders_range_join",
-    "vocab_top_words_sketch", "hll_distinct_users",
+    "vocab_top_words_sketch", "hll_distinct_users", "pack_sequences",
     "customers_no_events", "top_docs_per_lang",
     "kg_degree_hist", "kg_co_mentions", "kg_pagerank",
     "transcripts_redact",
@@ -176,6 +176,51 @@ def test_bloom_pruned_join_identical(ray_session):
     with pytest.raises(ValueError, match="left"):
         hash_join(left, right, on="k", right_on="rk",
                   how="left outer", bloom_prune="left")
+
+
+def test_pack_sequences_tokens(ray_session):
+    """emit_tokens payload: every window's list has n_tokens entries,
+    recomputing the checksum from the emitted tokens reproduces the
+    checksum column, and the concatenated per-bucket token stream
+    equals a sequential local pack of the same bucket's docs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops.bucketing import fnv1a_hashes, hash_bucket
+    from casie_ray.ops.mlprep import N_PACK_BUCKETS, pack_sequences
+
+    out = pa.concat_tables(
+        pack_sequences(SF_DIR, emit_tokens=True)
+        .iter_batches(batch_format="pyarrow")).combine_chunks()
+    toks = out.column("tokens").to_pylist()
+    ns = out.column("n_tokens").to_pylist()
+    assert all(len(t) == n for t, n in zip(toks, ns))
+    for t, c in zip(toks, out.column("checksum").to_pylist()):
+        a = np.array(t, np.uint64)
+        with np.errstate(over="ignore"):
+            w = a * (np.arange(len(a), dtype=np.uint64) + np.uint64(1))
+        assert int(w.sum(dtype=np.uint64)) == c
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_numpy()
+    buckets = hash_bucket([ids], n_buckets=N_PACK_BUCKETS)
+    df = docs.to_pandas().assign(bucket=buckets)
+    got_by_bucket = {}
+    for b, w, t in zip(out.column("bucket").to_pylist(),
+                       out.column("window_idx").to_pylist(), toks):
+        got_by_bucket.setdefault(b, []).append((w, t))
+    some = 0
+    for b, grp in df.groupby("bucket"):
+        words = []
+        for t in grp.sort_values("doc_id")["text"]:
+            words.extend((t or "").split(" "))
+        expect = fnv1a_hashes(words).tolist()
+        stream = [x for _, t in sorted(got_by_bucket[b]) for x in t]
+        assert stream == expect
+        some += 1
+    assert some > 1
 
 
 def test_rows_only_queries_run(ray_session):

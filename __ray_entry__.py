@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_class_weights": _event_class_weights,
         "transcripts_split": _transcripts_split,
         "pack_sequences": _mlprep.pack_sequences,
+        "shuffled_windows": _mlprep.shuffled_windows,
         # multimodal plumbing (stubbed decode, real actor-pool stage)
         "media_features": _media_features,
         "media_dedup": _media_dedup,
@@ -357,6 +358,40 @@ def _pack_sql(seq_len: int = 512, n_buckets: int = 64) -> str:
                CAST(count(*) AS BIGINT) AS n_tokens,
                CAST(sum({prod}) % {_M64} AS UBIGINT) AS checksum
         FROM pos GROUP BY bucket, window_idx"""
+
+
+def _shuffle_sql(seq_len: int = 512) -> str:
+    """DuckDB twin of ops.mlprep.shuffled_windows: the pack_sequences
+    windows ranked by splitmix64(bucket<<32 | window_idx) with a
+    (bucket, window_idx) tie-break — the exact global shuffle
+    permutation, reproduced with one row_number() window."""
+    phi = 0x9E3779B97F4A7C15
+    s1c = 0xBF58476D1CE4E5B9
+    s2c = 0x94D049BB133111EB
+    return f"""
+        WITH w AS ({_pack_sql(seq_len)}),
+        a0 AS (SELECT bucket, window_idx,
+                      CAST(CAST(bucket AS UBIGINT) * 4294967296
+                           + CAST(window_idx AS UBIGINT) AS UBIGINT)
+                          AS a
+               FROM w),
+        a1 AS (SELECT bucket, window_idx,
+                      {_mulmod64_sql('a', phi)} AS h0 FROM a0),
+        a2 AS (SELECT bucket, window_idx,
+                      CAST((CAST(h0 AS HUGEINT) + 1) % {_M64}
+                           AS UBIGINT) AS h FROM a1),
+        a3 AS (SELECT bucket, window_idx, xor(h, h >> 30) AS h FROM a2),
+        a4 AS (SELECT bucket, window_idx,
+                      {_mulmod64_sql('h', s1c)} AS h FROM a3),
+        a5 AS (SELECT bucket, window_idx, xor(h, h >> 27) AS h FROM a4),
+        a6 AS (SELECT bucket, window_idx,
+                      {_mulmod64_sql('h', s2c)} AS h FROM a5),
+        a7 AS (SELECT bucket, window_idx, xor(h, h >> 31) AS h FROM a6)
+        SELECT bucket, window_idx,
+               CAST(row_number() OVER
+                        (ORDER BY h, bucket, window_idx) - 1
+                    AS BIGINT) AS shuffle_pos
+        FROM a7"""
 
 
 def _redact_sql(corpus: str) -> str:
@@ -702,6 +737,7 @@ def oracle_sql() -> dict[str, str]:
         "order_lineitem_totals": _join.ORDER_LINEITEM_SQL,
         "customer_event_values": _join.CUSTOMER_EVENT_SQL,
         "pack_sequences": _pack_sql(),
+        "shuffled_windows": _shuffle_sql(),
         "events_orders_range_join": """
             SELECT e.event_id,
                    count(o.o_custkey) AS n_orders,

@@ -165,3 +165,94 @@ def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN,
                                columns=["doc_id", "text"]) \
         .map_batches(tag, batch_format="pyarrow", batch_size=None)
     return bucket_groupby(ds, pack)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic distributed global shuffle of the packed windows — the
+# reproducible equivalent of ds.random_shuffle() for training-data
+# export. Every window gets an exact global permutation position
+# without an all-to-all sort of the payload:
+#
+#   pass 1 (tiny): histogram the shuffle key's top-12-bit RANGE over
+#     the windows table (4096 exact counts -> prefix-sum offsets,
+#     ~32 KB on the driver; the windows table is 1 row per seq_len
+#     tokens, ~1/512 of the corpus row count)
+#   pass 2: one bucketed exchange on the range id; each range assigns
+#     offset[range] + local-sorted-position, fully vectorized.
+#
+# Global rank is exact because the ranges partition the key space in
+# sorted order. The key is splitmix64(bucket<<32 | window_idx) — pure
+# content, so the permutation is stable under re-runs / resume and
+# reproducible in SQL (row_number() over the same hash). At deployment
+# scale, persist the windows table to parquet between the two passes
+# instead of materialize().
+# ---------------------------------------------------------------------------
+
+N_SHUFFLE_RANGES = 4096
+_RANGE_SHIFT = np.uint64(64 - 12)
+
+
+def _shuffle_keys(t: pa.Table) -> np.ndarray:
+    from .bucketing import mix64
+    b = t.column("bucket").to_numpy(zero_copy_only=False).astype(np.uint64)
+    w = t.column("window_idx").to_numpy(zero_copy_only=False) \
+        .astype(np.uint64)
+    with np.errstate(over="ignore"):
+        return mix64([(b << np.uint64(32)) + w])
+
+
+def shuffled_windows(sf_dir: str, seq_len: int = SEQ_LEN):
+    """(bucket, window_idx, shuffle_pos): an exact, content-derived
+    global shuffle order over the pack_sequences windows. shuffle_pos
+    is the rank of splitmix64(bucket<<32 | window_idx) with
+    (bucket, window_idx) tie-break — a permutation of 0..n_windows-1,
+    value-checked against a DuckDB row_number() oracle."""
+    wins = pack_sequences(sf_dir, seq_len).materialize()
+
+    def hist(t: pa.Table) -> pa.Table:
+        rng = (_shuffle_keys(t) >> _RANGE_SHIFT).astype(np.int64)
+        cnt = np.bincount(rng, minlength=N_SHUFFLE_RANGES)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"rng": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    counts = np.zeros(N_SHUFFLE_RANGES, np.int64)
+    for r in wins.map_batches(hist, batch_format="pyarrow",
+                              batch_size=None).take_all():
+        counts[r["rng"]] += r["n"]
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) \
+        .astype(np.int64)
+
+    def tag(t: pa.Table) -> pa.Table:
+        key = _shuffle_keys(t)
+        return pa.table({
+            "bucket": pa.array((key >> _RANGE_SHIFT).astype(np.int32)),
+            "pbucket": t.column("bucket"),
+            "window_idx": t.column("window_idx"),
+            "key": pa.array(key, pa.uint64()),
+        })
+
+    def rank(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        pb = group.column("pbucket").to_numpy(zero_copy_only=False)
+        wi = group.column("window_idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((wi, pb, key))
+        k_s = key[order]
+        rng = (k_s >> _RANGE_SHIFT).astype(np.int64)
+        n = len(rng)
+        # position within each contiguous range run (ranges are key
+        # prefixes, so they are contiguous after the key sort)
+        bump = np.zeros(n, np.int64)
+        change = np.nonzero(rng[1:] != rng[:-1])[0] + 1
+        bump[change] = 1
+        run_id = np.cumsum(bump)
+        starts = np.concatenate([[0], change])
+        pos = np.arange(n) - starts[run_id]
+        return pa.table({
+            "bucket": pa.array(pb[order]),
+            "window_idx": pa.array(wi[order]),
+            "shuffle_pos": pa.array(offsets[rng] + pos, pa.int64()),
+        })
+
+    ds = wins.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    return bucket_groupby(ds, rank, coarse_per_cpu=4)

@@ -52,6 +52,7 @@ SQL_CHECKED = [
     "events_hourly_watermark",
     "lineitem_price_quantiles", "events_orders_range_join",
     "vocab_top_words_sketch", "hll_distinct_users", "pack_sequences",
+    "shuffled_windows",
     "customers_no_events", "top_docs_per_lang",
     "kg_degree_hist", "kg_co_mentions", "kg_pagerank",
     "transcripts_redact",
@@ -221,6 +222,23 @@ def test_pack_sequences_tokens(ray_session):
         assert stream == expect
         some += 1
     assert some > 1
+
+
+def test_shuffled_windows_is_permutation(ray_session):
+    """shuffle_pos is exactly 0..n_windows-1 (the SQL parity test pins
+    WHICH window gets which position; this pins the permutation
+    property independently of the oracle)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from casie_ray.ops.mlprep import shuffled_windows
+
+    out = pa.concat_tables(
+        shuffled_windows(SF_DIR)
+        .iter_batches(batch_format="pyarrow")).combine_chunks()
+    pos = np.sort(out.column("shuffle_pos").to_numpy())
+    assert pos.tolist() == list(range(out.num_rows))
+    assert out.num_rows > 50
 
 
 def test_rows_only_queries_run(ray_session):

@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_split": _transcripts_split,
         "pack_sequences": _mlprep.pack_sequences,
         "shuffled_windows": _mlprep.shuffled_windows,
+        "token_budget_sample": _mlprep.token_budget_sample,
         # multimodal plumbing (stubbed decode, real actor-pool stage)
         "media_features": _media_features,
         "media_dedup": _media_dedup,
@@ -392,6 +393,38 @@ def _shuffle_sql(seq_len: int = 512) -> str:
                         (ORDER BY h, bucket, window_idx) - 1
                     AS BIGINT) AS shuffle_pos
         FROM a7"""
+
+
+def _budget_sql(budget: int = 2000) -> str:
+    """DuckDB twin of ops.mlprep.token_budget_sample: per-language
+    running token sum in splitmix64(doc_id) order, rows kept while the
+    cumulative total stays within the budget."""
+    phi = 0x9E3779B97F4A7C15
+    s1c = 0xBF58476D1CE4E5B9
+    s2c = 0x94D049BB133111EB
+    return f"""
+        WITH m0 AS (SELECT doc_id, lang,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                               AS n_tokens,
+                           CAST(doc_id AS UBIGINT) AS a
+                    FROM documents),
+        m1 AS (SELECT *, {_mulmod64_sql('a', phi)} AS h0 FROM m0),
+        m2 AS (SELECT * EXCLUDE (h0),
+                      CAST((CAST(h0 AS HUGEINT) + 1) % {_M64}
+                           AS UBIGINT) AS h FROM m1),
+        m3 AS (SELECT * EXCLUDE (h), xor(h, h >> 30) AS h FROM m2),
+        m4 AS (SELECT * EXCLUDE (h),
+                      {_mulmod64_sql('h', s1c)} AS h FROM m3),
+        m5 AS (SELECT * EXCLUDE (h), xor(h, h >> 27) AS h FROM m4),
+        m6 AS (SELECT * EXCLUDE (h),
+                      {_mulmod64_sql('h', s2c)} AS h FROM m5),
+        m7 AS (SELECT * EXCLUDE (h), xor(h, h >> 31) AS h FROM m6),
+        c AS (SELECT lang, doc_id, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY lang
+                         ORDER BY h, doc_id) AS cum
+              FROM m7)
+        SELECT lang, doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        FROM c WHERE cum <= {budget}"""
 
 
 def _redact_sql(corpus: str) -> str:
@@ -738,6 +771,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_event_values": _join.CUSTOMER_EVENT_SQL,
         "pack_sequences": _pack_sql(),
         "shuffled_windows": _shuffle_sql(),
+        "token_budget_sample": _budget_sql(),
         "events_orders_range_join": """
             SELECT e.event_id,
                    count(o.o_custkey) AS n_orders,

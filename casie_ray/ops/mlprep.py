@@ -256,3 +256,116 @@ def shuffled_windows(sf_dir: str, seq_len: int = SEQ_LEN):
 
     ds = wins.map_batches(tag, batch_format="pyarrow", batch_size=None)
     return bucket_groupby(ds, rank, coarse_per_cpu=4)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection per group — the data-mixing primitive: "take
+# documents from each language (domain, source, ...) in a deterministic
+# pseudo-random order until that group's token budget is spent". Greedy
+# prefix under a running token sum, which is a sequential cumsum — made
+# distributed with the same two-pass range-offset shape as
+# shuffled_windows:
+#
+#   pass 1 (tiny): per (group, key-range) token SUMS over the projected
+#     metadata (doc_id, group, n_tokens — never the text) -> exact
+#     per-range base offsets on the driver (n_groups x 1024 numbers)
+#   pass 2: one bucketed exchange on (group, range); each range
+#     cumsums its docs in key order on top of its base, keeps rows
+#     while base + cumsum <= budget. Vectorized; a range whose base
+#     already exceeds the budget contributes nothing.
+#
+# Exact: equals the sequential greedy prefix, value-checked against a
+# DuckDB running-sum window oracle. At deployment scale persist the
+# projected metadata between passes instead of materialize().
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 2000
+_BUDGET_SHIFT = np.uint64(64 - 10)  # 1024 ranges per group
+
+
+def token_budget_sample(sf_dir: str, budget: int = TOKEN_BUDGET,
+                        group_col: str = "lang"):
+    """(lang, doc_id, n_tokens, cum_tokens) for the greedy per-group
+    prefix: docs ordered by splitmix64(doc_id) (doc_id tie-break),
+    kept while the group's running token total stays <= budget."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .bucketing import mix64
+
+    def project(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        key = mix64([ids])
+        ntok = pc.add(pc.count_substring(t.column("text"), " "), 1)
+        return pa.table({
+            group_col: t.column(group_col),
+            "doc_id": t.column("doc_id"),
+            "n_tokens": ntok.cast(pa.int64()),
+            "key": pa.array(key, pa.uint64()),
+            "rng": pa.array((key >> _BUDGET_SHIFT).astype(np.int64)),
+        })
+
+    meta = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", group_col, "text"]) \
+        .map_batches(project, batch_format="pyarrow",
+                     batch_size=None).materialize()
+
+    def partial_sums(t: pa.Table) -> pa.Table:
+        return t.select([group_col, "rng", "n_tokens"]) \
+            .group_by([group_col, "rng"]) \
+            .aggregate([("n_tokens", "sum")]) \
+            .rename_columns([group_col, "rng", "tok"])
+
+    per_range: dict[tuple, int] = {}
+    for r in meta.map_batches(partial_sums, batch_format="pyarrow",
+                              batch_size=None).take_all():
+        k = (r[group_col], r["rng"])
+        per_range[k] = per_range.get(k, 0) + r["tok"]
+    base: dict[tuple, int] = {}
+    run: dict[str, int] = {}
+    for g, rng in sorted(per_range):
+        base[(g, rng)] = run.get(g, 0)
+        run[g] = run.get(g, 0) + per_range[(g, rng)]
+
+    def tag(t: pa.Table) -> pa.Table:
+        gh = fnv1a_hashes(t.column(group_col).to_pylist())
+        rng = t.column("rng").to_numpy(zero_copy_only=False)
+        return t.append_column("ghash", pa.array(gh, pa.uint64())) \
+            .append_column("bucket", pa.array(
+                hash_bucket([gh, rng], n_buckets=1024), pa.int32()))
+
+    def select(group: pa.Table) -> pa.Table:
+        gh = group.column("ghash").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        ntok = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        langs = group.column(group_col).to_pylist()
+        order = np.lexsort((ids, key, gh))
+        gh_s, key_s, ntok_s = gh[order], key[order], ntok[order]
+        rng_s = (key_s >> _BUDGET_SHIFT).astype(np.int64)
+        n = len(order)
+        change = np.nonzero((gh_s[1:] != gh_s[:-1])
+                            | (rng_s[1:] != rng_s[:-1]))[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        bump = np.zeros(n, np.int64)
+        bump[change] = 1
+        run_id = np.cumsum(bump)
+        csum = np.cumsum(ntok_s)
+        seg_prior = np.concatenate([[0], csum[change - 1]]) \
+            if n else np.zeros(0, np.int64)
+        bases = np.array(
+            [base[(langs[order[s]], int(rng_s[s]))] for s in starts],
+            np.int64)
+        cum = bases[run_id] + (csum - seg_prior[run_id])
+        keep = cum <= budget
+        idx = order[keep]
+        return pa.table({
+            group_col: pa.array([langs[i] for i in idx]),
+            "doc_id": pa.array(ids[idx]),
+            "n_tokens": pa.array(ntok[idx], pa.int64()),
+            "cum_tokens": pa.array(cum[keep], pa.int64()),
+        })
+
+    ds = meta.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    return bucket_groupby(ds, select, coarse_per_cpu=4)

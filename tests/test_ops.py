@@ -52,7 +52,7 @@ SQL_CHECKED = [
     "events_hourly_watermark",
     "lineitem_price_quantiles", "events_orders_range_join",
     "vocab_top_words_sketch", "hll_distinct_users", "pack_sequences",
-    "shuffled_windows", "token_budget_sample",
+    "shuffled_windows", "token_budget_sample", "decontaminate",
     "customers_no_events", "top_docs_per_lang",
     "kg_degree_hist", "kg_co_mentions", "kg_pagerank",
     "transcripts_redact",

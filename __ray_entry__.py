@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffled_windows": _mlprep.shuffled_windows,
         "token_budget_sample": _mlprep.token_budget_sample,
         "decontaminate": _dedup.decontaminate,
+        "doc_repetition": _text.repetition,
         # multimodal plumbing (stubbed decode, real actor-pool stage)
         "media_features": _media_features,
         "media_dedup": _media_dedup,
@@ -794,6 +795,22 @@ def oracle_sql() -> dict[str, str]:
         "shuffled_windows": _shuffle_sql(),
         "token_budget_sample": _budget_sql(),
         "decontaminate": _DECONTAM_SQL,
+        "doc_repetition": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1)
+                         AS i
+              FROM documents
+            ), sh AS (
+              SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w
+                         AS shingle
+              FROM tok a
+              JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+              JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct
+            FROM sh GROUP BY doc_id""",
         "events_orders_range_join": """
             SELECT e.event_id,
                    count(o.o_custkey) AS n_orders,

@@ -285,3 +285,33 @@ def vocab_top_words(sf_dir: str, k: int = 50):
     ds = bucket_groupby(ds, bucket_topk)
     return ds.repartition(1).map_batches(final, batch_format="pyarrow",
                                          batch_size=None)
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Per-document repetition signal (the Gopher-style repeated-n-gram
+    quality filter): n_windows = word-3-gram window count, n_distinct =
+    distinct shingles among them; the filterable repetition ratio is
+    1 - n_distinct/n_windows. Docs with fewer than 3 words emit nothing
+    (no windows exist — matches the SQL self-join semantics exactly, so
+    parity cannot break on degenerate short docs). Pure per-batch map:
+    no exchange, no state; the shingle kernel is the vectorized one the
+    dedup family shares."""
+    from .dedup import shingle_hash_batch
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    nwords = pc.add(pc.count_substring(batch.column("text"), " "), 1) \
+        .to_numpy(zero_copy_only=False)
+    keep = np.nonzero(nwords >= 3)[0]
+    texts = batch.column("text").to_pylist()
+    ridx, _sh = shingle_hash_batch([texts[i] for i in keep])
+    n_distinct = np.bincount(ridx, minlength=len(keep)).astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array(ids[keep], pa.int64()),
+        "n_windows": pa.array(nwords[keep] - 2, pa.int64()),
+        "n_distinct": pa.array(n_distinct, pa.int64()),
+    })
+
+
+def repetition(sf_dir: str):
+    return _read_documents(sf_dir).map_batches(
+        repetition_batch, batch_format="pyarrow", batch_size=None)

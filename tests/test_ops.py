@@ -53,6 +53,7 @@ SQL_CHECKED = [
     "lineitem_price_quantiles", "events_orders_range_join",
     "vocab_top_words_sketch", "hll_distinct_users", "pack_sequences",
     "shuffled_windows", "token_budget_sample", "decontaminate",
+    "doc_repetition",
     "customers_no_events", "top_docs_per_lang",
     "kg_degree_hist", "kg_co_mentions", "kg_pagerank",
     "transcripts_redact",

@@ -274,6 +274,39 @@ def test_rows_only_queries_run(ray_session):
         assert df is not None
 
 
+def test_lsh_variants_vs_exact(ray_session):
+    """The approximate variants' contracts vs their exact twins:
+    embedding_dup_pairs_lsh must be a SUBSET of the exact pairs
+    (within-bucket verification is exact, so precision is 1.0 by
+    construction — only recall is approximate), and ann_topk_lsh must
+    be deterministic across runs, bounded at k rows per query, and
+    overlap the exact top-k (single-probe recall floor; the trade-off
+    the rows-only driver status documents)."""
+    from casie_ray.ops.ann import ann_topk, ann_topk_lsh
+    from casie_ray.ops.dedup import (embedding_dup_pairs,
+                                     embedding_dup_pairs_lsh)
+
+    exact_pairs = embedding_dup_pairs(SF_DIR).to_pandas()
+    lsh_pairs = embedding_dup_pairs_lsh(SF_DIR).to_pandas()
+    cols = ["vec_id_a", "vec_id_b"]
+    se = set(map(tuple, exact_pairs[cols].values))
+    sl = set(map(tuple, lsh_pairs[cols].values))
+    assert sl <= se and len(se) >= 1
+
+    ex = ann_topk(SF_DIR).to_pandas()
+    l1 = ann_topk_lsh(SF_DIR).to_pandas()
+    l2 = ann_topk_lsh(SF_DIR).to_pandas()
+    key = ["query_id", "neighbor_id"]
+    assert sorted(map(tuple, l1[key].values)) \
+        == sorted(map(tuple, l2[key].values))  # deterministic
+    per_q = l1.groupby("query_id")["neighbor_id"].agg(["count", "nunique"])
+    assert (per_q["count"] == per_q["nunique"]).all()
+    assert per_q["count"].max() <= ex.groupby("query_id").size().max()
+    ke = set(map(tuple, ex[key].values))
+    kl = set(map(tuple, l1[key].values))
+    assert len(ke & kl) / len(ke) >= 0.1
+
+
 @pytest.fixture(scope="module")
 def late_events_dir(tmp_path_factory):
     """Events table with genuinely out-of-order arrivals: ~2% of rows

@@ -105,12 +105,13 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
     # same de-noising run_scaling uses and is what a quiet cluster
     # would measure. Both runs are full cold runs (dir cleared,
     # resume=False).
-    kg_wall, info = None, None
+    kg_wall, info, kg_runs = None, None, []
     for _ in range(2):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         info_i = run_kg_pipeline(corpus, out, resume=False)
         w = round(time.time() - t0, 2)
+        kg_runs.append(w)
         if kg_wall is None or w < kg_wall:
             kg_wall, info = w, info_i
     queries["kg_pipeline"] = kg_wall
@@ -124,6 +125,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
         "turns": turns,
         "turns_per_sec": round(turns / queries["kg_pipeline"], 1),
         "kg_edges": info.get("edges"),
+        # methodology marker: kg_pipeline is min over these full cold
+        # runs (shared-VM de-noising); all individual walls reported
+        "kg_pipeline_runs": kg_runs,
     }
 
 

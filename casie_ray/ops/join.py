@@ -71,7 +71,8 @@ def _bloom_positions(keys: pa.ChunkedArray, m_bits: int, k: int):
 
 
 def build_bloom(ds, key: str, *, m_bits: int = BLOOM_BITS,
-                k: int = BLOOM_K) -> np.ndarray:
+                k: int = BLOOM_K,
+                key_type: pa.DataType | None = None) -> np.ndarray:
     """Bloom filter over ``ds[key]`` as a packed uint64 word array.
 
     Per-block partials are fixed-size (``m_bits/64`` words) tables that
@@ -79,14 +80,22 @@ def build_bloom(ds, key: str, *, m_bits: int = BLOOM_BITS,
     shape as ``ops.sketch.hll_user_registers``; at 100 TB the merge
     input is #blocks x 512 KB of partials, never row data. FPR at k=4
     is ~(1-e^(-4n/m))^4 — under 1e-3 up to ~n = m/8 keys; size m_bits
-    up when the build side's key count approaches that."""
+    up when the build side's key count approaches that.
+
+    ``key_type``: when build and probe key columns differ in (castable)
+    type, BOTH sides must hash the same harmonized type or the filter
+    silently drops matches — ``hash_join`` passes its carrier key type
+    here and casts the probe column before ``bloom_may_contain``."""
     import ray.data
 
     n_words = m_bits >> 6
 
     def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(key)
+        if key_type is not None:
+            col = col.cast(key_type)
         words = np.zeros(n_words, np.uint64)
-        for pos in _bloom_positions(batch.column(key), m_bits, k):
+        for pos in _bloom_positions(col, m_bits, k):
             np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
                              np.uint64(1) << (pos & np.uint64(63)))
         # sparse partial: only nonzero words leave the task, so a
@@ -126,9 +135,13 @@ def _pa_schema(ds) -> pa.Schema:
 
 
 def _key_hashes(col: pa.ChunkedArray) -> np.ndarray:
+    # Null keys hash as ''/0: they co-locate in one bucket where the
+    # exact per-bucket Arrow join applies SQL semantics (nulls never
+    # match; left-outer keeps the unmatched left rows).
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-        return fnv1a_hashes(col.to_pylist())
-    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return fnv1a_hashes(pc.fill_null(col, "").to_pylist())
+    return pc.fill_null(col.cast(pa.int64()), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 def _carrier(batch: pa.Table, key: str, key_type: pa.DataType, side: int,
@@ -222,13 +235,18 @@ def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
 
     bloom_ref = None
     if bloom_prune == "right":
-        bloom_ref = ray.put(build_bloom(left_ds, on))
+        bloom_ref = ray.put(build_bloom(left_ds, on, key_type=key_type))
     elif bloom_prune == "left":
-        bloom_ref = ray.put(build_bloom(right_ds, right_on))
+        bloom_ref = ray.put(
+            build_bloom(right_ds, right_on, key_type=key_type))
 
     def _pruned(b: pa.Table, key: str) -> pa.Table:
+        # Cast to the SAME harmonized type the bloom was built with —
+        # string-vs-int key pairs would otherwise take different hash
+        # paths and the filter would drop every matching row.
         words = ray.get(bloom_ref)
-        return b.filter(pa.array(bloom_may_contain(words, b.column(key))))
+        col = b.column(key).cast(key_type)
+        return b.filter(pa.array(bloom_may_contain(words, col)))
 
     def _lcarrier(b: pa.Table) -> pa.Table:
         if bloom_prune == "left":

@@ -412,7 +412,17 @@ def _read_path_chunks(rd, files: list[str], n_blocks: int,
     prefetch: chunk the path list by cumulative byte size on the driver
     (stat only — no parquet footer reads), then each task reads its
     chunk with ``pq.read_table``. O(1) driver work per file instead of
-    a serial footer fetch; the actual reads happen in parallel tasks."""
+    a serial footer fetch; the actual reads happen in parallel tasks.
+
+    DEPLOYMENT REQUIREMENT: paths are opened from inside worker tasks,
+    so on a multi-node cluster they MUST live on storage every node
+    sees — a shared filesystem (NFS/Lustre) or an fsspec URI (s3://,
+    gs://); pq.read_table handles either. Node-local paths only work
+    on the single-node test rig. The same holds for the fused
+    per-group edge writes in ``_finalize`` and the shard sink writes
+    in ``ShardFileExtractor`` (stages/detect.py): the whole
+    checkpoint/manifest layout assumes one namespace shared by driver
+    and workers, exactly as a 100 TB deployment's object store is."""
     sizes = [os.path.getsize(f) for f in files]
     target = max(1, sum(sizes) // max(1, n_blocks))
     chunks: list[list[str]] = []
@@ -521,6 +531,8 @@ def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
             "cgroup", pa.array((b % m).astype(np.int32)))
 
     def dedup_write_emit_nodes(g: "pa.Table") -> "pa.Table":
+        # writes from worker tasks into `tmp`: requires driver+workers
+        # to share one filesystem namespace (see _read_path_chunks)
         cg = int(g.column("cgroup")[0].as_py())
         out = final_dedup_group(g.drop_columns(["cgroup"]))
         pq.write_table(out, os.path.join(tmp, f"part-{cg:05d}.parquet"))

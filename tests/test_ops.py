@@ -180,6 +180,57 @@ def test_bloom_pruned_join_identical(ray_session):
                   how="left outer", bloom_prune="left")
 
 
+def test_bloom_prune_mixed_key_types(ray_session):
+    """Castable but unequal key types (left string vs right int): the
+    bloom must hash BOTH sides through the harmonized carrier type or
+    it silently drops every match (ADVICE r2, medium)."""
+    import ray
+
+    from casie_ray.ops.join import hash_join
+
+    left = ray.data.from_items(
+        [{"k": str(i), "lv": int(i)} for i in range(0, 100, 10)])
+    right = ray.data.from_items(
+        [{"rk": int(i), "rv": int(i * 2)} for i in range(100)])
+
+    def norm(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    base = norm(hash_join(left, right, on="k", right_on="rk")
+                .drop_columns(["bucket"]).to_pandas())
+    assert len(base) == 10  # the un-pruned join matches as expected
+    for prune in ("left", "right"):
+        got = norm(hash_join(left, right, on="k", right_on="rk",
+                             bloom_prune=prune)
+                   .drop_columns(["bucket"]).to_pandas())
+        pd.testing.assert_frame_equal(got, base, check_exact=True)
+
+
+def test_hash_join_null_keys(ray_session):
+    """Null join keys must not crash the FNV hash path; SQL semantics:
+    null never matches null, left-outer keeps the unmatched left row
+    (ADVICE r2, low)."""
+    import ray
+
+    from casie_ray.ops.join import hash_join
+
+    left = ray.data.from_items(
+        [{"k": "a", "lx": 1}, {"k": None, "lx": 2}])
+    right = ray.data.from_items(
+        [{"k2": "a", "ry": 10}, {"k2": None, "ry": 20}])
+
+    inner = hash_join(left, right, on="k", right_on="k2").to_pandas()
+    assert list(inner["k"]) == ["a"]
+    assert list(inner["ry"]) == [10]
+
+    outer = hash_join(left, right, on="k", right_on="k2",
+                      how="left outer").to_pandas()
+    outer = outer.sort_values("lx").reset_index(drop=True)
+    assert len(outer) == 2
+    assert outer["k"].isna().sum() == 1
+    assert pd.isna(outer.loc[1, "ry"])
+
+
 def test_pack_sequences_tokens(ray_session):
     """emit_tokens payload: every window's list has n_tokens entries,
     recomputing the checksum from the emitted tokens reproduces the

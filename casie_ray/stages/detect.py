@@ -190,10 +190,14 @@ class ShardExtractor(DetectTagger):
     directly. The groupby(conv_id) shuffle path (extract_events_group)
     remains the fallback for inputs with arbitrary row layout."""
 
-    def extract_turns(self, batch: pa.Table) -> pa.Table:
-        """All conversations in `batch` must be complete."""
+    def extract_turns_with_events(self, batch: pa.Table) \
+            -> tuple[pa.Table, list]:
+        """All conversations in `batch` must be complete. Returns the
+        EVENT_SCHEMA row table AND the Event objects (the fused sink
+        emits triples from the objects, skipping a rows->objects
+        round-trip)."""
         from ..schema import EVENT_SCHEMA
-        from ..stages.doclogic import events_from_detections
+        from ..stages.doclogic import extract_conversation_events
 
         conv_ids = batch.column("conv_id").to_pylist()
         turn_idxs = batch.column("turn_idx").to_pylist()
@@ -206,6 +210,7 @@ class ShardExtractor(DetectTagger):
         for k, cid in enumerate(conv_ids):
             by_conv.setdefault(cid, []).append(k)
         out_rows: list[dict] = []
+        out_events: list = []
         for cid in sorted(by_conv):
             idxs = sorted(by_conv[cid], key=lambda k: turn_idxs[k])
             detections = {
@@ -213,9 +218,15 @@ class ShardExtractor(DetectTagger):
                 for k in idxs
             }
             ts_of = {turn_idxs[k]: tss[k] for k in idxs}
-            out_rows.extend(events_from_detections(cid, detections, ts_of))
-        return pa.Table.from_pylist(out_rows, schema=EVENT_SCHEMA) \
+            evs, rows = extract_conversation_events(cid, detections, ts_of)
+            out_events.extend(evs)
+            out_rows.extend(rows)
+        tbl = pa.Table.from_pylist(out_rows, schema=EVENT_SCHEMA) \
             if out_rows else EVENT_SCHEMA.empty_table()
+        return tbl, out_events
+
+    def extract_turns(self, batch: pa.Table) -> pa.Table:
+        return self.extract_turns_with_events(batch)[0]
 
     __call__ = extract_turns
 
@@ -265,17 +276,17 @@ class ShardFileExtractor(ShardExtractor):
         import os
         import pyarrow.parquet as pq
         from ..schema import EVENT_SCHEMA
-        from ..stages.triples import emit_triples_batch, partial_dedup
+        from ..stages.triples import partial_dedup, triples_from_events
 
         out = [EVENT_SCHEMA.empty_table()]
         stats: list[dict] = []
         for path in batch.column("item").to_pylist():
             tbl = pq.read_table(path, columns=self.COLUMNS)
-            events = self.extract_turns(tbl)
+            events, event_objs = self.extract_turns_with_events(tbl)
             base = os.path.basename(path)
             if self.sink is not None:
                 gid = self.sink["gids"][base]
-                trip = partial_dedup(emit_triples_batch(events))
+                trip = partial_dedup(triples_from_events(event_objs))
                 pq.write_table(trip, os.path.join(
                     self.sink["raw_root"],
                     f".group-{gid:05d}{self.sink['suffix']}", base))

@@ -33,15 +33,17 @@ def doc_logic_group(group: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(out, schema=EVENT_SCHEMA)
 
 
-def events_from_detections(conv_id: str, detections: dict, ts_of: dict,
-                           ) -> list[dict]:
+def extract_conversation_events(conv_id: str, detections: dict,
+                                ts_of: dict) -> tuple[list, list[dict]]:
     """Shared core: doc logic + roles + realis + coref over precomputed
-    per-turn detections -> event rows (EVENT_SCHEMA dicts)."""
+    per-turn detections -> (Event objects, EVENT_SCHEMA row dicts). The
+    fused extraction keeps the OBJECTS for direct columnar triple
+    emission; callers that only sink rows use events_from_detections."""
     from ..semantics import assign_realis, assign_roles, coref_events
 
     events = doc_logic(conv_id, detections)
     if not events:
-        return []
+        return [], []
     flags = {}
     for e in events:
         flags[e.event_id] = realis_window_flags(detections[e.turn_idx],
@@ -49,8 +51,13 @@ def events_from_detections(conv_id: str, detections: dict, ts_of: dict,
         assign_roles(e)
         assign_realis(e, *flags[e.event_id])
     coref_events(events, dict(ts_of))
-    return [event_to_row(e, ts_of[e.turn_idx], *flags[e.event_id])
-            for e in events]
+    return events, [event_to_row(e, ts_of[e.turn_idx], *flags[e.event_id])
+                    for e in events]
+
+
+def events_from_detections(conv_id: str, detections: dict, ts_of: dict,
+                           ) -> list[dict]:
+    return extract_conversation_events(conv_id, detections, ts_of)[1]
 
 
 def extract_events_group(group: pa.Table) -> pa.Table:

@@ -11,15 +11,24 @@ reducer is itself vectorized Arrow, never per-key Python.
 
 from __future__ import annotations
 
-import zlib
-
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..ops.bucketing import fnv1a_hashes
 from ..schema import TRIPLE_SCHEMA, row_to_event
 from ..semantics import emit_triples
 
 N_BUCKETS = 4096
+
+
+def triple_buckets(subj: list[str], pred: list[str],
+                   obj: list[str]) -> np.ndarray:
+    """Dedup-exchange bucket = FNV-1a of the \\x00-joined key, shared
+    by every path that (re)computes it (emit, rewrite) so equal keys
+    always co-locate. Vectorized via the shared kernel."""
+    keys = [f"{s}\x00{p}\x00{o}" for s, p, o in zip(subj, pred, obj)]
+    return (fnv1a_hashes(keys) % np.uint64(N_BUCKETS)).astype(np.int32)
 
 RAW_TRIPLE_SCHEMA = pa.schema([
     ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
@@ -35,22 +44,35 @@ def _prov(conv_id: str, turn_idx: int, start: int, end: int) -> str:
     return f"{conv_id}\x00{turn_idx:08d}\x00{start:08d}\x00{end:08d}"
 
 
-def emit_triples_batch(batch: pa.Table) -> pa.Table:
-    """Event rows -> raw triple rows (flat_map-style expansion)."""
-    events = [row_to_event(r) for r in batch.to_pylist()]
+def triples_from_events(events: list) -> pa.Table:
+    """Event OBJECTS -> raw triple table, built columnar (one pa.array
+    per column, vectorized FNV buckets) — the fused extraction path
+    calls this directly on the Events it already holds, so the hot path
+    never round-trips through row dicts (r2 verdict "wrong" #3)."""
     trips = emit_triples(events)
     if not trips:
         return RAW_TRIPLE_SCHEMA.empty_table()
-    rows = [{
-        "subj": t["subj"], "pred": t["pred"], "obj": t["obj"],
-        "subj_type": t["subj_type"], "obj_type": t["obj_type"],
-        "prov": _prov(t["conv_id"], t["turn_idx"], t["ev_start"],
-                      t["ev_end"]),
-        "count": 1,
-        "bucket": zlib.crc32(
-            f"{t['subj']}\x00{t['pred']}\x00{t['obj']}".encode()) % N_BUCKETS,
-    } for t in trips]
-    return pa.Table.from_pylist(rows, schema=RAW_TRIPLE_SCHEMA)
+    subj = [t["subj"] for t in trips]
+    pred = [t["pred"] for t in trips]
+    obj = [t["obj"] for t in trips]
+    return pa.table({
+        "subj": pa.array(subj, pa.string()),
+        "pred": pa.array(pred, pa.string()),
+        "obj": pa.array(obj, pa.string()),
+        "subj_type": pa.array([t["subj_type"] for t in trips], pa.string()),
+        "obj_type": pa.array([t["obj_type"] for t in trips], pa.string()),
+        "prov": pa.array(
+            [_prov(t["conv_id"], t["turn_idx"], t["ev_start"], t["ev_end"])
+             for t in trips], pa.string()),
+        "count": pa.array(np.ones(len(trips), np.int64)),
+        "bucket": pa.array(triple_buckets(subj, pred, obj), pa.int32()),
+    }).cast(RAW_TRIPLE_SCHEMA)
+
+
+def emit_triples_batch(batch: pa.Table) -> pa.Table:
+    """Event ROWS -> raw triple rows (flat_map-style expansion); the
+    general-layout fallback — the fused path uses triples_from_events."""
+    return triples_from_events([row_to_event(r) for r in batch.to_pylist()])
 
 
 _AGG = [("count", "sum"), ("prov", "min"), ("subj_type", "min"),
@@ -126,8 +148,6 @@ def emit_nodes_batch(batch: pa.Table) -> pa.Table:
     g = g.rename_columns(["node_id", "degree", "type"])
     # vectorized FNV bucket (pure function of node_id, so equal nodes
     # co-locate; the bucket column is dropped from the final output)
-    from ..ops.bucketing import fnv1a_hashes
-    import numpy as np
     h = fnv1a_hashes(g.column("node_id").to_pylist())
     bucket = pa.array((h % np.uint64(N_BUCKETS)).astype(np.int32),
                       pa.int32())
@@ -174,11 +194,12 @@ def extract_surface_nodes(batch: pa.Table) -> pa.Table:
         if p is not None:
             nodes.add((v, canon_block_key(*p)))
     pairs = sorted(nodes)
+    blocks = [b for _, b in pairs]
+    bucket = (fnv1a_hashes(blocks) % np.uint64(N_BUCKETS)).astype(np.int32)
     return pa.table({
         "node": pa.array([n for n, _ in pairs], pa.string()),
-        "block": pa.array([b for _, b in pairs], pa.string()),
-        "bucket": pa.array([zlib.crc32(b.encode()) % N_BUCKETS
-                            for _, b in pairs], pa.int32()),
+        "block": pa.array(blocks, pa.string()),
+        "bucket": pa.array(bucket, pa.int32()),
     })
 
 
@@ -203,7 +224,6 @@ def rewrite_triples(mapping_ref):
     import ray
 
     def fn(batch: pa.Table) -> pa.Table:
-        import numpy as np
         mapping = ray.get(mapping_ref) if not isinstance(mapping_ref, dict) \
             else mapping_ref
         keys = pa.array(list(mapping.keys()), pa.string())
@@ -231,9 +251,7 @@ def rewrite_triples(mapping_ref):
             o_l = pc.take(obj, pa.array(changed)).to_pylist()
             p_l = pc.take(batch.column("pred"),
                           pa.array(changed)).to_pylist()
-            bucket[changed] = [
-                zlib.crc32(f"{s}\x00{p}\x00{o}".encode()) % N_BUCKETS
-                for s, p, o in zip(s_l, p_l, o_l)]
+            bucket[changed] = triple_buckets(s_l, p_l, o_l)
         return pa.table({
             "subj": subj,
             "pred": batch.column("pred"),

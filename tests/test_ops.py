@@ -534,12 +534,42 @@ def test_jaccard_df_cap_keeps_exact_values(ray_session, dense_docs_dir):
     values, and identical-doc pairs (which share non-hot shingles) must
     all survive."""
     from casie_ray.ops.dedup import jaccard_pairs
-    uncapped = jaccard_pairs(dense_docs_dir).to_pandas() \
+    uncapped = jaccard_pairs(dense_docs_dir, df_cap=None).to_pandas() \
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     capped = jaccard_pairs(dense_docs_dir, df_cap=4).to_pandas() \
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     assert len(uncapped) == 6           # one identical pair per group
     pd.testing.assert_frame_equal(capped, uncapped)
+
+
+def test_minhash_band_cap_guard(ray_session, tmp_path):
+    """band_cap drops corpus-wide band collisions (planted boilerplate:
+    40 identical docs collide in EVERY band) from candidate generation
+    while pairs in small segments survive with exact values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from casie_ray.ops.dedup import minhash_lsh_pairs
+
+    boiler = " ".join(f"w{i}" for i in range(12))
+    rows = [(i, boiler) for i in range(40)]
+    near = ("unique content alpha beta gamma delta epsilon zeta eta "
+            "theta iota kappa")
+    rows.append((100, near))
+    rows.append((101, near))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    full = minhash_lsh_pairs(str(tmp_path), band_cap=None).to_pandas()
+    assert len(full) == 40 * 39 // 2 + 1
+    capped = minhash_lsh_pairs(str(tmp_path), band_cap=16).to_pandas()
+    # boilerplate cluster dropped (every one of its band segments is
+    # over the cap); the small-segment pair survives, values exact
+    assert len(capped) == 1
+    row = capped.iloc[0]
+    want = full[(full.doc_a == 100) & (full.doc_b == 101)].iloc[0]
+    assert (row == want).all()
 
 
 def test_embedding_pairs_dense_vs_bruteforce(ray_session, tmp_path):

@@ -104,12 +104,24 @@ def build_bloom(ds, key: str, *, m_bits: int = BLOOM_BITS,
         return pa.table({"i": pa.array(nz, pa.int64()),
                          "w": pa.array(words[nz], pa.uint64())})
 
-    merged = np.zeros(n_words, np.uint64)
-    for b in ds.map_batches(partial, batch_format="pyarrow",
-                            batch_size=None) \
-            .iter_batches(batch_format="pyarrow"):
-        np.bitwise_or.at(merged, b.column("i").to_numpy(),
+    def merge(b: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, np.uint64)
+        np.bitwise_or.at(words, b.column("i").to_numpy(),
                          b.column("w").to_numpy())
+        nz = np.flatnonzero(words)
+        return pa.table({"i": pa.array(nz, pa.int64()),
+                         "w": pa.array(words[nz], pa.uint64())})
+
+    # partials OR together in ONE merge task (hll_user_registers
+    # shape); the driver scatters the merged sparse words once
+    merged_tbl = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow"))
+    merged = np.zeros(n_words, np.uint64)
+    merged[merged_tbl.column("i").to_numpy()] = \
+        merged_tbl.column("w").to_numpy()
     return merged
 
 

@@ -216,10 +216,21 @@ def shuffled_windows(sf_dir: str, seq_len: int = SEQ_LEN):
         return pa.table({"rng": pa.array(nz, pa.int64()),
                          "n": pa.array(cnt[nz], pa.int64())})
 
+    def merge_hist(t: pa.Table) -> pa.Table:
+        g = t.group_by(["rng"]).aggregate([("n", "sum")])
+        return g.rename_columns(["rng", "n"])
+
+    # per-block partials merged in ONE tiny task (hll_user_registers
+    # shape): the driver receives the merged 4096-row histogram as a
+    # result, it never folds partials in a loop
+    hist_tbl = pa.concat_tables(
+        wins.map_batches(hist, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge_hist, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow"))
     counts = np.zeros(N_SHUFFLE_RANGES, np.int64)
-    for r in wins.map_batches(hist, batch_format="pyarrow",
-                              batch_size=None).take_all():
-        counts[r["rng"]] += r["n"]
+    counts[hist_tbl.column("rng").to_numpy()] = \
+        hist_tbl.column("n").to_numpy()
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) \
         .astype(np.int64)
 
@@ -317,16 +328,40 @@ def token_budget_sample(sf_dir: str, budget: int = TOKEN_BUDGET,
             .aggregate([("n_tokens", "sum")]) \
             .rename_columns([group_col, "rng", "tok"])
 
-    per_range: dict[tuple, int] = {}
-    for r in meta.map_batches(partial_sums, batch_format="pyarrow",
-                              batch_size=None).take_all():
-        k = (r[group_col], r["rng"])
-        per_range[k] = per_range.get(k, 0) + r["tok"]
-    base: dict[tuple, int] = {}
-    run: dict[str, int] = {}
-    for g, rng in sorted(per_range):
-        base[(g, rng)] = run.get(g, 0)
-        run[g] = run.get(g, 0) + per_range[(g, rng)]
+    def merge_bases(t: pa.Table) -> pa.Table:
+        """ONE merge task: combine the per-block (group, range) token
+        sums and turn them into exact per-range base offsets (exclusive
+        per-group cumsum in (group, rng) order) — vectorized."""
+        g = t.group_by([group_col, "rng"]).aggregate([("tok", "sum")]) \
+            .rename_columns([group_col, "rng", "tok"]) \
+            .sort_by([(group_col, "ascending"), ("rng", "ascending")])
+        tok = g.column("tok").to_numpy()
+        gl = np.asarray(g.column(group_col).to_pylist())
+        csum_excl = np.cumsum(tok) - tok
+        if len(gl):
+            new_grp = np.ones(len(gl), bool)
+            new_grp[1:] = gl[1:] != gl[:-1]
+            seg_id = np.cumsum(new_grp) - 1
+            seg_base = csum_excl[new_grp]
+            bases = csum_excl - seg_base[seg_id]
+        else:
+            bases = csum_excl
+        return pa.table({group_col: g.column(group_col),
+                         "rng": g.column("rng"),
+                         "base": pa.array(bases, pa.int64())})
+
+    # driver holds the merged (n_groups x <=1024)-row base table as a
+    # RESULT of one merge task — no partial-fold loop
+    base_tbl = pa.concat_tables(
+        meta.map_batches(partial_sums, batch_format="pyarrow",
+                         batch_size=None)
+        .repartition(1)
+        .map_batches(merge_bases, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow"))
+    base = {(g, r): b for g, r, b in zip(
+        base_tbl.column(group_col).to_pylist(),
+        base_tbl.column("rng").to_pylist(),
+        base_tbl.column("base").to_pylist())}
 
     def tag(t: pa.Table) -> pa.Table:
         gh = fnv1a_hashes(t.column(group_col).to_pylist())

@@ -38,11 +38,11 @@ def _read_documents(sf_dir: str):
 
 
 def _block_counts(batch: pa.Table) -> pa.Table:
-    words: list[str] = []
-    for t in batch.column("text").to_pylist():
-        words.extend((t or "").split(" "))
-    t = pa.table({"word": pa.array(words, pa.string()),
-                  "n": pa.array(np.ones(len(words), np.int64))})
+    import pyarrow.compute as pc
+    flat = pc.list_flatten(pc.split_pattern(
+        pc.fill_null(batch.column("text"), ""), " "))
+    t = pa.table({"word": flat,
+                  "n": pa.array(np.ones(len(flat), np.int64))})
     g = t.group_by(["word"]).aggregate([("n", "sum")])
     return g.rename_columns(["word", "n"])
 
@@ -68,25 +68,49 @@ def top_words_sketch(sf_dir: str, k: int = 50, cand_k: int = CAND_K):
             bcol[0] = bound
         return out.append_column("bound", pa.array(bcol))
 
-    rows = _read_documents(sf_dir).map_batches(
-        candidates, batch_format="pyarrow", batch_size=None).take_all()
-    if not rows:
+    def merge_candidates(batch: pa.Table) -> pa.Table:
+        """ONE merge task: distinct candidate words + the bound total
+        T (carried on every row) — the driver receives a result, it
+        never folds block partials in a loop."""
+        import pyarrow.compute as pc
+        T = int(batch.column("bound").to_numpy().sum())
+        w = pc.unique(batch.column("word").combine_chunks()).sort()
+        return pa.table({
+            "word": w,
+            "T": pa.array(np.full(len(w), T, np.int64))})
+
+    cand_tbl = pa.concat_tables(
+        _read_documents(sf_dir)
+        .map_batches(candidates, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge_candidates, batch_format="pyarrow",
+                     batch_size=None)
+        .iter_batches(batch_format="pyarrow"))
+    if cand_tbl.num_rows == 0:
         return pa.table({"word": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})
-    T = sum(r["bound"] for r in rows)
-    cand = sorted({r["word"] for r in rows})
-    cand_set = pa.array(cand, pa.string())
+    T = int(cand_tbl.column("T")[0].as_py())
+    cand_set = cand_tbl.column("word").combine_chunks()
 
     def verify(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         g = _block_counts(batch)
         return g.filter(pc.is_in(g.column("word"), value_set=cand_set))
 
-    exact: dict[str, int] = {}
-    for r in _read_documents(sf_dir).map_batches(
-            verify, batch_format="pyarrow", batch_size=None).take_all():
-        exact[r["word"]] = exact.get(r["word"], 0) + int(r["n"])
-    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    def merge_exact(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["word"]).aggregate([("n", "sum")])
+        return g.rename_columns(["word", "n"])
+
+    exact_tbl = pa.concat_tables(
+        _read_documents(sf_dir)
+        .map_batches(verify, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge_exact, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow"))
+    ns = exact_tbl.column("n").to_numpy()
+    ws = exact_tbl.column("word").to_pylist()
+    order = sorted(range(len(ws)), key=lambda i: (-ns[i], ws[i]))[:k]
+    top = [(ws[i], int(ns[i])) for i in order]
     if len(top) < k or (top and top[-1][1] <= T):
         # the proof failed (flat distribution or candidate budget too
         # small): fall back to the exchange-based exact plan

@@ -542,6 +542,54 @@ def test_jaccard_df_cap_keeps_exact_values(ray_session, dense_docs_dir):
     pd.testing.assert_frame_equal(capped, uncapped)
 
 
+def test_asof_hot_key_salting(ray_session, tmp_path):
+    """events_asof_orders skew escape hatch: a planted mega-user holding
+    30% of event rows routes through the salted path (events spread over
+    N_SALTS sub-buckets, orders replicated) — results must be exactly
+    identical to the unsalted exact join."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from casie_ray.ops.relational import events_asof_orders, hot_keys
+    from casie_ray.ops.relational import _read
+
+    rng = np.random.default_rng(11)
+    n_ev = 3000
+    mega = 7
+    users = np.where(np.arange(n_ev) < int(n_ev * 0.3), mega,
+                     rng.integers(100, 200, n_ev))
+    base = 1_600_000_000
+    ev_ts = base + rng.integers(0, 10_000_000, n_ev)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n_ev), pa.int64()),
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ev_ts, pa.int64()).cast(pa.timestamp("s")),
+    }), str(tmp_path / "events.parquet"))
+    n_ord = 400
+    ord_users = np.concatenate([
+        np.full(20, mega), rng.integers(100, 200, n_ord - 20)])
+    ord_ts = base + rng.integers(-1_000_000, 9_000_000, n_ord)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+        "o_custkey": pa.array(ord_users, pa.int64()),
+        "o_orderdate": pa.array(ord_ts, pa.int64())
+            .cast(pa.timestamp("s")),
+    }), str(tmp_path / "orders.parquet"))
+
+    hot = hot_keys(_read(str(tmp_path), "events", ["user_id"]),
+                   "user_id", 500)
+    assert list(hot) == [mega]    # the guard actually fires
+
+    def norm(ds):
+        return ds.to_pandas().sort_values("event_id") \
+            .reset_index(drop=True)
+
+    unsalted = norm(events_asof_orders(str(tmp_path), hot_cap=None))
+    salted = norm(events_asof_orders(str(tmp_path), hot_cap=500))
+    pd.testing.assert_frame_equal(salted, unsalted)
+    assert (unsalted["event_id"].to_numpy()[:5] >= 0).all()
+
+
 def test_minhash_band_cap_guard(ray_session, tmp_path):
     """band_cap drops corpus-wide band collisions (planted boilerplate:
     40 identical docs collide in EVERY band) from candidate generation

@@ -23,6 +23,7 @@ from typing import Any
 
 from casie_ray import lexicons as _lx
 from casie_ray.ops import ann as _ann
+from casie_ray.ops import bpe as _bpe
 from casie_ray.ops import dedup as _dedup
 from casie_ray.ops import clean as _clean
 from casie_ray.ops import graph as _graph
@@ -223,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_class_weights": _event_class_weights,
         "transcripts_split": _transcripts_split,
         "pack_sequences": _mlprep.pack_sequences,
+        "pack_sequences_bpe": _bpe.pack_sequences_bpe,
         "shuffled_windows": _mlprep.shuffled_windows,
         "token_budget_sample": _mlprep.token_budget_sample,
         "decontaminate": _dedup.decontaminate,
@@ -427,6 +429,32 @@ def _budget_sql(budget: int = 2000) -> str:
               FROM m7)
         SELECT lang, doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
         FROM c WHERE cum <= {budget}"""
+
+
+def _ensure_gold_bpe_pack(sf_dir: str) -> str:
+    """Materialize the independent sequential BPE pack oracle
+    (ops.bpe.sequential_pack_oracle — plain-Python scalar loops, no
+    shared numpy kernels) for this documents table, cached under /tmp
+    by file hash. BPE application is iterative and not SQL-expressible,
+    so the driver's DuckDB check reads this table — the same
+    materialized-sequential-oracle pattern as the KG trio."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    with open(docs, "rb") as f:
+        key = hashlib.blake2b(f.read() + b"bpe-pack-v1",
+                              digest_size=16).hexdigest()
+    gdir = "/tmp/casie_gold"
+    os.makedirs(gdir, exist_ok=True)
+    out = os.path.join(gdir, f"bpe_pack_{key}.parquet")
+    if not os.path.exists(out):
+        tbl = _bpe.sequential_pack_oracle(docs)
+        tmp = out + f".{os.getpid()}.tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, out)
+    return out
 
 
 def _redact_sql(corpus: str) -> str:
@@ -792,6 +820,10 @@ def oracle_sql() -> dict[str, str]:
         "order_lineitem_totals": _join.ORDER_LINEITEM_SQL,
         "customer_event_values": _join.CUSTOMER_EVENT_SQL,
         "pack_sequences": _pack_sql(),
+        "pack_sequences_bpe": f"""
+            SELECT bucket, window_idx, n_tokens, checksum
+            FROM read_parquet(
+                '{_ensure_gold_bpe_pack("/root/testdata/sf0.01")}')""",
         "shuffled_windows": _shuffle_sql(),
         "token_budget_sample": _budget_sql(),
         "decontaminate": _DECONTAM_SQL,

@@ -542,6 +542,69 @@ def test_jaccard_df_cap_keeps_exact_values(ray_session, dense_docs_dir):
     pd.testing.assert_frame_equal(capped, uncapped)
 
 
+def test_bpe_vocab_roundtrip():
+    """Deterministic training + encode/decode roundtrip: same corpus ->
+    same merges; decode(encode(w)) == w for in-alphabet words."""
+    from casie_ray.ops.bpe import BpeTokenizer, train_bpe, word_frequencies
+
+    texts = ["the cat sat on the mat", "the cat ran", "a mat on a cat"]
+    freq = word_frequencies(texts)
+    s1 = train_bpe(freq, n_merges=20)
+    s2 = train_bpe(dict(reversed(list(freq.items()))), n_merges=20)
+    assert s1["merges"] == s2["merges"]        # order-independent input
+    assert s1["vocab"] == s2["vocab"]
+    tok = BpeTokenizer(s1)
+    for w in freq:
+        ids = tok.encode_word(w)
+        assert tok.decode(ids) == w
+        assert tok.encode_word(w) == ids       # cache stability
+    # frequent words should compress below character granularity
+    assert len(tok.encode_word("the")) < 3
+    # unknown characters fall back to <unk>
+    assert 0 in tok.encode_word("zęta")
+
+
+def test_bpe_state_cache_stable(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from casie_ray.ops.bpe import load_bpe_state
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["hello world hello", "world of words"])}),
+        str(tmp_path / "documents.parquet"))
+    s1 = load_bpe_state(str(tmp_path / "documents.parquet"), 16)
+    s2 = load_bpe_state(str(tmp_path / "documents.parquet"), 16)
+    assert s1["merges"] == s2["merges"] and s1["vocab"] == s2["vocab"]
+
+
+def test_pack_sequences_bpe_vs_sequential_oracle(ray_session):
+    """Distributed BPE pack == the independent scalar sequential pack
+    (plain-Python splitmix + loop pack), row for row; emit_tokens
+    payload re-derives the same checksums."""
+    import numpy as np
+    from casie_ray.ops.bpe import (
+        pack_sequences_bpe, sequential_pack_oracle,
+    )
+    from casie_ray.ops.bucketing import mix64
+
+    want = sequential_pack_oracle(f"{SF_DIR}/documents.parquet") \
+        .to_pandas().sort_values(["bucket", "window_idx"]) \
+        .reset_index(drop=True)
+    got = pack_sequences_bpe(SF_DIR).to_pandas() \
+        .sort_values(["bucket", "window_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    toks = pack_sequences_bpe(SF_DIR, emit_tokens=True).to_pandas()
+    for _, r in toks.head(5).iterrows():
+        ids = np.asarray(r["tokens"], dtype=np.uint64)
+        assert len(ids) == r["n_tokens"]
+        pos = np.arange(len(ids), dtype=np.uint64) + np.uint64(1)
+        with np.errstate(over="ignore"):
+            csum = int((mix64([ids]) * pos).sum())
+        assert csum % (1 << 64) == r["checksum"]
+
+
 def test_asof_hot_key_salting(ray_session, tmp_path):
     """events_asof_orders skew escape hatch: a planted mega-user holding
     30% of event rows routes through the salted path (events spread over

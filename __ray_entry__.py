@@ -106,6 +106,46 @@ def _events_ds(sf_dir: str):
                               "nugget_text", "realis", "cluster"])
 
 
+def _kg_incremental(sf_dir: str):
+    """Incremental KG maintenance, driver-checked (r2 verdict task 8):
+    run the pipeline over HALF the corpus shards, append the rest, and
+    re-run with resume=True — the stable shard->group assignment must
+    skip every untouched group, and the appended-then-resumed output
+    must be byte-identical to a from-scratch run, so the oracle is the
+    SAME gold-triples table as kg_edges. Raises (driver records err) if
+    the resume path extracts groups it should have skipped."""
+    import shutil
+
+    from casie_ray.pipelines.kg import (
+        list_transcript_files, read_triples, run_kg_pipeline,
+    )
+
+    sf = _sf_of(sf_dir)
+    corpus = _corpus_dir(sf)
+    files = list_transcript_files(corpus)
+    work = f"/tmp/casie_kg_incr/sf{sf:g}"
+    shutil.rmtree(work, ignore_errors=True)
+    wcorpus = os.path.join(work, "corpus")
+    tdir = os.path.join(wcorpus, "transcripts")
+    os.makedirs(tdir)
+    os.symlink(os.path.join(corpus, "entities.parquet"),
+               os.path.join(wcorpus, "entities.parquet"))
+    out = os.path.join(work, "kg")
+    half = max(1, len(files) // 2)
+    for p in files[:half]:
+        os.symlink(p, os.path.join(tdir, os.path.basename(p)))
+    run_kg_pipeline(wcorpus, out, group_size=2)
+    for p in files[half:]:
+        os.symlink(p, os.path.join(tdir, os.path.basename(p)))
+    info = run_kg_pipeline(wcorpus, out, group_size=2)
+    if info["groups_skipped"] < 1:
+        raise RuntimeError(
+            f"incremental resume skipped no groups: {info}")
+    df = read_triples(out)
+    import ray.data
+    return ray.data.from_pandas(df)
+
+
 def _transcripts_roundtrip(sf_dir: str):
     """Per-turn text equality invariant (north rule): transcripts pushed
     through the detection actor pool must carry text unchanged; the
@@ -195,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": _edges_ds,
         "kg_nodes": _nodes_ds,
         "kg_events": _events_ds,
+        "kg_incremental": _kg_incremental,
         "transcripts_roundtrip": _transcripts_roundtrip,
         # text analysis (documents)
         "doc_stats": _text.doc_stats,
@@ -645,6 +686,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, event_id, etype, nugget_text,
                    realis, cluster
             FROM read_parquet('{corpus_001}/gold_kg_events.parquet')""",
+        "kg_incremental": f"""
+            SELECT subj, pred, obj, subj_type, obj_type, conv_id,
+                   turn_idx, ev_start, ev_end, weight, count
+            FROM read_parquet('{corpus_001}/gold_triples.parquet')""",
         "transcripts_roundtrip": (
             "SELECT conv_id, turn_idx, text FROM read_parquet("
             f"'{corpus_001}/transcripts/*.parquet')"),

@@ -12,6 +12,11 @@ in BASELINE.md to separate hardware frequency/bandwidth droop from
 engine-attributable scaling loss.
 
 Usage: python scripts/floor_bench.py [lo_workers hi_workers] [sf]
+       python scripts/floor_bench.py --single N [sf]
+The --single mode runs ONE worker level and prints its wall — used by
+``bench.py --scaling`` to interleave a floor sample with each official
+engine sample (same machine state), so the floor-normalized efficiency
+in BASELINE.md is measured, not argued.
 """
 from __future__ import annotations
 
@@ -72,10 +77,21 @@ def run_level(files, n):
 
 def main():
     global CORPUS
+    from casie_ray import synth
+    if len(sys.argv) > 1 and sys.argv[1] == "--single":
+        n = int(sys.argv[2])
+        sf = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
+        CORPUS = synth.ensure_corpus(sf)
+        files = sorted(glob.glob(os.path.join(CORPUS, "transcripts",
+                                              "*.parquet")))
+        wall, ev = run_level(files, n)
+        print(json.dumps({"metric": "mp floor single level", "n": n,
+                          "wall": round(wall, 2), "sf": sf,
+                          "events": ev}))
+        return
     lo = int(sys.argv[1]) if len(sys.argv) > 2 else 4
     hi = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     sf = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
-    from casie_ray import synth
     CORPUS = synth.ensure_corpus(sf)
     files = sorted(glob.glob(os.path.join(CORPUS, "transcripts",
                                           "*.parquet")))

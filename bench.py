@@ -182,29 +182,26 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
     # (hypervisor noise), so a single sample per level can swing the
     # ratio by +-0.2; the per-level MINIMUM wall is the standard
     # shared-host de-noising and is what a quiet cluster would measure.
-    # A floor sample runs back-to-back with every engine sample (same
-    # machine state); best-of applies to each series independently.
+    # Levels ALTERNATE within each rep (lo, hi, lo, hi, ...) so slow
+    # machine-state drift hits both series evenly instead of biasing
+    # whichever level ran first; a floor sample runs back-to-back with
+    # every engine sample (same state). Best-of applies per series.
     results: dict[int, dict] = {}
     floor_walls: dict[int, float] = {}
-    for n in (lo, hi):
-        best = None
-        fbest = None
-        for _ in range(max(1, reps)):
+    for _ in range(max(1, reps)):
+        for n in (lo, hi):
             if floor_on:
                 fw = floor_sample(n)
-                if fbest is None or fw < fbest:
-                    fbest = fw
+                if n not in floor_walls or fw < floor_walls[n]:
+                    floor_walls[n] = fw
             p = subprocess.run(
                 [sys.executable, __file__, "--headline-only"],
                 env=dict(env, RAY_GRAFT_CPUS=str(n)),
                 check=True, capture_output=True, text=True)
             r = json.loads(p.stdout.strip().splitlines()[-1])
-            if best is None or r["queries"]["kg_pipeline"] < \
-                    best["queries"]["kg_pipeline"]:
-                best = r
-        results[n] = best
-        if fbest is not None:
-            floor_walls[n] = fbest
+            if n not in results or r["queries"]["kg_pipeline"] < \
+                    results[n]["queries"]["kg_pipeline"]:
+                results[n] = r
     tput_lo = results[lo]["turns_per_sec"]
     tput_hi = results[hi]["turns_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)

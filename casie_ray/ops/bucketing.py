@@ -27,7 +27,8 @@ N_OPS_BUCKETS = 256
 
 
 def bucket_groupby(ds, fn, *, batch_format="pyarrow",
-                   coarse_per_cpu: int | None = None):
+                   coarse_per_cpu: int | None = None,
+                   pre_repartition: bool = True):
     """The standard bucketed exchange: coalesce to ~one block per
     cluster task slot, then sort-groupby on the ``bucket`` column with
     one vectorized ``fn`` call per bucket group.
@@ -51,10 +52,16 @@ def bucket_groupby(ds, fn, *, batch_format="pyarrow",
     coarse group). Hot-KEY spreading is unaffected (a hot key is one
     key in one vectorized group either way); per-group memory grows by
     the coarsening factor, so only use it for reduce fns whose output
-    is much smaller than their input or whose input already fits."""
+    is much smaller than their input or whose input already fits.
+
+    ``pre_repartition=False``: callers whose input is ALREADY ~one
+    block per task slot (e.g. the output of a previous exchange in the
+    same chain) skip the coalesce — one fewer linear pass over the
+    data; the sort exchange partitions on the existing block count."""
     import ray
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    ds = ds.repartition(ncpu)
+    if pre_repartition:
+        ds = ds.repartition(ncpu)
     if not coarse_per_cpu:
         return ds.groupby("bucket").map_groups(
             fn, batch_format=batch_format)

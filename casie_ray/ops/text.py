@@ -170,27 +170,45 @@ def fingerprint_batch(batch: pa.Table, window: int = 4) -> pa.Table:
     """Rolling-hash fingerprint: FNV word hashes combined over a sliding
     window; the doc fingerprint is the minimum window hash (winnowing
     with a single global window — content-defined, order-sensitive).
-    Word hashing is the shared vectorized FNV kernel (one numpy pass per
-    byte position), byte-exact with the original scalar loop."""
-    texts = batch.column("text").to_pylist()
-    fps = []
+    Fully vectorized across the batch: one flat word array, the shared
+    FNV kernel once, window polynomials on shifted slices (windows
+    crossing doc boundaries masked out, the shingle kernel's idiom),
+    per-doc minima via ``minimum.reduceat``; short docs (< window
+    words) fold their words in at most window-1 vectorized steps."""
+    text = pc.fill_null(batch.column("text"), "")
+    splits = pc.split_pattern(text, " ")
+    lens = pc.list_value_length(splits).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    n = batch.num_rows
+    h = _word_hashes(pc.list_flatten(splits).to_pylist())
+    row_of = np.repeat(np.arange(n), lens)
+    fps = np.zeros(n, np.uint64)
     with np.errstate(over="ignore"):
-        for t in texts:
-            words = (t or "").split(" ")
-            h = _word_hashes(words)
-            if len(h) < window:
-                fp = np.uint64(0)
-                for x in h:
-                    fp = fp * _HASH_BASE + x
-            else:
-                roll = h[: len(h) - window + 1].copy()
-                for k in range(1, window):
-                    roll = roll * _HASH_BASE + h[k: len(h) - window + 1 + k]
-                fp = roll.min()
-            fps.append(int(fp.astype(np.int64)))
+        m = len(h) - window + 1
+        if m > 0:
+            valid = row_of[:m] == row_of[window - 1:]
+            roll = h[:m].copy()
+            for k in range(1, window):
+                roll = roll * _HASH_BASE + h[k:m + k]
+            vrows = row_of[:m][valid]
+            if len(vrows):
+                seg = np.ones(len(vrows), bool)
+                seg[1:] = vrows[1:] != vrows[:-1]
+                starts = np.flatnonzero(seg)
+                fps[vrows[starts]] = np.minimum.reduceat(roll[valid],
+                                                         starts)
+        short = lens < window
+        if short.any():
+            offs = np.concatenate([[0], np.cumsum(lens)[:-1]]) \
+                .astype(np.int64)
+            fold = np.zeros(n, np.uint64)
+            for k in range(window - 1):
+                sel = short & (lens > k)
+                fold[sel] = fold[sel] * _HASH_BASE + h[offs[sel] + k]
+            fps[short] = fold[short]
     return pa.table({
         "doc_id": batch.column("doc_id"),
-        "fingerprint": pa.array(fps, pa.int64()),
+        "fingerprint": pa.array(fps.astype(np.int64), pa.int64()),
     })
 
 

@@ -542,8 +542,11 @@ def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
                             batch_size=None) \
         .groupby("cgroup").map_groups(dedup_write_emit_nodes,
                                       batch_format="pyarrow")
-    nodes = bucket_groupby(nodes, final_nodes_group,
-                           coarse_per_cpu=4).drop_columns(["bucket"])
+    # the node partials come out of the cgroup exchange already ~one
+    # block per task slot — skip the coalesce pass
+    nodes = bucket_groupby(nodes, final_nodes_group, coarse_per_cpu=4,
+                           pre_repartition=False) \
+        .drop_columns(["bucket"])
     nodes_dir = os.path.join(out_dir, "nodes")
     ntmp = nodes_dir + ".tmp"
     shutil.rmtree(ntmp, ignore_errors=True)

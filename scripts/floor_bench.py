@@ -42,6 +42,9 @@ def _worker(files, barrier, out, wid):
     import pyarrow.parquet as pq
 
     from casie_ray.stages.detect import ShardExtractor
+    from casie_ray.stages.triples import (
+        extract_surface_nodes, partial_dedup, triples_from_events,
+    )
 
     entities = pq.read_table(
         os.path.join(CORPUS, "entities.parquet")).to_pylist()
@@ -52,11 +55,20 @@ def _worker(files, barrier, out, wid):
     t0 = time.time()
     nrows = 0
     for p in files:
+        # full parity with ShardFileExtractor's fused sink: detect ->
+        # events write + triple emission + partial dedup + triple and
+        # surf writes (earlier versions omitted the triple half, which
+        # understated the floor walls)
         tbl = pq.read_table(p, columns=["conv_id", "turn_idx", "text",
                                         "ts"])
-        ev = ex.extract_turns(tbl)
+        ev, ev_objs = ex.extract_turns_with_events(tbl)
+        trip = partial_dedup(triples_from_events(ev_objs))
+        base = os.path.basename(p)
+        pq.write_table(trip, os.path.join(outdir, "t_" + base))
+        pq.write_table(extract_surface_nodes(trip),
+                       os.path.join(outdir, "s_" + base))
         pq.write_table(ev.drop_columns(["args"]),
-                       os.path.join(outdir, os.path.basename(p)))
+                       os.path.join(outdir, base))
         nrows += ev.num_rows
     out.put((wid, time.time() - t0, nrows))
 

@@ -542,6 +542,53 @@ def test_jaccard_df_cap_keeps_exact_values(ray_session, dense_docs_dir):
     pd.testing.assert_frame_equal(capped, uncapped)
 
 
+def test_score_cli(tmp_path, capsys):
+    """The user-facing scorer CLI (reference score.py argparse twin):
+    mention f1, the -O analogue, confusion matrix, and triple mode."""
+    import json
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from casie_ray.score import main
+
+    gold = pa.table({
+        "conv_id": ["c1", "c1", "c2"], "turn_idx": [0, 0, 1],
+        "start": [0, 10, 5], "end": [4, 14, 9],
+        "label": ["Databreach", "Phishing", "Ransom"]})
+    pred = pa.table({
+        "conv_id": ["c1", "c1", "c2"], "turn_idx": [0, 0, 1],
+        "start": [0, 10, 5], "end": [4, 14, 9],
+        "label": ["Databreach", "Ransom", "Ransom"]})
+    gp, pp = str(tmp_path / "g.parquet"), str(tmp_path / "p.parquet")
+    pq.write_table(gold, gp)
+    pq.write_table(pred, pp)
+
+    assert main(["--gold", gp, "--pred", pp, "--metric", "f1"]) == 0
+    r = json.loads(capsys.readouterr().out)
+    assert r["n_gold"] == 3 and 0 < r["f1"] < 1   # label mismatch costs
+
+    assert main(["--gold", gp, "--pred", pp, "--metric", "f1",
+                 "--no-label-match"]) == 0
+    r = json.loads(capsys.readouterr().out)
+    assert r["f1"] == 1.0                         # spans align exactly
+
+    assert main(["--gold", gp, "--pred", pp,
+                 "--metric", "confusion"]) == 0
+    out = capsys.readouterr().out
+    assert "Databreach" in out and "total" in out
+
+    gt = pa.table({"subj": ["a", "b"], "pred": ["p", "p"],
+                   "obj": ["x", "y"]})
+    pt = pa.table({"subj": ["a"], "pred": ["p"], "obj": ["x"]})
+    gtp, ptp = str(tmp_path / "gt.parquet"), str(tmp_path / "pt.parquet")
+    pq.write_table(gt, gtp)
+    pq.write_table(pt, ptp)
+    assert main(["--gold", gtp, "--pred", ptp, "--options", "triple",
+                 "--metric", "f1"]) == 0
+    r = json.loads(capsys.readouterr().out)
+    assert r == {"precision": 1.0, "recall": 0.5,
+                 "f1": 2 / 3, "n_gold": 2, "n_pred": 1, "n_match": 1}
+
+
 def test_bpe_vocab_roundtrip():
     """Deterministic training + encode/decode roundtrip: same corpus ->
     same merges; decode(encode(w)) == w for in-alphabet words."""

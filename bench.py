@@ -32,7 +32,13 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
 
 def _init_ray(num_cpus: int):
+    import pyarrow as pa
     import ray
+    # pin the DRIVER's Arrow thread pools to the modeled cluster size:
+    # driver-local fast paths (canonicalize, small finalize) must not
+    # secretly use all 32 host cores when measuring a "4 CPU cluster"
+    pa.set_cpu_count(num_cpus)
+    pa.set_io_thread_count(num_cpus)
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext

@@ -26,6 +26,7 @@ from casie_ray.ops import ann as _ann
 from casie_ray.ops import bpe as _bpe
 from casie_ray.ops import dedup as _dedup
 from casie_ray.ops import clean as _clean
+from casie_ray.ops import curation as _cur
 from casie_ray.ops import graph as _graph
 from casie_ray.ops import graphx as _graphx
 from casie_ray.ops import join as _join
@@ -270,6 +271,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": _mlprep.token_budget_sample,
         "decontaminate": _dedup.decontaminate,
         "doc_repetition": _text.repetition,
+        "doc_quality_filter": _cur.quality_filter,
+        "doc_stratified_sample": _cur.stratified_sample,
+        "doc_lm_score": _cur.lm_score,
         # multimodal plumbing (stubbed decode, real actor-pool stage)
         "media_features": _media_features,
         "media_dedup": _media_dedup,
@@ -872,6 +876,9 @@ def oracle_sql() -> dict[str, str]:
         "shuffled_windows": _shuffle_sql(),
         "token_budget_sample": _budget_sql(),
         "decontaminate": _DECONTAM_SQL,
+        "doc_quality_filter": _cur.QUALITY_SQL,
+        "doc_stratified_sample": _cur.stratified_sample_sql(),
+        "doc_lm_score": _cur.LM_SQL,
         "doc_repetition": """
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS w,

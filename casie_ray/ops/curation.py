@@ -1,0 +1,331 @@
+"""Corpus-curation operators (round-3 widening of the training-data
+surface): C4-style rule filtering, exact stratified sampling, and
+count-based bigram LM scoring. All integer-exact with independent
+DuckDB oracle twins; all the standard engine shapes (vectorized
+``map_batches``, bucketed exchanges, the shared general hash join).
+
+At 100 TB: the quality filter is a shuffle-free streaming pass; the
+stratified sample moves only (group, key) metadata through one
+group-keyed exchange; LM scoring is two bucketed exchanges (bigram
+counts, then a large x large join on the bigram key) — no broadcast of
+the bigram table, which at web scale is itself huge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .bucketing import bucket_groupby, fnv1a_hashes, hash_bucket, mix64
+
+
+def _read_documents(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=list(columns))
+
+
+# ---------------------------------------------------------------------------
+# C4-style rule-based quality filter
+# ---------------------------------------------------------------------------
+
+MIN_WORDS = 5
+MAX_WORDS = 100_000
+MIN_SENTENCES = 1
+MAX_WORD_CHARS = 1000
+
+QUALITY_SQL = f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             length(regexp_replace(text, '[^.!?]', '', 'g'))
+                 AS n_terminals,
+             list_max([length(w) FOR w IN string_split(text, ' ')])
+                 AS max_word_chars,
+             length(regexp_replace(text, '[^{{}}]', '', 'g'))
+                 AS n_braces
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_terminals AS BIGINT) AS n_terminals,
+           CAST(max_word_chars AS BIGINT) AS max_word_chars,
+           CAST(n_braces AS BIGINT) AS n_braces,
+           CAST(n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}
+                AND n_terminals >= {MIN_SENTENCES}
+                AND max_word_chars <= {MAX_WORD_CHARS}
+                AND n_braces = 0 AS BIGINT) AS keep
+    FROM f
+"""
+
+
+def quality_filter_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc C4-style rule signals + keep flag, fully vectorized
+    (Arrow kernels only): word count bounds, terminal-punctuation
+    count (sentence proxy), longest-word cap (lorem/code junk), curly
+    braces (code leakage). Integer columns so the SQL twin compares
+    exactly; `keep` stays a column (not a filter) so downstream
+    pipelines can audit rejection reasons."""
+    text = pc.fill_null(batch.column("text"), "")
+    splits = pc.split_pattern(text, " ")
+    n_words = pc.list_value_length(splits).cast(pa.int64())
+    terminals = pc.add(
+        pc.add(pc.count_substring(text, "."),
+               pc.count_substring(text, "!")),
+        pc.count_substring(text, "?")).cast(pa.int64())
+    flat_len = pc.utf8_length(pc.list_flatten(splits)) \
+        .to_numpy(zero_copy_only=False)
+    lens = n_words.to_numpy(zero_copy_only=False)
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    nz = lens > 0
+    maxw = np.zeros(len(lens), np.int64)
+    if nz.any() and len(flat_len):
+        maxw[nz] = np.maximum.reduceat(flat_len, offs[:-1][nz])
+    braces = pc.add(pc.count_substring(text, "{"),
+                    pc.count_substring(text, "}")).cast(pa.int64())
+    nw = n_words.to_numpy(zero_copy_only=False)
+    keep = ((nw >= MIN_WORDS) & (nw <= MAX_WORDS)
+            & (terminals.to_numpy(zero_copy_only=False)
+               >= MIN_SENTENCES)
+            & (maxw <= MAX_WORD_CHARS)
+            & (braces.to_numpy(zero_copy_only=False) == 0))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_words": n_words,
+        "n_terminals": terminals,
+        "max_word_chars": pa.array(maxw, pa.int64()),
+        "n_braces": braces,
+        "keep": pa.array(keep.astype(np.int64), pa.int64()),
+    })
+
+
+def quality_filter(sf_dir: str):
+    return _read_documents(sf_dir).map_batches(
+        quality_filter_batch, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Exact stratified sampling: k docs per group in deterministic
+# pseudo-random order
+# ---------------------------------------------------------------------------
+
+STRATA_K = 10
+
+
+def stratified_sample(sf_dir: str, k: int = STRATA_K,
+                      group_col: str = "lang"):
+    """Exactly the first ``k`` docs per group under splitmix64(doc_id)
+    order (doc_id tie-break) — the reproducible per-domain/per-language
+    curation sample. Per-batch partial top-k per group (only k rows per
+    (batch, group) survive the combiner) -> ONE exchange keyed by the
+    group hash -> vectorized per-group final top-k. Only (group, key,
+    doc_id) triples ever move."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        key = mix64([ids])
+        gl = t.column(group_col)
+        gh = fnv1a_hashes(pc.fill_null(gl, "").to_pylist())
+        order = np.lexsort((ids, key, gh))
+        gh_s = gh[order]
+        seg = np.ones(len(order), bool)
+        if len(order) > 1:
+            seg[1:] = gh_s[1:] != gh_s[:-1]
+        pos = np.arange(len(order)) - \
+            np.maximum.accumulate(np.where(seg, np.arange(len(order)), 0))
+        kept = order[pos < k]
+        return pa.table({
+            group_col: pc.take(gl, pa.array(kept, pa.int64())),
+            "doc_id": pa.array(ids[kept], pa.int64()),
+            "skey": pa.array(key[kept], pa.uint64()),
+            "bucket": pa.array(hash_bucket([gh[kept]]), pa.int32()),
+        })
+
+    def final(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        key = group.column("skey").to_numpy(zero_copy_only=False)
+        gl = group.column(group_col)
+        gh = fnv1a_hashes(pc.fill_null(gl, "").to_pylist())
+        order = np.lexsort((ids, key, gh))
+        gh_s = gh[order]
+        seg = np.ones(len(order), bool)
+        if len(order) > 1:
+            seg[1:] = gh_s[1:] != gh_s[:-1]
+        pos = np.arange(len(order)) - \
+            np.maximum.accumulate(np.where(seg, np.arange(len(order)), 0))
+        kept = order[pos < k]
+        kept_pos = pos[pos < k]
+        return pa.table({
+            group_col: pc.take(gl, pa.array(kept, pa.int64())),
+            "doc_id": pa.array(ids[kept], pa.int64()),
+            "sample_rank": pa.array(kept_pos + 1, pa.int64()),
+        })
+
+    ds = _read_documents(sf_dir, ("doc_id", group_col)) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return bucket_groupby(ds, final)
+
+
+def stratified_sample_sql(k: int = STRATA_K,
+                          group_col: str = "lang") -> str:
+    """DuckDB twin: row_number() over splitmix64(doc_id) per group.
+    Reuses the engine's mix64 semantics via HUGEINT mod-2^64 SQL."""
+    phi = 0x9E3779B97F4A7C15
+    s1c = 0xBF58476D1CE4E5B9
+    s2c = 0x94D049BB133111EB
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+    def mulmod(h, const):
+        hi, lo = const >> 32, const & 0xFFFFFFFF
+        return (f"CAST((((CAST({h} AS HUGEINT) * {hi}) % 4294967296) "
+                f"* 4294967296 + CAST({h} AS HUGEINT) * {lo}) % {m64} "
+                "AS UBIGINT)")
+
+    return f"""
+        WITH m0 AS (SELECT doc_id, {group_col},
+                           CAST(doc_id AS UBIGINT) AS a FROM documents),
+        m1 AS (SELECT doc_id, {group_col},
+                      {mulmod('a', phi)} AS h0 FROM m0),
+        m2 AS (SELECT doc_id, {group_col},
+                      CAST((CAST(h0 AS HUGEINT) + 1) % {m64}
+                           AS UBIGINT) AS h FROM m1),
+        m3 AS (SELECT doc_id, {group_col}, xor(h, h >> 30) AS h FROM m2),
+        m4 AS (SELECT doc_id, {group_col},
+                      {mulmod('h', s1c)} AS h FROM m3),
+        m5 AS (SELECT doc_id, {group_col}, xor(h, h >> 27) AS h FROM m4),
+        m6 AS (SELECT doc_id, {group_col},
+                      {mulmod('h', s2c)} AS h FROM m5),
+        m7 AS (SELECT doc_id, {group_col}, xor(h, h >> 31) AS h FROM m6)
+        SELECT {group_col}, doc_id,
+               CAST(row_number() OVER (PARTITION BY {group_col}
+                    ORDER BY h, doc_id) AS BIGINT) AS sample_rank
+        FROM m7 QUALIFY sample_rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Count-based bigram LM scoring (KenLM-style quality signal, integer
+# arithmetic so the oracle compares exactly)
+# ---------------------------------------------------------------------------
+
+LM_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM documents
+    ), bg AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS bigram
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ), counts AS (
+      SELECT bigram, count(*) AS c FROM bg GROUP BY bigram
+    )
+    SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(counts.c) AS BIGINT) AS sum_counts
+    FROM bg JOIN counts USING (bigram)
+    GROUP BY bg.doc_id
+"""
+
+
+def _doc_bigram_rows(batch: pa.Table) -> pa.Table:
+    """doc -> one row per bigram OCCURRENCE (with multiplicity),
+    vectorized: flat word array + same-row shift mask."""
+    text = pc.fill_null(batch.column("text"), "")
+    splits = pc.split_pattern(text, " ")
+    lens = pc.list_value_length(splits).to_numpy(zero_copy_only=False)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(splits)
+    n = batch.num_rows
+    row_of = np.repeat(np.arange(n), lens)
+    if len(flat) < 2:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64())})
+    valid = row_of[:-1] == row_of[1:]
+    a = flat.slice(0, len(flat) - 1)
+    b = flat.slice(1)
+    bigram = pc.binary_join_element_wise(a, b, " ") \
+        .filter(pa.array(valid))
+    docs = ids[row_of[:-1][valid]]
+    return pa.table({"bigram": bigram,
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def lm_score(sf_dir: str):
+    """(doc_id, n_bigrams, sum_counts): each document's bigram
+    occurrences scored against the CORPUS bigram frequency table — the
+    count-based analogue of an n-gram LM likelihood (higher mean count
+    = more typical text; integer sums so the oracle is exact).
+
+    Plan: one pass emits bigram-occurrence rows; the count side is the
+    same stream pre-aggregated per batch; both sides meet in the
+    general bucketed hash join keyed on the bigram (LARGE x LARGE — at
+    web scale the bigram vocabulary does not broadcast), with the
+    per-doc aggregate fused into the join's bucket kernel, then one
+    tiny doc-keyed reduce."""
+    from .join import hash_join
+
+    occ = _read_documents(sf_dir).map_batches(
+        _doc_bigram_rows, batch_format="pyarrow", batch_size=None)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["bigram"]).group_by(["bigram"]) \
+            .aggregate([([], "count_all")]).rename_columns(["bg", "c"])
+        return g
+
+    counts = occ.map_batches(count_partial, batch_format="pyarrow",
+                             batch_size=None)
+
+    def final_doc(group: pa.Table) -> pa.Table:
+        g = group.group_by(["doc_id"]).aggregate(
+            [("n_bigrams", "sum"), ("sum_counts", "sum")])
+        return g.rename_columns(["doc_id", "n_bigrams", "sum_counts"])
+
+    # the count side carries PARTIAL per-batch counts; equal bigrams
+    # co-locate in one join bucket, so summing inside the bucket kernel
+    # yields exact totals before the per-doc aggregate
+    def bucket_kernel(group: pa.Table) -> pa.Table:
+        is_cnt = pc.is_valid(group.column("c"))
+        cnt = group.filter(is_cnt).select(["__k", "c"]) \
+            .group_by(["__k"]).aggregate([("c", "sum")]) \
+            .rename_columns(["__k", "c"])
+        occ_rows = group.filter(pc.invert(is_cnt)).select(
+            ["__k", "doc_id"])
+        j = occ_rows.join(cnt, keys="__k", join_type="inner")
+        g = j.group_by(["doc_id"]).aggregate([([], "count_all"),
+                                              ("c", "sum")])
+        return g.rename_columns(["doc_id", "n_bigrams", "sum_counts"])
+
+    # manual carrier union (the hash_join shape, specialized: the
+    # occurrence side carries doc_id, the count side carries c)
+    def occ_carrier(t: pa.Table) -> pa.Table:
+        h = fnv1a_hashes(t.column("bigram").to_pylist())
+        return pa.table({
+            "__k": t.column("bigram"),
+            "doc_id": t.column("doc_id"),
+            "c": pa.nulls(t.num_rows, pa.int64()),
+            "bucket": pa.array(hash_bucket([h]), pa.int32()),
+        })
+
+    def cnt_carrier(t: pa.Table) -> pa.Table:
+        h = fnv1a_hashes(t.column("bg").to_pylist())
+        return pa.table({
+            "__k": t.column("bg"),
+            "doc_id": pa.nulls(t.num_rows, pa.int64()),
+            "c": t.column("c").cast(pa.int64()),
+            "bucket": pa.array(hash_bucket([h]), pa.int32()),
+        })
+
+    left = occ.map_batches(occ_carrier, batch_format="pyarrow",
+                           batch_size=None)
+    right = counts.map_batches(cnt_carrier, batch_format="pyarrow",
+                               batch_size=None)
+    joined = bucket_groupby(left.union(right), bucket_kernel)
+
+    # a doc's bigrams span many buckets: one tiny doc-keyed reduce
+    def tag_doc(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array(hash_bucket([ids]), pa.int32()))
+
+    return bucket_groupby(
+        joined.map_batches(tag_doc, batch_format="pyarrow",
+                           batch_size=None),
+        final_doc)

@@ -542,6 +542,79 @@ def test_jaccard_df_cap_keeps_exact_values(ray_session, dense_docs_dir):
     pd.testing.assert_frame_equal(capped, uncapped)
 
 
+def test_quality_filter_rules(ray_session, tmp_path):
+    """Each C4-style rejection rule fires on its planted doc and the
+    clean doc passes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from casie_ray.ops.curation import quality_filter
+
+    docs = {
+        1: "this is a perfectly fine sentence with enough words.",
+        2: "too short.",                                  # < MIN_WORDS
+        3: "code leak here { return x } with words around it.",
+        4: "no terminal punctuation at all in this one alas",
+        5: "a doc with one absurdly long word "
+           + "x" * 1500 + " and a period.",
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)])}),
+        str(tmp_path / "documents.parquet"))
+    got = quality_filter(str(tmp_path)).to_pandas() \
+        .set_index("doc_id")["keep"]
+    assert got.to_dict() == {1: 1, 2: 0, 3: 0, 4: 0, 5: 0}
+
+
+def test_stratified_sample_exact(ray_session, tmp_path):
+    """Exactly k per group, picked by splitmix64(doc_id) order —
+    matches a local scalar reference."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from casie_ray.ops.bucketing import mix64
+    from casie_ray.ops.curation import stratified_sample
+
+    rng = np.random.default_rng(4)
+    n = 200
+    langs = rng.choice(["en", "es", "fr"], n)
+    ids = np.arange(n, dtype=np.int64)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids),
+        "lang": pa.array(langs.tolist()),
+        "text": pa.array(["x"] * n)}),
+        str(tmp_path / "documents.parquet"))
+
+    keys = mix64([ids])
+    want = set()
+    for lg in ("en", "es", "fr"):
+        sel = [(keys[i], ids[i]) for i in range(n) if langs[i] == lg]
+        for _, d in sorted(sel)[:5]:
+            want.add((lg, int(d)))
+    got = stratified_sample(str(tmp_path), k=5).to_pandas()
+    assert len(got) == 15
+    assert got["sample_rank"].max() == 5
+    assert set(zip(got["lang"], got["doc_id"])) == want
+
+
+def test_lm_score_small(ray_session, tmp_path):
+    """Bigram LM scoring on a hand-checkable fixture: repeated bigrams
+    score higher than unique ones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from casie_ray.ops.curation import lm_score
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c", "a b d", "x y z"])}),
+        str(tmp_path / "documents.parquet"))
+    got = lm_score(str(tmp_path)).to_pandas().set_index("doc_id")
+    # doc1 bigrams: "a b"(corpus c=2), "b c"(1) -> n=2, sum=3
+    assert got.loc[1, "n_bigrams"] == 2 and got.loc[1, "sum_counts"] == 3
+    assert got.loc[2, "sum_counts"] == 3
+    assert got.loc[3, "sum_counts"] == 2   # all unique
+
+
 def test_score_cli(tmp_path, capsys):
     """The user-facing scorer CLI (reference score.py argparse twin):
     mention f1, the -O analogue, confusion matrix, and triple mode."""

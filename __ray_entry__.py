@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard_pairs": _dedup.jaccard_pairs,
         "dedup_minhash_lsh": _dedup.minhash_lsh_pairs,
         "dedup_simhash_pairs": _dedup.simhash_pairs,
+        "dedup_substring_pairs": _dedup.substring_pairs,
         "dedup_embedding_pairs": _dedup.embedding_dup_pairs,
         "dedup_embedding_pairs_lsh": _dedup.embedding_dup_pairs_lsh,
         "dup_clusters": _dup_clusters,
@@ -766,6 +767,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": _JACCARD_SQL,
         "dedup_minhash_lsh": _JACCARD_SQL,
         "dedup_simhash_pairs": _simhash_sql(),
+        "dedup_substring_pairs": _dedup.SUBSTRING_SQL,
         "doc_lang_id": _lang_id_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "media_features": """

@@ -40,8 +40,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .bucketing import (
-    N_OPS_BUCKETS, bucket_groupby, fnv1a_hashes, hash_bucket, mix64,
-    segment_pair_indices,
+    FNV_BASE, N_OPS_BUCKETS, bucket_groupby, fnv1a_hashes, hash_bucket,
+    mix64, segment_pair_indices,
 )
 
 SHINGLE_W = 3           # words per shingle
@@ -963,3 +963,140 @@ def decontaminate(sf_dir: str, bench_mod: int = BENCH_MOD):
     ds = ds.map_batches(rows, batch_format="pyarrow", batch_size=None)
     ds = bucket_groupby(ds, bucket_hits)
     return bucket_groupby(ds, total, coarse_per_cpu=4)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring overlap (char-level): pairs of documents sharing at
+# least one W-character substring — the doc-pair-granular form of the
+# Lee et al. 2022 "exact substring" dedup signal, which catches copied
+# passages that word-level Jaccard dilutes away in long documents.
+# Shape: vectorized rolling polynomial hash over one flat byte buffer
+# per batch (W shifted-slice passes, windows crossing doc boundaries
+# masked), distinct per doc, then the same shingle-bucket -> segment
+# pairs -> pair-bucket machinery as the Jaccard family, including the
+# df_cap boilerplate guard. Byte windows equal character windows for
+# ASCII input (the same oracle caveat as the FNV SQL twins).
+# ---------------------------------------------------------------------------
+
+SUBSTR_W = 50
+
+_SUB_ROW_SCHEMA = pa.schema([
+    ("shingle", pa.uint64()), ("doc_id", pa.int64()),
+    ("bucket", pa.int32()),
+])
+_SUB_PAIR_SCHEMA = pa.schema([
+    ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+    ("n_shared", pa.int64()), ("bucket", pa.int32()),
+])
+SUB_OUT_SCHEMA = pa.schema([
+    ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+    ("n_shared", pa.int64()),
+])
+
+
+def char_window_rows_batch(batch: pa.Table,
+                           w: int = SUBSTR_W) -> pa.Table:
+    """doc -> one row per DISTINCT w-char rolling window hash."""
+    doc_ids = batch.column("doc_id").to_numpy()
+    enc = [(t or "").encode() for t in batch.column("text").to_pylist()]
+    n = len(enc)
+    lens = np.fromiter((len(b) for b in enc), np.int64, n) if n else \
+        np.zeros(0, np.int64)
+    flat = np.frombuffer(b"".join(enc) or b"", np.uint8) \
+        .astype(np.uint64)
+    row_of = np.repeat(np.arange(n), lens)
+    m = len(flat) - w + 1
+    if m <= 0:
+        return _SUB_ROW_SCHEMA.empty_table()
+    valid = row_of[:m] == row_of[w - 1:]
+    roll = np.zeros(m, np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(w):
+            roll = roll * FNV_BASE + flat[k:m + k]
+    rows = row_of[:m][valid]
+    hs = roll[valid]
+    order = np.lexsort((hs, rows))
+    rows, hs = rows[order], hs[order]
+    keep = np.ones(len(rows), bool)
+    keep[1:] = (rows[1:] != rows[:-1]) | (hs[1:] != hs[:-1])
+    rows, hs = rows[keep], hs[keep]
+    return pa.table({
+        "shingle": pa.array(hs, pa.uint64()),
+        "doc_id": pa.array(doc_ids[rows], pa.int64()),
+        "bucket": pa.array(hash_bucket([hs]), pa.int32()),
+    }).cast(_SUB_ROW_SCHEMA)
+
+
+def _sub_pairs_bucket(group: pa.Table) -> pa.Table:
+    if group.num_rows < 2:
+        return _SUB_PAIR_SCHEMA.empty_table()
+    sh = group.column("shingle").to_numpy()
+    did = group.column("doc_id").to_numpy()
+    order = np.lexsort((did, sh))
+    sh, did = sh[order], did[order]
+    ia, ib = segment_pair_indices([sh])
+    if len(ia) == 0:
+        return _SUB_PAIR_SCHEMA.empty_table()
+    t = pa.table({
+        "doc_a": pa.array(did[ia], pa.int64()),
+        "doc_b": pa.array(did[ib], pa.int64()),
+        "n_shared": pa.array(np.ones(len(ia), np.int64)),
+    })
+    g = t.group_by(["doc_a", "doc_b"]).aggregate([("n_shared", "sum")])
+    g = g.rename_columns(["doc_a", "doc_b", "n_shared"])
+    bucket = hash_bucket([g.column("doc_a"), g.column("doc_b")])
+    return g.append_column("bucket", pa.array(bucket, pa.int32())) \
+        .cast(_SUB_PAIR_SCHEMA)
+
+
+def _sub_final_bucket(group: pa.Table) -> pa.Table:
+    g = group.group_by(["doc_a", "doc_b"]).aggregate([("n_shared",
+                                                       "sum")])
+    g = g.rename_columns(["doc_a", "doc_b", "n_shared"])
+    return g.select(SUB_OUT_SCHEMA.names).cast(SUB_OUT_SCHEMA)
+
+
+def substring_pairs(sf_dir: str, w: int = SUBSTR_W,
+                    df_cap: int | None = DF_CAP_DEFAULT):
+    """(doc_a, doc_b, n_shared): document pairs sharing >= 1 distinct
+    w-char substring, with the count of shared windows. ``df_cap``
+    drops windows present in more than df_cap docs (site boilerplate)
+    from pair generation — the same guard-and-caveat as
+    :func:`jaccard_pairs`; n_shared for surviving pairs then counts
+    non-hot shared windows only (documented approximation at the cap,
+    exact below it)."""
+    import ray
+
+    ds = _read_documents(sf_dir)
+    rows = ds.map_batches(
+        lambda b: char_window_rows_batch(b, w),
+        batch_format="pyarrow", batch_size=None)
+    if df_cap is not None:
+        hot_ref = ray.put(_hot_shingles(rows, df_cap))
+
+        def drop_hot(batch: pa.Table) -> pa.Table:
+            hot = ray.get(hot_ref)
+            if len(hot) == 0:
+                return batch
+            shv = batch.column("shingle").to_numpy()
+            return batch.filter(pa.array(~np.isin(shv, hot)))
+
+        rows = rows.map_batches(drop_hot, batch_format="pyarrow")
+    pairs = bucket_groupby(rows, _sub_pairs_bucket)
+    return bucket_groupby(pairs, _sub_final_bucket)
+
+
+SUBSTRING_SQL = f"""
+    WITH w AS (
+      SELECT DISTINCT doc_id,
+             unnest([substring(text, i, {SUBSTR_W})
+                     FOR i IN generate_series(
+                         1, length(text) - {SUBSTR_W} + 1)]) AS win
+      FROM documents
+      WHERE length(text) >= {SUBSTR_W}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+"""

@@ -542,6 +542,42 @@ def test_jaccard_df_cap_keeps_exact_values(ray_session, dense_docs_dir):
     pd.testing.assert_frame_equal(capped, uncapped)
 
 
+def test_substring_pairs_planted(ray_session, tmp_path):
+    """Char-level exact-substring pairs: a copied 60-char passage links
+    two otherwise different docs; unrelated docs emit nothing; the
+    df_cap guard drops a corpus-wide boilerplate window while the
+    passage pair survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from casie_ray.ops.dedup import substring_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog near the bank"
+    boiler = "c" * 55
+    rows = [(1, f"alpha {passage} omega"),
+            (2, f"gamma {passage} delta"),
+            (3, "totally unrelated text with its own words " + "x" * 30)]
+    # doc-unique chars directly before the common suffix, so the ONLY
+    # cross-doc shared windows are the ones fully inside the boiler
+    # (each shared by all 8 docs -> df 8 > cap 4 -> dropped)
+    rows += [(10 + i, f"doc {i} prefix {chr(97 + i) * 6} {boiler}")
+             for i in range(8)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows])}),
+        str(tmp_path / "documents.parquet"))
+
+    full = substring_pairs(str(tmp_path), df_cap=None).to_pandas()
+    assert ((full.doc_a == 1) & (full.doc_b == 2)).any()
+    assert not ((full.doc_a == 3) | (full.doc_b == 3)).any()
+
+    capped = substring_pairs(str(tmp_path), df_cap=4).to_pandas()
+    # boilerplate-only pairs (the 10+i docs) are gone; the passage
+    # pair survives with its exact shared-window count
+    assert set(zip(capped.doc_a, capped.doc_b)) == {(1, 2)}
+    want = full[(full.doc_a == 1) & (full.doc_b == 2)]
+    assert capped.iloc[0]["n_shared"] == want.iloc[0]["n_shared"]
+
+
 def test_quality_filter_rules(ray_session, tmp_path):
     """Each C4-style rejection rule fires on its planted doc and the
     clean doc passes."""

@@ -261,6 +261,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann.ann_topk,
         "ann_topk_lsh": _ann.ann_topk_lsh,
         "ann_topk_ivf": _ann.ann_topk_ivf,
+        # semantic clustering / SemDeDup (rows-only: float argmax
+        # assignment is not SQL-reproducible; determinism + recall
+        # pinned in tests/test_ops.py)
+        "embedding_clusters": _ann.embedding_clusters,
+        "semantic_dedup_pairs": _ann.semantic_dedup_pairs,
         # per-token feature layer (M6/M7 re-expression)
         "turn_token_features": _token_features,
         # training prep (A1 class weights, O5 hash split)

@@ -249,3 +249,91 @@ def ann_topk_ivf(sf_dir: str, k: int = DEFAULT_K,
     ds = ds.map_batches(partial, batch_format="pyarrow")
     return ds.groupby("query_id").map_groups(_final_topk(k),
                                              batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Semantic clustering / SemDeDup: cluster the embedding space with the
+# same deterministic trained quantizer IVF uses, then (a) expose the
+# assignment as a first-class operator and (b) run the SemDeDup scale
+# path — exact cosine pairs WITHIN each cluster only (the standard
+# trick that turns O(n^2) global pair search into per-cluster blocks).
+# Rows-only in the driver contract: the assignment is a float argmax
+# (not SQL-reproducible bit-exactly); determinism and recall are
+# pinned by in-repo tests instead.
+# ---------------------------------------------------------------------------
+
+SEM_CELLS = 64
+SEM_THRESHOLD = 0.5
+
+
+def embedding_clusters(sf_dir: str, n_cells: int = SEM_CELLS):
+    """(vec_id, cluster): nearest trained-centroid assignment for every
+    vector. Centroids are the deterministic seeded quantizer
+    (:func:`train_centroids`) broadcast once; the pass is one
+    shuffle-free vectorized map."""
+    import ray
+    import ray.data
+
+    cents_ref = ray.put(train_centroids(sf_dir, n_cells=n_cells))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = emb_matrix(batch)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        a = np.argmax((m / n) @ c.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "cluster": pa.array(a, pa.int64())})
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"]) \
+        .map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dedup_pairs(sf_dir: str, n_cells: int = SEM_CELLS,
+                         threshold: float = SEM_THRESHOLD):
+    """SemDeDup: cosine-similar pairs found WITHIN clusters only — one
+    cluster-keyed exchange, then a vectorized per-cluster pairwise
+    matmul (block size = cluster mass, not corpus mass). A subset of
+    the exact :func:`casie_ray.ops.dedup.embedding_dup_pairs` result
+    by construction (cross-cluster pairs are unseen — the documented
+    approximation that makes the 100 TB case tractable); recall on
+    near-identical pairs is pinned in tests."""
+    import ray
+    import ray.data
+
+    from .bucketing import bucket_groupby
+
+    cents_ref = ray.put(train_centroids(sf_dir, n_cells=n_cells))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = emb_matrix(batch)
+        norm = np.linalg.norm(m, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        nm = (m / norm).astype(np.float32)
+        a = np.argmax(nm @ c.T, axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "embedding": pa.array(list(nm), pa.list_(pa.float32())),
+            "bucket": pa.array(a.astype(np.int32), pa.int32()),
+        })
+
+    def cluster_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        m = emb_matrix(group)
+        sims = m @ m.T
+        ia, ib = np.nonzero(np.triu(sims > threshold, k=1))
+        a, b = ids[ia], ids[ib]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pa.table({
+            "vec_id_a": pa.array(a2, pa.int64()),
+            "vec_id_b": pa.array(b2, pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"]) \
+        .map_batches(assign, batch_format="pyarrow")
+    return bucket_groupby(ds, cluster_pairs)

@@ -883,6 +883,51 @@ def test_embedding_pairs_dense_vs_bruteforce(ray_session, tmp_path):
     assert near_identical <= lsh_pairs <= set(want)
 
 
+def test_semantic_dedup_clusters(ray_session, tmp_path):
+    """embedding_clusters: deterministic full-coverage assignment;
+    semantic_dedup_pairs: subset of the exact global pairs, recovers
+    every near-identical pair (jittered copies land in one cell)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from casie_ray.ops.ann import embedding_clusters, semantic_dedup_pairs
+    from casie_ray.ops.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((6, 16)).astype(np.float32)
+    vecs, ids = [], []
+    for i in range(6):
+        for j in range(5):
+            vecs.append(base[i] + 0.01 * rng.standard_normal(16)
+                        .astype(np.float32))
+            ids.append(i * 5 + j)
+    mat = np.stack(vecs)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in mat],
+                              pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    c1 = embedding_clusters(str(tmp_path), n_cells=8).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    c2 = embedding_clusters(str(tmp_path), n_cells=8).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(c1, c2)          # deterministic
+    assert sorted(c1["vec_id"]) == sorted(ids)      # full coverage
+
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    exact = {(ids[i], ids[j]) for i in range(len(ids))
+             for j in range(len(ids))
+             if ids[i] < ids[j] and sims[i, j] > 0.5}
+    near = {(ids[i], ids[j]) for i in range(len(ids))
+            for j in range(len(ids))
+            if ids[i] < ids[j] and sims[i, j] > 0.99}
+    got = semantic_dedup_pairs(str(tmp_path), n_cells=8).to_pandas()
+    got_pairs = set(zip(got["vec_id_a"], got["vec_id_b"]))
+    assert near <= got_pairs <= exact
+
+
 def test_minhash_deterministic_and_sensitive():
     from casie_ray.ops.dedup import minhash_signature, shingle_hashes
 

@@ -57,6 +57,9 @@ SQL_CHECKED = [
     "customers_no_events", "top_docs_per_lang",
     "kg_degree_hist", "kg_co_mentions", "kg_pagerank",
     "transcripts_redact",
+    # round-3 additions
+    "pack_sequences_bpe", "kg_incremental", "dedup_substring_pairs",
+    "doc_quality_filter", "doc_stratified_sample", "doc_lm_score",
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events",
@@ -886,7 +889,10 @@ def test_embedding_pairs_dense_vs_bruteforce(ray_session, tmp_path):
 def test_semantic_dedup_clusters(ray_session, tmp_path):
     """embedding_clusters: deterministic full-coverage assignment;
     semantic_dedup_pairs: subset of the exact global pairs, recovers
-    every near-identical pair (jittered copies land in one cell)."""
+    every near-identical pair. n_cells < n_base_clusters so cell
+    boundaries fall BETWEEN bases — with n_cells above the base count
+    k-means over-segments and splits even near-identical copies (the
+    real SemDeDup cell-size tradeoff)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -908,9 +914,9 @@ def test_semantic_dedup_clusters(ray_session, tmp_path):
                               pa.list_(pa.float32()))}),
         str(tmp_path / "embeddings.parquet"))
 
-    c1 = embedding_clusters(str(tmp_path), n_cells=8).to_pandas() \
+    c1 = embedding_clusters(str(tmp_path), n_cells=4).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
-    c2 = embedding_clusters(str(tmp_path), n_cells=8).to_pandas() \
+    c2 = embedding_clusters(str(tmp_path), n_cells=4).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(c1, c2)          # deterministic
     assert sorted(c1["vec_id"]) == sorted(ids)      # full coverage
@@ -923,7 +929,7 @@ def test_semantic_dedup_clusters(ray_session, tmp_path):
     near = {(ids[i], ids[j]) for i in range(len(ids))
             for j in range(len(ids))
             if ids[i] < ids[j] and sims[i, j] > 0.99}
-    got = semantic_dedup_pairs(str(tmp_path), n_cells=8).to_pandas()
+    got = semantic_dedup_pairs(str(tmp_path), n_cells=4).to_pandas()
     got_pairs = set(zip(got["vec_id_a"], got["vec_id_b"]))
     assert near <= got_pairs <= exact
 

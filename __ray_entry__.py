@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orders_range_join": _rel.events_orders_range_join,
         "events_hourly_watermark": _stream.events_hourly_watermark,
         "lineitem_price_quantiles": _quant.lineitem_price_quantiles,
+        "lineitem_quantiles_by_flag": _quant.lineitem_quantiles_by_flag,
         "customers_no_events": _rel.customers_without_events,
         "top_docs_per_lang": _rel.top_docs_per_lang,
         # KG graph analytics + transcript cleaning
@@ -929,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 0.9, quantile_disc(
                 CAST(round(l_extendedprice * 100) AS BIGINT), 0.9)
                 FROM lineitem""",
+        "lineitem_quantiles_by_flag": _quant.GROUPED_QUANTILES_SQL,
         "events_hourly_watermark": """
             WITH w AS (
               SELECT event_type, ts,

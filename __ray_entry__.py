@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_event_values": _join.customer_event_values,
         "events_orders_range_join": _rel.events_orders_range_join,
         "events_hourly_watermark": _stream.events_hourly_watermark,
+        "events_sliding_counts": _stream.events_sliding_counts,
         "lineitem_price_quantiles": _quant.lineitem_price_quantiles,
         "lineitem_quantiles_by_flag": _quant.lineitem_quantiles_by_flag,
         "customers_no_events": _rel.customers_without_events,
@@ -931,6 +932,7 @@ def oracle_sql() -> dict[str, str]:
                 CAST(round(l_extendedprice * 100) AS BIGINT), 0.9)
                 FROM lineitem""",
         "lineitem_quantiles_by_flag": _quant.GROUPED_QUANTILES_SQL,
+        "events_sliding_counts": _stream.SLIDING_SQL,
         "events_hourly_watermark": """
             WITH w AS (
               SELECT event_type, ts,

@@ -143,3 +143,83 @@ def events_hourly_watermark(sf_dir: str,
     partials = bucket_groupby(ds, filter_and_window)
     return partials.groupby(["event_type", "window_start"]).map_groups(
         final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows (hopping): every event lands in window/step
+# overlapping windows. The standard streaming re-expression: a
+# vectorized window EXPLODE inside map_batches (replication factor =
+# window/step, a small constant) followed by one keyed aggregate —
+# per-batch combiner first, so only (type, window_start) partial rows
+# reach the exchange, never the replicated events.
+# ---------------------------------------------------------------------------
+
+SLIDE_WINDOW_US = 3_600_000_000      # 1 h
+SLIDE_STEP_US = 900_000_000          # 15 min
+
+
+def events_sliding_counts(sf_dir: str,
+                          window_us: int = SLIDE_WINDOW_US,
+                          step_us: int = SLIDE_STEP_US):
+    """(event_type, window_start, n_events) over hopping windows of
+    ``window_us`` advancing by ``step_us``. With window = k*step every
+    event belongs to exactly k windows (starts floor(t/step)*step -
+    j*step for j in 0..k-1), so the explode is a fixed-fanout
+    vectorized repeat — no per-row Python, no range join."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    k = window_us // step_us
+    assert window_us == k * step_us, "window must be a step multiple"
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        base = (ts // step_us) * step_us
+        n = len(ts)
+        starts = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * step_us, n)
+        et = pc.take(batch.column("event_type"),
+                     pa.array(np.repeat(np.arange(n), k), pa.int64()))
+        t = pa.table({
+            "event_type": et,
+            "window_start": pa.array(starts, pa.int64()),
+            "n_events": pa.array(np.ones(n * k, np.int64)),
+        })
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("n_events", "sum")])
+        return g.rename_columns(["event_type", "window_start",
+                                 "n_events"])
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by(["event_type", "window_start"]).aggregate(
+            [("n_events", "sum")])
+        g = g.rename_columns(["event_type", "window_start", "n_events"])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "window_start": g.column("window_start").cast(
+                pa.timestamp("us")),
+            "n_events": g.column("n_events"),
+        })
+
+    ds = _read_events(sf_dir, ["ts", "event_type"]) \
+        .map_batches(explode, batch_format="pyarrow", batch_size=None)
+    return ds.groupby(["event_type", "window_start"]).map_groups(
+        final, batch_format="pyarrow")
+
+
+SLIDING_SQL = f"""
+    WITH e AS (
+      SELECT event_type,
+             unnest([(epoch_us(ts) // {SLIDE_STEP_US}) * {SLIDE_STEP_US}
+                     - j * {SLIDE_STEP_US}
+                     FOR j IN generate_series(
+                         0, {SLIDE_WINDOW_US // SLIDE_STEP_US} - 1)])
+                 AS ws
+      FROM events
+    )
+    SELECT event_type, make_timestamp(ws) AS window_start,
+           count(*) AS n_events
+    FROM e GROUP BY event_type, ws
+"""

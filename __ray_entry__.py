@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": _media_dedup,
         # relational surface (star schema + events stream)
         "lineitem_agg": _rel.lineitem_agg,
+        "lineitem_agg_rollup": _rel.lineitem_agg_rollup,
         "segment_revenue": _rel.segment_revenue,
         "top_customers": _rel.top_customers,
         "events_hourly": _rel.events_hourly,
@@ -932,6 +933,7 @@ def oracle_sql() -> dict[str, str]:
                 CAST(round(l_extendedprice * 100) AS BIGINT), 0.9)
                 FROM lineitem""",
         "lineitem_quantiles_by_flag": _quant.GROUPED_QUANTILES_SQL,
+        "lineitem_agg_rollup": _rel.ROLLUP_SQL,
         "events_sliding_counts": _stream.SLIDING_SQL,
         "events_hourly_watermark": """
             WITH w AS (

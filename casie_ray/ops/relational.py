@@ -720,3 +720,63 @@ def top_docs_per_lang(sf_dir: str, k: int = 3):
                                columns=["doc_id", "lang", "n_chars"])
     ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return bucket_groupby(ds, final)
+
+
+def lineitem_agg_rollup(sf_dir: str):
+    """ROLLUP(l_returnflag, l_linestatus): the base aggregate plus
+    per-returnflag subtotals and the grand total, NULL-marked like SQL.
+    The scale-correct plan derives the super-aggregates FROM the base
+    aggregate (group-cardinality rows), never re-scanning raw data:
+    one distributed aggregate, then a single tiny block computes the
+    two coarser levels vectorized."""
+
+    def roll(t: pa.Table) -> pa.Table:
+        base = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_price_cents", "sum"),
+             ("n_rows", "sum")])
+        base = base.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty",
+             "sum_price_cents", "n_rows"])
+        sub = base.group_by(["l_returnflag"]).aggregate(
+            [("sum_qty", "sum"), ("sum_price_cents", "sum"),
+             ("n_rows", "sum")])
+        sub = sub.rename_columns(
+            ["l_returnflag", "sum_qty", "sum_price_cents", "n_rows"])
+        sub = sub.add_column(1, "l_linestatus",
+                             pa.nulls(sub.num_rows, pa.string()))
+        tot = pa.table({
+            "l_returnflag": pa.nulls(1, pa.string()),
+            "l_linestatus": pa.nulls(1, pa.string()),
+            "sum_qty": pa.array(
+                [pc.sum(base.column("sum_qty")).as_py() or 0],
+                pa.int64()),
+            "sum_price_cents": pa.array(
+                [pc.sum(base.column("sum_price_cents")).as_py() or 0],
+                pa.int64()),
+            "n_rows": pa.array(
+                [pc.sum(base.column("n_rows")).as_py() or 0],
+                pa.int64()),
+        })
+        cols = ["l_returnflag", "l_linestatus", "sum_qty",
+                "sum_price_cents", "n_rows"]
+        return pa.concat_tables([base.select(cols), sub.select(cols),
+                                 tot.select(cols)])
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice"])
+    ds = ds.map_batches(_lineitem_partial, batch_format="pyarrow",
+                        batch_size=None)
+    return ds.repartition(1).map_batches(roll, batch_format="pyarrow",
+                                         batch_size=None)
+
+
+ROLLUP_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""

@@ -3,12 +3,15 @@
 ``entry()`` runs the flagship KG pipeline; ``queries()`` exposes one
 callable per implemented operator family (SURVEY.md §2 + the
 training-data ops); ``oracle_sql()`` gives the DuckDB-checkable subset.
-Everything is DuckDB-checkable except the two approximate-by-design
-LSH variants (ann_topk_lsh, dedup_embedding_pairs_lsh), which are
-rows-only; the KG trio is checked against the persisted sequential
-oracle (tests/test_engine.py proves the dataflows agree, P/R == 1.0),
-and even FNV-based fingerprints/simhash are reproduced exactly in SQL
-via HUGEINT mod-2^64 arithmetic.
+Everything is value-checked except five approximate/float-argmax ops
+(ann_topk_lsh, ann_topk_ivf, dedup_embedding_pairs_lsh,
+embedding_clusters, semantic_dedup_pairs — rows-only, each
+determinism/recall-pinned in tests); the KG trio + kg_incremental are
+checked against the persisted sequential oracle (tests/test_engine.py
+proves the dataflows agree, P/R == 1.0), pack_sequences_bpe against a
+materialized independent sequential pack, and even FNV-based
+fingerprints/simhash are reproduced exactly in SQL via HUGEINT
+mod-2^64 arithmetic.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in the library) calls ray.init()/ray.shutdown().
@@ -308,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": lambda d: _graphx.pagerank(_edges_ds(d)),
         "transcripts_redact": lambda d: _clean.redact_transcripts(
             _corpus_dir(_sf_of(d))),
+        "doc_normalize": _clean.normalize_documents,
     }
 
 
@@ -1001,4 +1005,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _graphx.pagerank_sql(
             f"{corpus_001}/gold_triples.parquet"),
         "transcripts_redact": _redact_sql(corpus_001),
+        "doc_normalize": _clean.NORMALIZE_SQL,
     }

@@ -67,3 +67,41 @@ def redact_transcripts(corpus_dir: str):
     ds = ray.data.read_parquet(f"{corpus_dir}/transcripts",
                                columns=["conv_id", "turn_idx", "text"])
     return ds.map_batches(redact_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Document normalization: the standard pre-tokenization scrub
+# (lowercase + whitespace-run collapse). Same zero-shuffle RE2 shape
+# as redaction; integer change counter for exact oracle compare.
+# ---------------------------------------------------------------------------
+
+NORMALIZE_SQL = """
+    SELECT doc_id,
+           lower(regexp_replace(text, '  +', ' ', 'g')) AS clean_text,
+           CAST(length(text) -
+                length(regexp_replace(text, '  +', ' ', 'g'))
+                AS BIGINT) AS n_collapsed
+    FROM documents
+"""
+
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    text = batch.column("text")
+    collapsed = pc.replace_substring_regex(text, "  +", " ")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "clean_text": pc.utf8_lower(collapsed),
+        "n_collapsed": pc.subtract(
+            pc.utf8_length(text),
+            pc.utf8_length(collapsed)).cast(pa.int64()),
+    })
+
+
+def normalize_documents(sf_dir: str):
+    """(doc_id, clean_text, n_collapsed): lowercased text with
+    whitespace runs collapsed — one streaming RE2 pass, no shuffle."""
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]) \
+        .map_batches(normalize_batch, batch_format="pyarrow",
+                     batch_size=None)

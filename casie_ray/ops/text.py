@@ -269,7 +269,8 @@ def sample_documents(sf_dir: str, pct: int = 10):
 
     def pick(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        h = fnv1a_hashes([str(int(i)) for i in ids]) % np.uint64(100)
+        h = fnv1a_hashes(np.char.mod("%d", ids).tolist()) \
+            % np.uint64(100)
         return batch.filter(pa.array(h < pct)).select(["doc_id"])
 
     return _read_documents(sf_dir, ("doc_id",)).map_batches(

@@ -194,10 +194,13 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
     # every engine sample (same state). Best-of applies per series.
     results: dict[int, dict] = {}
     floor_walls: dict[int, float] = {}
+    rep_rows: list[dict] = []
     for _ in range(max(1, reps)):
+        rep: dict = {}
         for n in (lo, hi):
             if floor_on:
                 fw = floor_sample(n)
+                rep[f"floor_{n}"] = fw
                 if n not in floor_walls or fw < floor_walls[n]:
                     floor_walls[n] = fw
             p = subprocess.run(
@@ -205,9 +208,23 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
                 env=dict(env, RAY_GRAFT_CPUS=str(n)),
                 check=True, capture_output=True, text=True)
             r = json.loads(p.stdout.strip().splitlines()[-1])
+            rep[f"engine_{n}"] = r["queries"]["kg_pipeline"]
             if n not in results or r["queries"]["kg_pipeline"] < \
                     results[n]["queries"]["kg_pipeline"]:
                 results[n] = r
+        # per-rep PAIRED efficiencies: the four samples of one rep sit
+        # within a few minutes, so a host clock-state flip between reps
+        # cannot mix a clean numerator with a degraded denominator the
+        # way cross-rep best-ofs can
+        rep["raw_eff"] = round(
+            (rep[f"engine_{lo}"] / rep[f"engine_{hi}"]) / (hi / lo), 3)
+        if floor_on:
+            rep["floor_eff"] = round(
+                (rep[f"floor_{lo}"] / rep[f"floor_{hi}"]) / (hi / lo), 3)
+            rep["normalized_eff"] = round(
+                rep["raw_eff"] / rep["floor_eff"], 3) \
+                if rep["floor_eff"] else None
+        rep_rows.append(rep)
     tput_lo = results[lo]["turns_per_sec"]
     tput_hi = results[hi]["turns_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
@@ -232,6 +249,13 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
         # ceiling in the same machine state (the BASELINE.md protocol)
         out["normalized_efficiency"] = round(eff / floor_eff, 3) \
             if floor_eff else None
+    out["per_rep"] = rep_rows
+    if rep_rows:
+        out["best_rep_raw_eff"] = max(r["raw_eff"] for r in rep_rows)
+        if floor_on:
+            out["best_rep_normalized_eff"] = max(
+                r["normalized_eff"] for r in rep_rows
+                if r.get("normalized_eff") is not None)
     return out
 
 

@@ -37,6 +37,7 @@ from casie_ray.ops import mlprep as _mlprep
 from casie_ray.ops import relational as _rel
 from casie_ray.ops import quantiles as _quant
 from casie_ray.ops import sketch as _sketch
+from casie_ray.ops import retrieval as _retr
 from casie_ray.ops import streaming as _stream
 from casie_ray.ops import text as _text
 
@@ -250,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _text.sample_documents,
         "vocab_top_words": _text.vocab_top_words,
         "vocab_top_words_sketch": _sketch.top_words_sketch,
+        "doc_bm25_topk": _retr.bm25_topk,
         "hll_distinct_users": _sketch.hll_user_registers,
         # dedup family (documents / embeddings)
         "dedup_exact": _dedup.exact_dedup,
@@ -1002,6 +1004,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT subj_a, subj_b, count(*) AS n_shared FROM p
             GROUP BY subj_a, subj_b HAVING count(*) >= 2""",
+        "doc_bm25_topk": _retr.bm25_sql(),
         "kg_pagerank": _graphx.pagerank_sql(
             f"{corpus_001}/gold_triples.parquet"),
         "transcripts_redact": _redact_sql(corpus_001),

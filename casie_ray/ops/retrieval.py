@@ -1,0 +1,233 @@
+"""BM25 full-text retrieval over the documents table.
+
+The missing piece between the vocab/quality ops (ops/text.py) and the
+embedding ANN family (ops/ann.py): classic lexical top-k retrieval, the
+workhorse for quality-by-retrieval curation passes (e.g. "find the
+training docs closest to this reference set" before a decontamination
+or upsampling step).
+
+Shape — two streaming passes, no shuffle of document mass:
+
+1. **Stats pass.** A per-block combiner emits per-term document
+   frequencies plus (n_docs, total token length) as a handful of rows;
+   a single ``repartition(1)`` merge task folds them (the
+   ``hll_user_registers`` shape — the driver receives results, it never
+   loops over partials). Output is O(#query-terms), independent of
+   corpus size.
+2. **Score pass.** The tiny stats table is broadcast via ``ray.put``;
+   each block computes every document's BM25 score vectorized (flat
+   token array -> ``pc.index_in`` against the term set -> one
+   ``bincount``; no Python loop over rows or tokens) and keeps a
+   block-local top-k under the SAME total order as the final merge
+   (score desc, doc_id asc), so only k rows per block cross the wire.
+
+Scores are integer **micro-units**: each (doc, term) contribution is
+``floor(1e6 * bm25_term + 0.5)`` (round-half-up, positive domain) and
+the document score is the integer SUM of contributions — integer
+addition is associative, so distributed reduction order can never
+change a score, and the whole computation has an exact DuckDB twin
+(``bm25_sql``) for the driver's value-hash compare. Tokenization is the
+engine's standard single-space split (ops/text.py vocab/corpus_stats),
+dl = count(' ') + 1.
+
+At 100 TB: pass 1 ships O(terms) rows per block; pass 2 ships k rows
+per block; the final merge handles k x n_blocks rows. Query-term count
+is user-bounded (a search query, not a vocabulary), so the broadcast
+is always tiny.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+SCORE_SCALE = 1_000_000
+DEFAULT_TERMS = ("hash", "join", "stream", "dup")
+DEFAULT_K = 20
+
+_STATS_SCHEMA = pa.schema([
+    ("term", pa.string()), ("df", pa.int64()),
+    ("n_docs", pa.int64()), ("dl_sum", pa.int64()),
+])
+
+_TOPK_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("score_micro", pa.int64()),
+])
+
+
+def _doc_lengths(batch: pa.Table) -> np.ndarray:
+    """dl = single-space token count, identical to the SQL twin's
+    length(string_split(text, ' ')): count(' ') + 1, empty text -> 1."""
+    return pc.add(
+        pc.count_substring(pc.fill_null(batch.column("text"), ""), " "),
+        1).cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _term_tf_matrix(batch: pa.Table, terms: tuple[str, ...]) -> np.ndarray:
+    """(n_docs, n_terms) int64 term-frequency matrix, fully vectorized:
+    flatten the split tokens once, map them to term slots with
+    ``pc.index_in``, and fold with one bincount over doc*nt + slot."""
+    n = batch.num_rows
+    nt = len(terms)
+    splits = pc.split_pattern(pc.fill_null(batch.column("text"), ""), " ")
+    lens = pc.list_value_length(splits).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(splits)
+    slot = pc.fill_null(
+        pc.index_in(flat, value_set=pa.array(list(terms), pa.string())),
+        -1).to_numpy(zero_copy_only=False).astype(np.int64)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    hit = slot >= 0
+    tf = np.bincount(row_of[hit] * nt + slot[hit],
+                     minlength=n * nt).reshape(n, nt)
+    return tf.astype(np.int64)
+
+
+def _stats_partial(terms: tuple[str, ...]):
+    def fn(batch: pa.Table) -> pa.Table:
+        dl = _doc_lengths(batch)
+        tf = _term_tf_matrix(batch, terms)
+        df = (tf > 0).sum(axis=0).astype(np.int64)
+        return pa.table({
+            "term": pa.array(list(terms) + [None], pa.string()),
+            "df": pa.array(np.concatenate([df, [0]]), pa.int64()),
+            "n_docs": pa.array([0] * len(terms) + [len(dl)], pa.int64()),
+            "dl_sum": pa.array([0] * len(terms) + [int(dl.sum())],
+                               pa.int64()),
+        })
+    return fn
+
+
+def _stats_merge(batch: pa.Table) -> pa.Table:
+    g = batch.group_by(["term"]).aggregate(
+        [("df", "sum"), ("n_docs", "sum"), ("dl_sum", "sum")])
+    return g.rename_columns(["term", "df", "n_docs", "dl_sum"])
+
+
+def _bm25_contrib(tf: np.ndarray, dl: np.ndarray, df: np.ndarray,
+                  n_docs: int, avgdl: float) -> np.ndarray:
+    """Integer micro-unit BM25 contributions, (n_docs, n_terms).
+    Expression order mirrors bm25_sql token-for-token so the float64
+    intermediates are bit-identical before the half-up round."""
+    tff = tf.astype(np.float64)
+    dlf = dl.astype(np.float64)[:, None]
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))[None, :]
+    denom = tff + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dlf / avgdl)
+    c = idf * (tff * (BM25_K1 + 1.0)) / denom
+    out = np.floor(SCORE_SCALE * c + 0.5).astype(np.int64)
+    out[tf == 0] = 0
+    return out
+
+
+def _score_partial(stats_ref, k: int):
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        terms, df, n_docs, avgdl = ray.get(stats_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        dl = _doc_lengths(batch)
+        tf = _term_tf_matrix(batch, terms)
+        score = _bm25_contrib(tf, dl, df, n_docs, avgdl).sum(axis=1)
+        hit = score > 0
+        ids, score = ids[hit], score[hit]
+        if len(ids) > k:
+            # block-local top-k under the final total order (score desc,
+            # id asc); boundary ties enter the lexsort so a tied smaller
+            # id is never dropped locally (ops/ann.py pattern)
+            part = np.argpartition(-score, k - 1)[:k]
+            vmin = score[part].min()
+            pool = np.nonzero(score >= vmin)[0]
+            idx = pool[np.lexsort((ids[pool], -score[pool]))[:k]]
+            ids, score = ids[idx], score[idx]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "score_micro": pa.array(score, pa.int64()),
+        })
+    return fn
+
+
+def _final_topk(k: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        score = batch.column("score_micro").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -score))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_micro": pa.array(score[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+    return fn
+
+
+def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
+              k: int = DEFAULT_K):
+    """Top-k documents by BM25 score for a bag of query terms:
+    (doc_id, score_micro, rank), rank 1 = best, ties broken by doc_id.
+    Zero-score documents never surface."""
+    import ray
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    stats = docs.map_batches(_stats_partial(terms), batch_format="pyarrow",
+                             batch_size=None) \
+        .repartition(1) \
+        .map_batches(_stats_merge, batch_format="pyarrow",
+                     batch_size=None).take_all()
+    by_term = {r["term"]: r["df"] for r in stats if r["term"] is not None}
+    corpus = next(r for r in stats if r["term"] is None)
+    n_docs = int(corpus["n_docs"])
+    avgdl = float(corpus["dl_sum"]) / n_docs
+    df = np.array([by_term.get(t, 0) for t in terms], dtype=np.int64)
+    stats_ref = ray.put((tuple(terms), df, n_docs, avgdl))
+
+    parts = docs.map_batches(_score_partial(stats_ref, k),
+                             batch_format="pyarrow", batch_size=None)
+    return parts.repartition(1).map_batches(
+        _final_topk(k), batch_format="pyarrow", batch_size=None)
+
+
+def bm25_sql(terms: tuple[str, ...] = DEFAULT_TERMS,
+             k: int = DEFAULT_K) -> str:
+    """DuckDB twin: identical tokenization (single-space split),
+    identical float64 expression order, identical half-up micro-unit
+    round, integer sum."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+          FROM documents
+        ), dl AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+          FROM tok GROUP BY doc_id
+        ), st AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl
+        ), tf AS (
+          SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+          FROM tok WHERE w IN ({term_list}) GROUP BY doc_id, w
+        ), df AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
+        ), c AS (
+          SELECT tf.doc_id,
+                 CAST(floor({SCORE_SCALE}
+                   * (ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                      * (tf.tf * ({BM25_K1} + 1.0))
+                      / (tf.tf + {BM25_K1}
+                         * ((1.0 - {BM25_B})
+                            + {BM25_B} * dl.dl / st.avgdl)))
+                   + 0.5) AS BIGINT) AS contrib
+          FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st
+        ), s AS (
+          SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_micro
+          FROM c GROUP BY doc_id
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, score_micro,
+               CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM s ORDER BY rank LIMIT {k}"""

@@ -61,7 +61,7 @@ SQL_CHECKED = [
     "pack_sequences_bpe", "kg_incremental", "dedup_substring_pairs",
     "doc_quality_filter", "doc_stratified_sample", "doc_lm_score",
     "lineitem_quantiles_by_flag", "events_sliding_counts",
-    "lineitem_agg_rollup", "doc_normalize",
+    "lineitem_agg_rollup", "doc_normalize", "doc_bm25_topk",
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events",

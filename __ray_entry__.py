@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_hist": lambda d: _graphx.degree_hist(_edges_ds(d)),
         "kg_co_mentions": lambda d: _graphx.co_mention_pairs(_edges_ds(d)),
         "kg_pagerank": lambda d: _graphx.pagerank(_edges_ds(d)),
+        "kg_triangles": lambda d: _graphx.triangle_counts(_edges_ds(d)),
+        "kg_reach": lambda d: _graphx.bfs_reach(_edges_ds(d)),
         "transcripts_redact": lambda d: _clean.redact_transcripts(
             _corpus_dir(_sf_of(d))),
         "doc_normalize": _clean.normalize_documents,
@@ -1006,6 +1008,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY subj_a, subj_b HAVING count(*) >= 2""",
         "doc_bm25_topk": _retr.bm25_sql(),
         "kg_pagerank": _graphx.pagerank_sql(
+            f"{corpus_001}/gold_triples.parquet"),
+        "kg_triangles": _graphx.triangles_sql(
+            f"{corpus_001}/gold_triples.parquet"),
+        "kg_reach": _graphx.bfs_reach_sql(
             f"{corpus_001}/gold_triples.parquet"),
         "transcripts_redact": _redact_sql(corpus_001),
         "doc_normalize": _clean.NORMALIZE_SQL,

@@ -346,6 +346,402 @@ def pagerank(edges_ds, iters: int = 3):
     return ranks.map_batches(finish, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented, exact)
+# ---------------------------------------------------------------------------
+#
+# Per-node triangle participation over the UNDIRECTED distinct edge set.
+# The classic degree-orientation trick makes this scale: orient every
+# edge from its (degree, node)-smaller endpoint to the larger, so each
+# triangle is discovered exactly once from its smallest corner and the
+# wedge mass is bounded by sum(out_deg^2) = O(m^1.5) regardless of hub
+# skew — no cap needed, unlike co_mention's obj_cap. Dataflow: distinct
+# canonical edges -> degree table -> two tagged-union bucket joins to
+# attach endpoint degrees -> orient -> per-src wedge emission -> wedge
+# vs edge bucket join -> per-corner count. Every stage is a bucketed
+# exchange with vectorized Arrow/numpy kernels; inter-stage state is
+# edge- or wedge-mass Datasets, never driver memory.
+
+
+def _pair_bucket(a, b) -> pa.Array:
+    from .bucketing import hash_bucket
+    ha = fnv1a_hashes([s if s is not None else "" for s in a.to_pylist()])
+    hb = fnv1a_hashes([s if s is not None else "" for s in b.to_pylist()])
+    return pa.array(hash_bucket([ha, hb], N_GRAPH_BUCKETS))
+
+
+def _tri_canon_partial(batch: pa.Table) -> pa.Table:
+    """Per-block: canonical (min, max) endpoints, self-loops dropped,
+    block-local distinct, bucketed by the ordered pair hash."""
+    s = batch.column("subj").cast(pa.string()).combine_chunks()
+    o = batch.column("obj").cast(pa.string()).combine_chunks()
+    m = pc.less(s, o)
+    t = pa.table({"a": pc.if_else(m, s, o), "b": pc.if_else(m, o, s)})
+    t = t.filter(pc.not_equal(t.column("a"), t.column("b")))
+    g = t.group_by(["a", "b"]).aggregate([])
+    return g.append_column("bucket", _pair_bucket(g.column("a"),
+                                                  g.column("b")))
+
+
+def _tri_distinct_bucket(group: pa.Table) -> pa.Table:
+    g = group.group_by(["a", "b"]).aggregate([])
+    return g.append_column("bucket", _pair_bucket(g.column("a"),
+                                                  g.column("b")))
+
+
+def _tri_deg_partial(batch: pa.Table) -> pa.Table:
+    ends = pa.table({"node": pa.concat_arrays([
+        batch.column("a").combine_chunks(),
+        batch.column("b").combine_chunks()])})
+    g = ends.group_by(["node"]).aggregate([([], "count_all")])
+    g = g.rename_columns(["node", "deg"])
+    return pa.table({
+        "node": g.column("node"),
+        "deg": g.column("deg").cast(pa.int64()),
+        "bucket": _str_bucket(g.column("node")),
+    })
+
+
+def _tri_deg_bucket(group: pa.Table) -> pa.Table:
+    g = group.group_by(["node"]).aggregate([("deg", "sum")])
+    g = g.rename_columns(["node", "deg"])
+    return g.append_column("bucket", _str_bucket(g.column("node")))
+
+
+def _tri_orient_bucket(group: pa.Table) -> pa.Table:
+    """Second degree join + orientation: src = (deg, node)-smaller
+    endpoint; carries dst_deg so wedge pairs can be ordered without a
+    third join. Re-buckets by hash(src)."""
+    is_deg = pc.is_valid(group.column("deg"))
+    degs = pa.table({"key": group.filter(is_deg).column("key"),
+                     "deg_b": group.filter(is_deg).column("deg")})
+    edges = group.filter(pc.invert(is_deg)).drop_columns(["deg", "bucket"])
+    j = edges.join(degs, keys="key", join_type="inner")
+    a, b = j.column("a").combine_chunks(), j.column("key").combine_chunks()
+    da = j.column("deg_a").combine_chunks()
+    db = j.column("deg_b").combine_chunks()
+    fwd = pc.or_(pc.less(da, db),
+                 pc.and_(pc.equal(da, db), pc.less(a, b)))
+    src = pc.if_else(fwd, a, b)
+    return pa.table({
+        "src": src,
+        "dst": pc.if_else(fwd, b, a),
+        "dst_deg": pc.if_else(fwd, db, da),
+        "bucket": _str_bucket(src),
+    })
+
+
+_WEDGE_SCHEMA = pa.schema([
+    ("v", pa.string()), ("w", pa.string()), ("u", pa.string()),
+    ("bucket", pa.int32()),
+])
+
+
+def _tri_wedge_bucket(group: pa.Table) -> pa.Table:
+    """One src bucket of oriented edges: all out-neighbor pairs (v, w)
+    with (deg_v, v) < (deg_w, w) — the orientation order, so the closing
+    edge (if any) is exactly v -> w. Emits (v, w, u=src corner)."""
+    from .bucketing import segment_pair_indices
+    g = group.sort_by([("src", "ascending"), ("dst_deg", "ascending"),
+                       ("dst", "ascending")])
+    src = np.asarray(g.column("src").to_pylist(), dtype=object)
+    dst = np.asarray(g.column("dst").to_pylist(), dtype=object)
+    ia, ib = segment_pair_indices([src])
+    if len(ia) == 0:
+        return _WEDGE_SCHEMA.empty_table()
+    v, w = dst[ia], dst[ib]
+    va = pa.array(list(v), pa.string())
+    wa = pa.array(list(w), pa.string())
+    return pa.table({
+        "v": va, "w": wa,
+        "u": pa.array(list(src[ia]), pa.string()),
+        "bucket": _pair_bucket(
+            pa.chunked_array([va]), pa.chunked_array([wa])),
+    })
+
+
+def _tri_match_bucket(group: pa.Table) -> pa.Table:
+    """One (v, w) pair bucket of wedge rows (u set) + edge rows
+    (u null): wedges whose pair closes are triangles; emit one count
+    row per corner, bucketed by node for the final sum."""
+    is_edge = pc.invert(pc.is_valid(group.column("u")))
+    closers = group.filter(is_edge).select(["v", "w"]) \
+        .group_by(["v", "w"]).aggregate([])
+    wedges = group.filter(pc.invert(is_edge)).select(["v", "w", "u"])
+    tri = wedges.join(closers, keys=["v", "w"], join_type="inner")
+    node = pa.concat_arrays([tri.column("u").combine_chunks(),
+                             tri.column("v").combine_chunks(),
+                             tri.column("w").combine_chunks()])
+    return pa.table({
+        "node": node,
+        "n": pa.array(np.ones(len(node), np.int64)),
+        "bucket": _str_bucket(pa.chunked_array([node])),
+    })
+
+
+def _tri_final_bucket(group: pa.Table) -> pa.Table:
+    g = group.group_by(["node"]).aggregate([("n", "sum")])
+    return g.rename_columns(["node", "n_triangles"])
+
+
+def triangle_counts(edges_ds):
+    """Per-node triangle participation counts over the undirected
+    distinct (subj, obj) edge set: (node, n_triangles); nodes in no
+    triangle are absent. Exact at any skew — degree orientation bounds
+    wedge mass at O(m^1.5) with no hub cap."""
+    canon = edges_ds.map_batches(_tri_canon_partial,
+                                 batch_format="pyarrow", batch_size=None)
+    e = bucket_groupby(canon, _tri_distinct_bucket).materialize()
+    dp = e.map_batches(_tri_deg_partial, batch_format="pyarrow",
+                       batch_size=None)
+    deg = bucket_groupby(dp, _tri_deg_bucket).materialize()
+
+    def deg_as_join_row(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch.column("node"),
+            "a": pa.nulls(n, pa.string()),
+            "deg_a": pa.nulls(n, pa.int64()),
+            "deg": batch.column("deg"),
+            "bucket": batch.column("bucket"),
+        })
+
+    def edge_keyed_a(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch.column("a"),
+            "a": batch.column("b"),          # the other endpoint rides
+            "deg_a": pa.nulls(n, pa.int64()),
+            "deg": pa.nulls(n, pa.int64()),
+            "bucket": _str_bucket(batch.column("a")),
+        })
+
+    mixed1 = e.map_batches(edge_keyed_a, batch_format="pyarrow") \
+        .union(deg.map_batches(deg_as_join_row, batch_format="pyarrow"))
+
+    def join_a_bucket(group: pa.Table) -> pa.Table:
+        """Attach deg of endpoint min -> rows keyed by the OTHER
+        endpoint for the second join."""
+        is_deg = pc.is_valid(group.column("deg"))
+        degs = pa.table({"key": group.filter(is_deg).column("key"),
+                         "dg": group.filter(is_deg).column("deg")})
+        edges = group.filter(pc.invert(is_deg)) \
+            .select(["key", "a"]).rename_columns(["key", "other"])
+        j = edges.join(degs, keys="key", join_type="inner")
+        return pa.table({
+            "key": j.column("other"),        # now keyed by endpoint b
+            "a": j.column("key"),            # original a rides along
+            "deg_a": j.column("dg"),
+            "deg": pa.nulls(j.num_rows, pa.int64()),
+            "bucket": _str_bucket(j.column("other")),
+        })
+
+    keyed_b = bucket_groupby(mixed1, join_a_bucket)
+    mixed2 = keyed_b.union(
+        deg.map_batches(deg_as_join_row, batch_format="pyarrow"))
+    oriented = bucket_groupby(mixed2, _tri_orient_bucket).materialize()
+
+    wedges = bucket_groupby(oriented, _tri_wedge_bucket)
+
+    def edge_as_pair_row(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": batch.column("src"),
+            "w": batch.column("dst"),
+            "u": pa.nulls(batch.num_rows, pa.string()),
+            "bucket": _pair_bucket(batch.column("src"),
+                                   batch.column("dst")),
+        })
+
+    mixed3 = wedges.union(
+        oriented.map_batches(edge_as_pair_row, batch_format="pyarrow"))
+    corners = bucket_groupby(mixed3, _tri_match_bucket)
+    return bucket_groupby(corners, _tri_final_bucket)
+
+
+def triangle_counts_local(edges: list[tuple[str, str]]) -> dict[str, int]:
+    """Sequential brute-force oracle for tests."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict[str, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts: dict[str, int] = {}
+    for a, b in und:                        # a < b by canonicalization
+        for c in adj[a] & adj[b]:
+            if c > b:                       # each triangle once: a < b < c
+                for n in (a, b, c):
+                    counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def triangles_sql(triples_glob: str) -> str:
+    """DuckDB twin of :func:`triangle_counts` — identical canonical
+    edge set, identical (degree, node) orientation via row-value
+    comparison, each triangle found once from its smallest corner."""
+    return f"""
+        WITH e0 AS (
+          SELECT DISTINCT
+                 least(CAST(subj AS VARCHAR), CAST(obj AS VARCHAR)) AS a,
+                 greatest(CAST(subj AS VARCHAR), CAST(obj AS VARCHAR)) AS b
+          FROM read_parquet('{triples_glob}')
+          WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)
+        ), deg AS (
+          SELECT n, CAST(count(*) AS BIGINT) AS d
+          FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+          GROUP BY n
+        ), o AS (
+          SELECT CASE WHEN (da.d, e0.a) < (db.d, e0.b)
+                      THEN e0.a ELSE e0.b END AS src,
+                 CASE WHEN (da.d, e0.a) < (db.d, e0.b)
+                      THEN e0.b ELSE e0.a END AS dst
+          FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b
+        ), tri AS (
+          SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+          FROM o e1
+          JOIN o e2 ON e2.src = e1.src AND e1.dst <> e2.dst
+          JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+        ), corners AS (
+          SELECT u AS n FROM tri
+          UNION ALL SELECT v FROM tri
+          UNION ALL SELECT w FROM tri
+        )
+        SELECT n AS node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY n"""
+
+
+# ---------------------------------------------------------------------------
+# Bounded-depth BFS reach (multi-hop neighborhood)
+# ---------------------------------------------------------------------------
+
+
+def _bfs_sym_partial(batch: pa.Table) -> pa.Table:
+    s = batch.column("subj").cast(pa.string()).combine_chunks()
+    o = batch.column("obj").cast(pa.string()).combine_chunks()
+    t = pa.table({"src": pa.concat_arrays([s, o]),
+                  "dst": pa.concat_arrays([o, s])})
+    g = t.group_by(["src", "dst"]).aggregate([])
+    return g.append_column("bucket", _str_bucket(g.column("src")))
+
+
+def _bfs_sym_bucket(group: pa.Table) -> pa.Table:
+    g = group.group_by(["src", "dst"]).aggregate([])
+    return g.append_column("bucket", _str_bucket(g.column("src")))
+
+
+def _bfs_expand_bucket(depth: int):
+    """One hash(src) bucket of visited rows (dst null) + edge rows:
+    frontier rows (dist == depth-1) join edges to reach neighbors at
+    ``depth``; visited rows pass through; bucketed min-dist reduce
+    follows."""
+    def fn(group: pa.Table) -> pa.Table:
+        is_vis = pc.is_valid(group.column("dist"))
+        vis = group.filter(is_vis)
+        edges = group.filter(pc.invert(is_vis)).select(["src", "dst"])
+        frontier = vis.filter(pc.equal(vis.column("dist"),
+                                       pa.scalar(depth - 1, pa.int64())))
+        ft = pa.table({"src": frontier.column("src")})
+        j = edges.join(ft, keys="src", join_type="inner")
+        node = pa.concat_arrays([vis.column("src").combine_chunks(),
+                                 j.column("dst").combine_chunks()])
+        dist = pa.concat_arrays([
+            vis.column("dist").combine_chunks(),
+            pa.array(np.full(j.num_rows, depth, np.int64))])
+        return pa.table({
+            "node": node, "dist": dist,
+            "bucket": _str_bucket(pa.chunked_array([node])),
+        })
+    return fn
+
+
+def _bfs_min_bucket(group: pa.Table) -> pa.Table:
+    g = group.group_by(["node"]).aggregate([("dist", "min")])
+    g = g.rename_columns(["node", "dist"])
+    return g.append_column("bucket", _str_bucket(g.column("node")))
+
+
+def bfs_reach(edges_ds, seed: str | None = None, max_depth: int = 3):
+    """Shortest-hop distance (<= ``max_depth``) from ``seed`` over the
+    UNDIRECTED edge set: (node, dist). Default seed = lexicographically
+    smallest node, computed with a per-block combiner + one-task merge
+    (never a driver fold). One bucketed join + one bucketed min-reduce
+    per level; inter-level state is the visited-node table."""
+    sp = edges_ds.map_batches(_bfs_sym_partial, batch_format="pyarrow",
+                              batch_size=None)
+    edges = bucket_groupby(sp, _bfs_sym_bucket).materialize()
+
+    if seed is None:
+        def min_partial(batch: pa.Table) -> pa.Table:
+            m = pc.min(batch.column("src"))
+            return pa.table({"node": pa.array([m.as_py()], pa.string())})
+
+        def min_merge(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": pa.array(
+                [pc.min(batch.column("node")).as_py()], pa.string())})
+
+        seed = edges.map_batches(min_partial, batch_format="pyarrow",
+                                 batch_size=None) \
+            .repartition(1) \
+            .map_batches(min_merge, batch_format="pyarrow",
+                         batch_size=None).take_all()[0]["node"]
+
+    import ray.data
+    visited = ray.data.from_arrow(pa.table({
+        "node": pa.array([seed], pa.string()),
+        "dist": pa.array([0], pa.int64()),
+        "bucket": _str_bucket(pa.chunked_array(
+            [pa.array([seed], pa.string())])),
+    }))
+
+    def vis_as_src_row(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch.column("node"),
+            "dst": pa.nulls(batch.num_rows, pa.string()),
+            "dist": batch.column("dist"),
+            "bucket": batch.column("bucket"),
+        })
+
+    def edge_row(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch.column("src"),
+            "dst": batch.column("dst"),
+            "dist": pa.nulls(batch.num_rows, pa.int64()),
+            "bucket": batch.column("bucket"),
+        })
+
+    for depth in range(1, max_depth + 1):
+        mixed = visited.map_batches(vis_as_src_row,
+                                    batch_format="pyarrow") \
+            .union(edges.map_batches(edge_row, batch_format="pyarrow"))
+        expanded = bucket_groupby(mixed, _bfs_expand_bucket(depth))
+        visited = bucket_groupby(expanded, _bfs_min_bucket).materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"),
+                         "dist": batch.column("dist")})
+
+    return visited.map_batches(finish, batch_format="pyarrow")
+
+
+def bfs_reach_sql(triples_glob: str, max_depth: int = 3) -> str:
+    """DuckDB twin: depth-bounded recursive CTE over the symmetric
+    edge set, min-hop per node, seed = min endpoint."""
+    return f"""
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT CAST(subj AS VARCHAR) AS src,
+                 CAST(obj AS VARCHAR) AS dst
+          FROM read_parquet('{triples_glob}')
+          UNION
+          SELECT DISTINCT CAST(obj AS VARCHAR), CAST(subj AS VARCHAR)
+          FROM read_parquet('{triples_glob}')
+        ), r(node, d) AS (
+          SELECT (SELECT min(src) FROM e), 0
+          UNION
+          SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.node
+          WHERE r.d < {max_depth}
+        )
+        SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY node"""
+
+
 def pagerank_local(edges: list[tuple[str, str]], iters: int = 3
                    ) -> dict[str, int]:
     """Sequential fixed-point oracle for tests."""

@@ -56,6 +56,7 @@ SQL_CHECKED = [
     "doc_repetition",
     "customers_no_events", "top_docs_per_lang",
     "kg_degree_hist", "kg_co_mentions", "kg_pagerank",
+    "kg_triangles", "kg_reach",
     "transcripts_redact",
     # round-3 additions
     "pack_sequences_bpe", "kg_incremental", "dedup_substring_pairs",
@@ -966,3 +967,29 @@ def test_ann_ivf_recall_vs_exact(ray_session):
     pd.testing.assert_frame_equal(
         ivf.sort_values(["query_id", "rank"]).reset_index(drop=True),
         ivf2.sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def test_triangle_counts_vs_local_bruteforce(ray_session):
+    """Distributed degree-oriented triangle counting vs the sequential
+    brute-force oracle on a skewed fixture: a hub star (no triangles by
+    itself), a clique, a chain, duplicate and reversed edge rows."""
+    import ray
+
+    from casie_ray.ops.graphx import triangle_counts, triangle_counts_local
+
+    edges = []
+    clique = [f"c{i}" for i in range(6)]
+    for i in range(6):
+        for j in range(i + 1, 6):
+            edges.append((clique[i], clique[j]))
+    edges += [("hub", f"leaf{i}") for i in range(40)]      # star: 0 tris
+    edges += [("hub", "c0"), ("hub", "c1")]                # closes with c0-c1
+    edges += [(f"p{i}", f"p{i+1}") for i in range(8)]      # path: 0 tris
+    edges += [("c1", "c0"), ("c2", "c2"), ("c0", "c1")]    # rev dup + loop
+    want = triangle_counts_local(edges)
+    ds = ray.data.from_items(
+        [{"subj": a, "obj": b} for a, b in edges]).repartition(5)
+    got_df = triangle_counts(ds).to_pandas()
+    got = dict(zip(got_df["node"], got_df["n_triangles"]))
+    assert got == want
+    assert got["c0"] == 11  # C(5,2) within the clique + (hub, c1)

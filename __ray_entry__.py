@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": _cur.quality_filter,
         "doc_stratified_sample": _cur.stratified_sample,
         "doc_lm_score": _cur.lm_score,
+        "doc_dsir_weights": _cur.dsir_weights,
         # multimodal plumbing (stubbed decode, real actor-pool stage)
         "media_features": _media_features,
         "media_dedup": _media_dedup,
@@ -897,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_filter": _cur.QUALITY_SQL,
         "doc_stratified_sample": _cur.stratified_sample_sql(),
         "doc_lm_score": _cur.LM_SQL,
+        "doc_dsir_weights": _cur.DSIR_SQL,
         "doc_repetition": """
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS w,

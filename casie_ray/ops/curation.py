@@ -329,3 +329,133 @@ def lm_score(sf_dir: str):
         joined.map_batches(tag_doc, batch_format="pyarrow",
                            batch_size=None),
         final_doc)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (target-vs-background n-gram likelihood)
+# ---------------------------------------------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al. 2023, public):
+# weight each document by how much more likely its n-grams are under a
+# TARGET distribution than under the BACKGROUND corpus distribution,
+# then resample high-weight docs for training. Here both "models" are
+# the same count-based bigram tables lm_score uses (integer counts, so
+# the oracle compares exactly): target counts come from the documents
+# matching the target selector (default lang == 'en'), background from
+# the whole corpus. The emitted per-doc sums are the exact integer
+# numerator/denominator mass of the importance ratio — the downstream
+# resampler (token_budget_sample / stratified_sample) ranks on them
+# without this op ever touching floats.
+#
+# Shape: ONE streaming pass emits, per block, the occurrence rows plus
+# BOTH partial count tables (no second scan of the corpus, unlike the
+# two-stream lm_score shape); equal bigrams co-locate through one
+# bigram-keyed exchange whose kernel fuses count-finalize + join +
+# per-doc partial aggregate; a doc-keyed reduce finishes. At 100 TB:
+# two exchanges, no broadcast of either count table.
+
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_partial(target_lang: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        occ = _doc_bigram_rows(batch)
+        is_tgt = pc.equal(pc.fill_null(batch.column("lang"), ""),
+                          target_lang)
+        tgt_ids = batch.filter(is_tgt).column("doc_id") \
+            .to_numpy(zero_copy_only=False)
+        occ_ids = occ.column("doc_id").to_numpy(zero_copy_only=False)
+        cb = occ.select(["bigram"]).group_by(["bigram"]) \
+            .aggregate([([], "count_all")]).rename_columns(["__k", "n"])
+        occ_t = occ.filter(pa.array(np.isin(occ_ids, tgt_ids)))
+        ct = occ_t.select(["bigram"]).group_by(["bigram"]) \
+            .aggregate([([], "count_all")]).rename_columns(["__k", "n"])
+        no, nb, nt = occ.num_rows, cb.num_rows, ct.num_rows
+        k = pa.concat_arrays([occ.column("bigram").combine_chunks(),
+                              cb.column("__k").combine_chunks(),
+                              ct.column("__k").combine_chunks()])
+        t = pa.table({
+            "__k": k,
+            "doc_id": pa.concat_arrays([
+                occ.column("doc_id").combine_chunks(),
+                pa.nulls(nb + nt, pa.int64())]),
+            "cb": pa.concat_arrays([
+                pa.nulls(no, pa.int64()),
+                cb.column("n").cast(pa.int64()).combine_chunks(),
+                pa.nulls(nt, pa.int64())]),
+            "ct": pa.concat_arrays([
+                pa.nulls(no + nb, pa.int64()),
+                ct.column("n").cast(pa.int64()).combine_chunks()]),
+        })
+        h = fnv1a_hashes(t.column("__k").to_pylist())
+        return t.append_column("bucket",
+                               pa.array(hash_bucket([h]), pa.int32()))
+    return fn
+
+
+def _dsir_bucket_kernel(group: pa.Table) -> pa.Table:
+    """One bigram bucket: finalize both count tables, join them onto
+    the occurrence rows (target side left-outer, absent -> 0), partial
+    per-doc aggregate."""
+    bgc = group.filter(pc.is_valid(group.column("cb"))) \
+        .select(["__k", "cb"]).group_by(["__k"]) \
+        .aggregate([("cb", "sum")]).rename_columns(["__k", "cb"])
+    tgc = group.filter(pc.is_valid(group.column("ct"))) \
+        .select(["__k", "ct"]).group_by(["__k"]) \
+        .aggregate([("ct", "sum")]).rename_columns(["__k", "ct"])
+    occ = group.filter(pc.is_valid(group.column("doc_id"))) \
+        .select(["__k", "doc_id"])
+    j = occ.join(bgc, keys="__k", join_type="inner") \
+        .join(tgc, keys="__k", join_type="left outer")
+    j = j.set_column(j.schema.get_field_index("ct"), "ct",
+                     pc.fill_null(j.column("ct"), 0))
+    g = j.group_by(["doc_id"]).aggregate(
+        [([], "count_all"), ("cb", "sum"), ("ct", "sum")])
+    g = g.rename_columns(["doc_id", "n_bigrams", "background_sum",
+                          "target_sum"])
+    ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+    return g.append_column("bucket",
+                           pa.array(hash_bucket([ids]), pa.int32()))
+
+
+def _dsir_final(group: pa.Table) -> pa.Table:
+    g = group.group_by(["doc_id"]).aggregate(
+        [("n_bigrams", "sum"), ("background_sum", "sum"),
+         ("target_sum", "sum")])
+    return g.rename_columns(["doc_id", "n_bigrams", "background_sum",
+                             "target_sum"])
+
+
+def dsir_weights(sf_dir: str, target_lang: str = DSIR_TARGET_LANG):
+    """(doc_id, n_bigrams, background_sum, target_sum): exact integer
+    bigram-count mass of each document under the whole-corpus
+    (background) and target-language count models — the DSIR importance
+    signal, numerator and denominator kept integer-exact."""
+    ds = _read_documents(sf_dir, ("doc_id", "text", "lang")) \
+        .map_batches(_dsir_partial(target_lang), batch_format="pyarrow",
+                     batch_size=None)
+    parts = bucket_groupby(ds, _dsir_bucket_kernel)
+    return bucket_groupby(parts, _dsir_final)
+
+
+DSIR_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM documents
+    ), bg AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS bigram
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ), cb AS (
+      SELECT bigram, count(*) AS c FROM bg GROUP BY bigram
+    ), ct AS (
+      SELECT bigram, count(*) AS c
+      FROM bg JOIN documents d ON bg.doc_id = d.doc_id
+      WHERE d.lang = '{DSIR_TARGET_LANG}' GROUP BY bigram
+    )
+    SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(cb.c) AS BIGINT) AS background_sum,
+           CAST(sum(coalesce(ct.c, 0)) AS BIGINT) AS target_sum
+    FROM bg JOIN cb USING (bigram) LEFT JOIN ct USING (bigram)
+    GROUP BY bg.doc_id
+"""

@@ -61,6 +61,7 @@ SQL_CHECKED = [
     # round-3 additions
     "pack_sequences_bpe", "kg_incremental", "dedup_substring_pairs",
     "doc_quality_filter", "doc_stratified_sample", "doc_lm_score",
+    "doc_dsir_weights",
     "lineitem_quantiles_by_flag", "events_sliding_counts",
     "lineitem_agg_rollup", "doc_normalize", "doc_bm25_topk",
     # the KG trio checks the distributed engine against the persisted

@@ -314,6 +314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": lambda d: _graphx.pagerank(_edges_ds(d)),
         "kg_triangles": lambda d: _graphx.triangle_counts(_edges_ds(d)),
         "kg_reach": lambda d: _graphx.bfs_reach(_edges_ds(d)),
+        "kg_clustering": lambda d: _graphx.clustering_coefficients(
+            _edges_ds(d)),
         "transcripts_redact": lambda d: _clean.redact_transcripts(
             _corpus_dir(_sf_of(d))),
         "doc_normalize": _clean.normalize_documents,
@@ -1014,6 +1016,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _graphx.triangles_sql(
             f"{corpus_001}/gold_triples.parquet"),
         "kg_reach": _graphx.bfs_reach_sql(
+            f"{corpus_001}/gold_triples.parquet"),
+        "kg_clustering": _graphx.clustering_sql(
             f"{corpus_001}/gold_triples.parquet"),
         "transcripts_redact": _redact_sql(corpus_001),
         "doc_normalize": _clean.NORMALIZE_SQL,

@@ -484,11 +484,10 @@ def _tri_final_bucket(group: pa.Table) -> pa.Table:
     return g.rename_columns(["node", "n_triangles"])
 
 
-def triangle_counts(edges_ds):
-    """Per-node triangle participation counts over the undirected
-    distinct (subj, obj) edge set: (node, n_triangles); nodes in no
-    triangle are absent. Exact at any skew — degree orientation bounds
-    wedge mass at O(m^1.5) with no hub cap."""
+def _triangle_core(edges_ds):
+    """Shared pipeline: returns (deg_ds, tri_ds) — the simple-graph
+    degree table and the per-node triangle counts, both keyed by node
+    with a consistent ``bucket`` column for downstream joins."""
     canon = edges_ds.map_batches(_tri_canon_partial,
                                  batch_format="pyarrow", batch_size=None)
     e = bucket_groupby(canon, _tri_distinct_bucket).materialize()
@@ -555,7 +554,69 @@ def triangle_counts(edges_ds):
     mixed3 = wedges.union(
         oriented.map_batches(edge_as_pair_row, batch_format="pyarrow"))
     corners = bucket_groupby(mixed3, _tri_match_bucket)
-    return bucket_groupby(corners, _tri_final_bucket)
+    return deg, bucket_groupby(corners, _tri_final_bucket)
+
+
+def triangle_counts(edges_ds):
+    """Per-node triangle participation counts over the undirected
+    distinct (subj, obj) edge set: (node, n_triangles); nodes in no
+    triangle are absent. Exact at any skew — degree orientation bounds
+    wedge mass at O(m^1.5) with no hub cap."""
+    return _triangle_core(edges_ds)[1]
+
+
+CC_SCALE = 1_000_000
+
+
+def _cc_join_bucket(group: pa.Table) -> pa.Table:
+    """One node bucket of degree rows (n_triangles null) + triangle
+    rows: left join (zero-triangle nodes kept), integer coefficient
+    2 * tri * 1e6 // (deg * (deg - 1)) for deg >= 2."""
+    is_deg = pc.is_valid(group.column("deg"))
+    degs = group.filter(is_deg).select(["node", "deg"])
+    degs = degs.filter(pc.greater_equal(degs.column("deg"),
+                                        pa.scalar(2, pa.int64())))
+    tris = group.filter(pc.invert(is_deg)).select(["node", "n_triangles"])
+    j = degs.join(tris, keys="node", join_type="left outer")
+    d = j.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+    t = pc.fill_null(j.column("n_triangles"), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "node": j.column("node"),
+        "degree": pa.array(d, pa.int64()),
+        "n_triangles": pa.array(t, pa.int64()),
+        "coeff_micro": pa.array(2 * t * CC_SCALE // (d * (d - 1)),
+                                pa.int64()),
+    })
+
+
+def clustering_coefficients(edges_ds):
+    """Local clustering coefficient per node with degree >= 2:
+    (node, degree, n_triangles, coeff_micro) where coeff_micro =
+    floor(2 * triangles * 1e6 / (deg * (deg - 1))) — integer-exact, so
+    the oracle compares bit-for-bit. One node-keyed exchange on top of
+    the shared triangle pipeline."""
+    deg, tri = _triangle_core(edges_ds)
+
+    def deg_row(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("node"),
+            "deg": batch.column("deg"),
+            "n_triangles": pa.nulls(batch.num_rows, pa.int64()),
+            "bucket": batch.column("bucket"),
+        })
+
+    def tri_row(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("node"),
+            "deg": pa.nulls(batch.num_rows, pa.int64()),
+            "n_triangles": batch.column("n_triangles"),
+            "bucket": _str_bucket(batch.column("node")),
+        })
+
+    mixed = deg.map_batches(deg_row, batch_format="pyarrow") \
+        .union(tri.map_batches(tri_row, batch_format="pyarrow"))
+    return bucket_groupby(mixed, _cc_join_bucket)
 
 
 def triangle_counts_local(edges: list[tuple[str, str]]) -> dict[str, int]:
@@ -574,10 +635,9 @@ def triangle_counts_local(edges: list[tuple[str, str]]) -> dict[str, int]:
     return counts
 
 
-def triangles_sql(triples_glob: str) -> str:
-    """DuckDB twin of :func:`triangle_counts` — identical canonical
-    edge set, identical (degree, node) orientation via row-value
-    comparison, each triangle found once from its smallest corner."""
+def _tri_cte(triples_glob: str) -> str:
+    """Shared CTE body (canonical edges -> degrees -> orientation ->
+    triangles -> corner rows) for the triangle-family oracles."""
     return f"""
         WITH e0 AS (
           SELECT DISTINCT
@@ -604,9 +664,30 @@ def triangles_sql(triples_glob: str) -> str:
           SELECT u AS n FROM tri
           UNION ALL SELECT v FROM tri
           UNION ALL SELECT w FROM tri
-        )
+        )"""
+
+
+def triangles_sql(triples_glob: str) -> str:
+    """DuckDB twin of :func:`triangle_counts` — identical canonical
+    edge set, identical (degree, node) orientation via row-value
+    comparison, each triangle found once from its smallest corner."""
+    return _tri_cte(triples_glob) + """
         SELECT n AS node, CAST(count(*) AS BIGINT) AS n_triangles
         FROM corners GROUP BY n"""
+
+
+def clustering_sql(triples_glob: str) -> str:
+    """DuckDB twin of :func:`clustering_coefficients` — same triangle
+    CTE, degree-joined, integer floor-division coefficient."""
+    return _tri_cte(triples_glob) + f""",
+        tc AS (SELECT n, CAST(count(*) AS BIGINT) AS t
+               FROM corners GROUP BY n)
+        SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+               CAST(coalesce(tc.t, 0) AS BIGINT) AS n_triangles,
+               CAST(2 * coalesce(tc.t, 0) * {CC_SCALE}
+                    // (deg.d * (deg.d - 1)) AS BIGINT) AS coeff_micro
+        FROM deg LEFT JOIN tc ON tc.n = deg.n
+        WHERE deg.d >= 2"""
 
 
 # ---------------------------------------------------------------------------

@@ -56,7 +56,7 @@ SQL_CHECKED = [
     "doc_repetition",
     "customers_no_events", "top_docs_per_lang",
     "kg_degree_hist", "kg_co_mentions", "kg_pagerank",
-    "kg_triangles", "kg_reach",
+    "kg_triangles", "kg_reach", "kg_clustering",
     "transcripts_redact",
     # round-3 additions
     "pack_sequences_bpe", "kg_incremental", "dedup_substring_pairs",

@@ -994,3 +994,101 @@ def test_triangle_counts_vs_local_bruteforce(ray_session):
     got = dict(zip(got_df["node"], got_df["n_triangles"]))
     assert got == want
     assert got["c0"] == 11  # C(5,2) within the clique + (hub, c1)
+
+
+def test_bfs_reach_random_graphs_vs_local(ray_session):
+    """bfs_reach on seeded random graphs vs a plain-dict BFS oracle,
+    including an unreachable component and explicit + derived seeds."""
+    import numpy as np
+    import ray
+
+    from casie_ray.ops.graphx import bfs_reach
+
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        n = int(rng.integers(8, 30))
+        m = int(rng.integers(n, 4 * n))
+        edges = [(f"n{int(rng.integers(n))}", f"n{int(rng.integers(n))}")
+                 for _ in range(m)]
+        edges += [("zz_far1", "zz_far2")]       # unreachable from min seed
+        seed = min(min(a, b) for a, b in edges)
+        adj: dict[str, set] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want, frontier = {seed: 0}, [seed]
+        for d in (1, 2, 3):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in want:
+                        want[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        ds = ray.data.from_items(
+            [{"subj": a, "obj": b} for a, b in edges]).repartition(3)
+        got_df = bfs_reach(ds, max_depth=3).to_pandas()
+        got = dict(zip(got_df["node"], got_df["dist"]))
+        assert got == want, f"trial {trial}"
+
+
+def test_bm25_random_corpus_vs_duckdb(ray_session, tmp_path):
+    """bm25_topk on a seeded random corpus (skewed term frequencies,
+    empty docs, absent query terms) vs the SQL twin, value-exact."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops.retrieval import bm25_sql, bm25_topk
+
+    rng = np.random.default_rng(23)
+    vocab = ["alpha", "beta", "gamma", "delta", "rare", "x"]
+    probs = np.array([0.3, 0.25, 0.2, 0.15, 0.02, 0.08])
+    docs = []
+    for i in range(150):
+        ln = int(rng.integers(0, 40))
+        docs.append({"doc_id": i,
+                     "text": " ".join(rng.choice(vocab, ln, p=probs))})
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(docs), f"{d}/documents.parquet")
+    terms = ("alpha", "rare", "absentterm")
+    got = bm25_topk(d, terms=terms, k=15).to_pandas() \
+        .sort_values("rank").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = con.execute(bm25_sql(terms=terms, k=15)).df() \
+        .sort_values("rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want.astype({c: got[c].dtype for c in got.columns}),
+        check_exact=True)
+
+
+def test_clustering_coefficients_vs_local(ray_session):
+    """clustering_coefficients on the planted skew fixture vs direct
+    computation from the local triangle oracle + degree counts."""
+    import ray
+
+    from casie_ray.ops.graphx import (CC_SCALE, clustering_coefficients,
+                                      triangle_counts_local)
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+             ("e", "c"), ("hub", "a"), ("hub", "b"), ("hub", "x1"),
+             ("hub", "x2"), ("b", "a")]
+    tri = triangle_counts_local(edges)
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    deg: dict[str, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    want = {n: (d, tri.get(n, 0), 2 * tri.get(n, 0) * CC_SCALE
+                // (d * (d - 1)))
+            for n, d in deg.items() if d >= 2}
+    ds = ray.data.from_items(
+        [{"subj": a, "obj": b} for a, b in edges]).repartition(3)
+    df = clustering_coefficients(ds).to_pandas()
+    got = {r.node: (r.degree, r.n_triangles, r.coeff_micro)
+           for r in df.itertuples()}
+    assert got == want
+    assert got["hub"][2] == 2 * 1 * CC_SCALE // (4 * 3)

@@ -190,6 +190,21 @@ def _dup_clusters(sf_dir: str):
     return _graph.connected_components(edges)
 
 
+def _doc_export_partitioned(sf_dir: str):
+    """Resumable partitioned export of the documents table by lang
+    (ops/sink.py): the returned summary is the checkable contract;
+    resume=False so repeated driver runs always re-land (skipped is
+    deterministically false)."""
+    import ray.data
+
+    from casie_ray.ops.sink import write_partitioned
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    out = f"/tmp/casie_export/{os.path.basename(os.path.normpath(sf_dir))}"
+    return write_partitioned(ds, out, "lang", config="driver",
+                             resume=False)
+
+
 def _event_class_weights(sf_dir: str):
     """A1 (role_phrase.py:270-281): inverse-frequency class weights over
     the extracted event-type labels, 0.001 floor for absent labels."""
@@ -319,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_redact": lambda d: _clean.redact_transcripts(
             _corpus_dir(_sf_of(d))),
         "doc_normalize": _clean.normalize_documents,
+        "doc_export_partitioned": _doc_export_partitioned,
     }
 
 
@@ -1021,4 +1037,9 @@ def oracle_sql() -> dict[str, str]:
             f"{corpus_001}/gold_triples.parquet"),
         "transcripts_redact": _redact_sql(corpus_001),
         "doc_normalize": _clean.NORMALIZE_SQL,
+        "doc_export_partitioned": """
+            SELECT CAST(lang AS VARCHAR) AS partition,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   FALSE AS skipped
+            FROM documents GROUP BY lang""",
     }

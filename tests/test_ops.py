@@ -64,6 +64,7 @@ SQL_CHECKED = [
     "doc_dsir_weights",
     "lineitem_quantiles_by_flag", "events_sliding_counts",
     "lineitem_agg_rollup", "doc_normalize", "doc_bm25_topk",
+    "doc_export_partitioned",
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events",
@@ -1092,3 +1093,47 @@ def test_clustering_coefficients_vs_local(ray_session):
            for r in df.itertuples()}
     assert got == want
     assert got["hub"][2] == 2 * 1 * CC_SCALE // (4 * 3)
+
+
+def test_write_partitioned_resume_byte_identical(ray_session, tmp_path):
+    """Generic resumable sink: hive layout, per-partition manifests,
+    resume skips completed partitions without touching their bytes, and
+    a damaged partition is re-landed byte-identical to from-scratch."""
+    import hashlib
+    import shutil
+
+    import ray
+
+    from casie_ray.ops.sink import write_partitioned
+
+    out = str(tmp_path / "export")
+
+    def run():
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["doc_id", "text", "lang"])
+        return write_partitioned(ds, out, "lang",
+                                 config="v1").to_pandas() \
+            .sort_values("partition").reset_index(drop=True)
+
+    s1 = run()
+    assert not s1["skipped"].any() and s1["n_rows"].sum() == 500
+
+    def digest():
+        return {p: hashlib.sha256(
+            open(f"{out}/lang={p}/part.parquet", "rb").read()).hexdigest()
+            for p in s1["partition"]}
+
+    d1 = digest()
+    s2 = run()                              # clean resume: all skipped
+    assert s2["skipped"].all()
+    assert digest() == d1
+
+    victim = s1["partition"].iloc[0]
+    shutil.rmtree(f"{out}/lang={victim}")   # simulate a died-mid-write run
+    s3 = run()
+    assert set(s3[~s3["skipped"]]["partition"]) == {victim}
+    assert digest() == d1                   # re-landed byte-identical
+
+    ds = ray.data.read_parquet(f"{out}/lang={victim}")
+    assert ds.count() == int(s1.set_index("partition")
+                             .loc[victim, "n_rows"])

@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffled_windows": _mlprep.shuffled_windows,
         "token_budget_sample": _mlprep.token_budget_sample,
         "decontaminate": _dedup.decontaminate,
+        "decontaminate_fuzzy": _dedup.decontaminate_fuzzy,
         "doc_repetition": _text.repetition,
         "doc_quality_filter": _cur.quality_filter,
         "doc_stratified_sample": _cur.stratified_sample,
@@ -913,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffled_windows": _shuffle_sql(),
         "token_budget_sample": _budget_sql(),
         "decontaminate": _DECONTAM_SQL,
+        "decontaminate_fuzzy": _dedup.DECONTAM_FUZZY_SQL,
         "doc_quality_filter": _cur.QUALITY_SQL,
         "doc_stratified_sample": _cur.stratified_sample_sql(),
         "doc_lm_score": _cur.LM_SQL,

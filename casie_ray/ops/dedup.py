@@ -1100,3 +1100,97 @@ SUBSTRING_SQL = f"""
     FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 """
+
+
+def _cross_pairs_from_shingle_bucket(bench_mod: int):
+    """One shingle bucket, cross-side only: emit (train, bench) pairs
+    for every shingle shared across the split — the segment-pair kernel
+    filtered to pairs with exactly one benchmark member, train side
+    always doc_a."""
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return _PAIR_PART_SCHEMA.empty_table()
+        sh = group.column("shingle").to_numpy()
+        did = group.column("doc_id").to_numpy()
+        dn = group.column("doc_n").to_numpy()
+        order = np.lexsort((did, sh))
+        sh, did, dn = sh[order], did[order], dn[order]
+        ia, ib = segment_pair_indices([sh])
+        if len(ia) == 0:
+            return _PAIR_PART_SCHEMA.empty_table()
+        ba = did[ia] % bench_mod == 0
+        bb = did[ib] % bench_mod == 0
+        cross = ba != bb
+        ia, ib, ba = ia[cross], ib[cross], ba[cross]
+        if len(ia) == 0:
+            return _PAIR_PART_SCHEMA.empty_table()
+        tr = np.where(ba, did[ib], did[ia])
+        be = np.where(ba, did[ia], did[ib])
+        tn = np.where(ba, dn[ib], dn[ia])
+        bn = np.where(ba, dn[ia], dn[ib])
+        return _pair_partial_table(tr, be, tn, bn,
+                                   np.ones(len(tr), np.int64))
+    return kernel
+
+
+def decontaminate_fuzzy(sf_dir: str, threshold_pct: int = 50,
+                        bench_mod: int = BENCH_MOD):
+    """Near-duplicate decontamination: (doc_id, n_bench_matches) for
+    every NON-benchmark document whose word-3-gram Jaccard similarity
+    to some benchmark document reaches ``threshold_pct`` — the fuzzy
+    complement of :func:`decontaminate` (which flags any single shared
+    shingle): catches paraphrased/partial benchmark leakage that exact
+    matching misses while ignoring incidental one-shingle overlap.
+
+    Same inverted-index shape as :func:`jaccard_pairs` but candidate
+    generation is restricted to CROSS-SIDE pairs inside the shingle
+    bucket (train posting list x bench posting list — never
+    train x train, the overwhelming pair mass at corpus scale), then
+    the exact threshold filter and a per-train-doc reduce. Integer
+    (inter, uni) arithmetic throughout; value-exact vs the SQL twin."""
+    ds = _read_documents(sf_dir)
+    sh_rows = ds.map_batches(_shingle_rows_batch, batch_format="pyarrow")
+    pairs = bucket_groupby(sh_rows,
+                           _cross_pairs_from_shingle_bucket(bench_mod))
+    kept = bucket_groupby(pairs, _finalize_pairs_bucket(threshold_pct))
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        t = pa.table({"doc_id": batch.column("doc_a"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        return t.append_column("bucket", pa.array(
+            hash_bucket([t.column("doc_id")]), pa.int32()))
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        g = group.group_by(["doc_id"]).aggregate([("n", "sum")])
+        return g.rename_columns(["doc_id", "n_bench_matches"])
+
+    return bucket_groupby(
+        kept.map_batches(doc_rows, batch_format="pyarrow",
+                         batch_size=None), per_doc)
+
+
+DECONTAM_FUZZY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pair AS (
+  SELECT x.doc_id AS tr, y.doc_id AS be, count(*) AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle
+  WHERE x.doc_id % {BENCH_MOD} <> 0 AND y.doc_id % {BENCH_MOD} = 0
+  GROUP BY 1, 2
+)
+SELECT tr AS doc_id, CAST(count(*) AS BIGINT) AS n_bench_matches
+FROM pair
+JOIN sizes sa ON sa.doc_id = tr
+JOIN sizes sb ON sb.doc_id = be
+WHERE inter * 100 >= 50 * (sa.n + sb.n - inter)
+GROUP BY tr
+"""

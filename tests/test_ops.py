@@ -53,6 +53,7 @@ SQL_CHECKED = [
     "lineitem_price_quantiles", "events_orders_range_join",
     "vocab_top_words_sketch", "hll_distinct_users", "pack_sequences",
     "shuffled_windows", "token_budget_sample", "decontaminate",
+    "decontaminate_fuzzy",
     "doc_repetition",
     "customers_no_events", "top_docs_per_lang",
     "kg_degree_hist", "kg_co_mentions", "kg_pagerank",
@@ -1137,3 +1138,30 @@ def test_write_partitioned_resume_byte_identical(ray_session, tmp_path):
     ds = ray.data.read_parquet(f"{out}/lang={victim}")
     assert ds.count() == int(s1.set_index("partition")
                              .loc[victim, "n_rows"])
+
+
+def test_decontaminate_fuzzy_planted_fixture(ray_session, tmp_path):
+    """Fuzzy vs exact decontamination semantics on a planted split:
+    a near-paraphrase of a bench doc IS flagged, a doc sharing one
+    incidental shingle is NOT (exact decontaminate would flag it),
+    and bench docs themselves never appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops.dedup import decontaminate_fuzzy
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        {"doc_id": 0, "text": base},                     # bench (0 % 20)
+        {"doc_id": 1, "text": base + " extra"},          # near-dup -> flag
+        # one shared 3-gram ("alpha beta gamma") inside unrelated text:
+        {"doc_id": 2, "text": "alpha beta gamma xx yy zz qq ww ee rr "
+                              "tt uu ii oo pp aa ss dd ff gg hh jj kk"},
+        {"doc_id": 3, "text": "totally different words only here"},
+        {"doc_id": 20, "text": "another bench document entirely"},  # bench
+    ]
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(docs), f"{d}/documents.parquet")
+    got = decontaminate_fuzzy(d, threshold_pct=50).to_pandas()
+    flagged = dict(zip(got["doc_id"], got["n_bench_matches"]))
+    assert flagged == {1: 1}

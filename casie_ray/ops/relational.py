@@ -780,3 +780,91 @@ ROLLUP_SQL = """
            count(*) AS n_rows
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel (ordered multi-step pattern over the event stream)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_US = 72 * 3600 * 1_000_000   # 72 h per step
+
+
+def events_funnel(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS,
+                  window_us: int = FUNNEL_WINDOW_US):
+    """Per-user conversion funnel over the events stream:
+    (user_id, stage) where stage = how many of ``steps`` the user
+    completed IN ORDER, each step strictly after the previous one and
+    within ``window_us`` of it (first step-1 event, then the first
+    step-2 event in the window after it, ...). Every user appearing in
+    events gets a row; stage 0 = never did step 1.
+
+    Shape: the sessions/lag shape — one hash(user) bucket exchange,
+    then a fully vectorized per-bucket pass: one ``minimum.at``
+    per funnel step (steps are user-bounded, typically 3-5), never a
+    per-user or per-event Python loop. Timestamp comparison is strict
+    (``>``), matching the SQL oracle's join condition, so equal-ts
+    step events never chain."""
+    from .bucketing import bucket_groupby, hash_bucket
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "t": batch.column("ts").cast(pa.int64()),
+            "event_type": batch.column("event_type").cast(pa.string()),
+            "bucket": pa.array(hash_bucket([uid]), pa.int32()),
+        })
+
+    def funnel(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy()
+        t = group.column("t").to_numpy()
+        et = np.asarray(group.column("event_type").to_pylist(),
+                        dtype=object)
+        users, uf = np.unique(uid, return_inverse=True)
+        n = len(users)
+        prev = np.full(n, np.iinfo(np.int64).min, np.int64)
+        stage = np.zeros(n, np.int64)
+        sentinel = np.iinfo(np.int64).max
+        for k, step in enumerate(steps):
+            cur = np.full(n, sentinel, np.int64)
+            m = (et == step) & (t > prev[uf])
+            if k > 0:
+                # bounded window after the previous step; step 1 has
+                # no predecessor (prev is the -inf seed there)
+                m &= t - prev[uf] <= window_us
+            np.minimum.at(cur, uf[m], t[m])
+            done = cur < sentinel
+            stage[done] = k + 1
+            prev = cur
+        return pa.table({"user_id": pa.array(users, pa.int64()),
+                         "stage": pa.array(stage, pa.int64())})
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    ds = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    return bucket_groupby(ds, funnel)
+
+
+def funnel_sql(steps: tuple[str, ...] = FUNNEL_STEPS,
+               window_us: int = FUNNEL_WINDOW_US) -> str:
+    """DuckDB twin of :func:`events_funnel`: chained min-after joins,
+    strict timestamp ordering, bounded per-step window."""
+    ctes = ["u AS (SELECT DISTINCT user_id FROM events)",
+            f"""s1 AS (SELECT user_id, min(ts) AS t FROM events
+                 WHERE event_type = '{steps[0]}' GROUP BY user_id)"""]
+    for k in range(2, len(steps) + 1):
+        ctes.append(f"""s{k} AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s{k - 1} p ON e.user_id = p.user_id
+            WHERE e.event_type = '{steps[k - 1]}' AND e.ts > p.t
+              AND epoch_us(e.ts) - epoch_us(p.t) <= {window_us}
+            GROUP BY e.user_id)""")
+    case = "CASE " + " ".join(
+        f"WHEN s{k}.t IS NOT NULL THEN {k}"
+        for k in range(len(steps), 0, -1)) + " ELSE 0 END"
+    joins = " ".join(f"LEFT JOIN s{k} USING (user_id)"
+                     for k in range(1, len(steps) + 1))
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT u.user_id, CAST({case} AS BIGINT) AS stage "
+            f"FROM u {joins}")

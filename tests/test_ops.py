@@ -47,7 +47,8 @@ SQL_CHECKED = [
     "vocab_top_words", "media_dedup",
     "ann_topk", "lineitem_agg", "segment_revenue", "top_customers",
     "events_hourly", "distinct_users", "events_asof_orders",
-    "events_sessions", "events_prev_gap", "order_lineitem_totals",
+    "events_sessions", "events_prev_gap", "events_funnel",
+    "order_lineitem_totals",
     "customer_event_values",
     "events_hourly_watermark",
     "lineitem_price_quantiles", "events_orders_range_join",

@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_words": _text.vocab_top_words,
         "vocab_top_words_sketch": _sketch.top_words_sketch,
         "doc_bm25_topk": _retr.bm25_topk,
+        "vocab_collocations": _text.collocations,
         "hll_distinct_users": _sketch.hll_user_registers,
         # dedup family (documents / embeddings)
         "dedup_exact": _dedup.exact_dedup,
@@ -1031,6 +1032,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj_a, subj_b, count(*) AS n_shared FROM p
             GROUP BY subj_a, subj_b HAVING count(*) >= 2""",
         "doc_bm25_topk": _retr.bm25_sql(),
+        "vocab_collocations": _text.COLLOC_SQL,
         "kg_pagerank": _graphx.pagerank_sql(
             f"{corpus_001}/gold_triples.parquet"),
         "kg_triangles": _graphx.triangles_sql(

@@ -44,7 +44,7 @@ SQL_CHECKED = [
     "dedup_embedding_pairs", "dup_clusters", "doc_lang_id",
     "doc_fingerprint", "media_features", "event_class_weights",
     "transcripts_split", "turn_token_features", "doc_sample",
-    "vocab_top_words", "media_dedup",
+    "vocab_top_words", "vocab_collocations", "media_dedup",
     "ann_topk", "lineitem_agg", "segment_revenue", "top_customers",
     "events_hourly", "distinct_users", "events_asof_orders",
     "events_sessions", "events_prev_gap", "events_funnel",

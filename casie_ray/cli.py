@@ -1,0 +1,87 @@
+"""User-facing query runner CLI.
+
+The engine's operator surface is registered in ``__ray_entry__.queries()``
+(73 pipelines; see COVERAGE.md). This CLI makes every one of them
+runnable from a shell — the ops-library twin of the reference's
+script-per-task entry points, without writing Python:
+
+    python -m casie_ray.cli list
+    python -m casie_ray.cli run doc_bm25_topk --sf-dir /root/testdata/sf0.01
+    python -m casie_ray.cli run kg_triangles --out /tmp/tri.parquet
+
+``run`` executes the named pipeline over the given table directory and
+either writes the result to parquet (--out) or prints row count + head.
+Owns the Ray session (guarded init, shutdown on exit) — library code
+never does (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _queries():
+    # __ray_entry__ lives at the repo root, importable from cwd or the
+    # package parent (same resolution the driver uses)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __ray_entry__ as entry
+    return entry.queries()
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="casie_ray.cli",
+        description="Run any registered engine pipeline over a table dir")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list", help="list registered query names")
+    rp = sub.add_parser("run", help="run one query")
+    rp.add_argument("name")
+    rp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    rp.add_argument("--out", default=None,
+                    help="write result parquet here instead of printing")
+    rp.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    qs = _queries()
+    if args.cmd == "list":
+        for name in sorted(qs):
+            print(name)
+        return 0
+
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; try: python -m casie_ray.cli "
+              "list", file=sys.stderr)
+        return 2
+
+    import ray
+    owns = not ray.is_initialized()
+    if owns:
+        kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+        ray.init(address="local", include_dashboard=False, **kw)
+    try:
+        result = qs[args.name](args.sf_dir)
+        if hasattr(result, "to_pandas"):
+            df = result.to_pandas()
+        else:
+            df = result
+        if args.out:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                           args.out)
+            print(f"{args.name}: {len(df)} rows -> {args.out}")
+        else:
+            print(f"{args.name}: {len(df)} rows")
+            print(df.head(10).to_string())
+        return 0
+    finally:
+        if owns:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1166,3 +1166,22 @@ def test_decontaminate_fuzzy_planted_fixture(ray_session, tmp_path):
     got = decontaminate_fuzzy(d, threshold_pct=50).to_pandas()
     flagged = dict(zip(got["doc_id"], got["n_bench_matches"]))
     assert flagged == {1: 1}
+
+
+def test_cli_list_and_run(ray_session, tmp_path, capsys):
+    """Query-runner CLI: list covers the whole contract; run executes a
+    pipeline and writes parquet; unknown names exit 2."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+    from casie_ray.cli import main
+
+    assert main(["list"]) == 0
+    listed = set(capsys.readouterr().out.split())
+    assert listed == set(entry.queries())
+
+    out = str(tmp_path / "r.parquet")
+    assert main(["run", "doc_corpus_stats", "--sf-dir", SF_DIR,
+                 "--out", out]) == 0
+    assert pq.read_table(out).num_rows == 1
+    assert main(["run", "nope"]) == 2

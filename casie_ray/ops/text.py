@@ -484,7 +484,14 @@ def collocations(sf_dir: str, min_count: int = COLLOC_MIN_COUNT):
         })
 
     def bigram_rows_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(is_bigram(batch))
+        bg = batch.filter(is_bigram(batch))
+        # match uni_keyed_by_w's schema exactly (union-safe)
+        return pa.table({
+            "wa": bg.column("wa"), "wb": bg.column("wb"),
+            "n": bg.column("n"),
+            "n_a": pa.nulls(bg.num_rows, pa.int64()),
+            "bucket": bg.column("bucket"),
+        })
 
     mixed_a = merged.map_batches(bigram_rows_only,
                                  batch_format="pyarrow").union(

@@ -55,8 +55,15 @@ def _cfg_hash(config: str, partition_col: str, schema_names) -> str:
 
 
 def _safe(value: str) -> str:
-    """Filesystem-safe partition dir fragment."""
-    return re.sub(r"[^A-Za-z0-9_.-]", "_", value)
+    """Filesystem-safe partition dir fragment. When sanitization
+    changes the value, a short hash of the RAW value is appended so two
+    distinct values (e.g. 'a/b' vs 'a_b') can never share a directory
+    or manifest."""
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", value)
+    if safe == value:
+        return safe
+    tag = hashlib.blake2b(value.encode(), digest_size=4).hexdigest()
+    return f"{safe}-{tag}"
 
 
 def _part_manifest(out_dir: str, value: str) -> str:

@@ -1185,3 +1185,29 @@ def test_cli_list_and_run(ray_session, tmp_path, capsys):
                  "--out", out]) == 0
     assert pq.read_table(out).num_rows == 1
     assert main(["run", "nope"]) == 2
+
+
+def test_write_partitioned_unsafe_values_never_collide(ray_session,
+                                                       tmp_path):
+    """Partition values that sanitize to the same fragment ('a/b' vs
+    'a_b') must land in distinct directories with distinct manifests."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from casie_ray.ops.sink import write_partitioned
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "grp": pa.array(["a/b", "a_b", "a/b", "a b"], pa.string()),
+    }), src)
+    out = str(tmp_path / "exp")
+    s = write_partitioned(ray.data.read_parquet(src), out, "grp") \
+        .to_pandas()
+    assert sorted(s["partition"]) == ["a b", "a/b", "a_b"]
+    import glob
+    dirs = glob.glob(f"{out}/grp=*")
+    assert len(dirs) == 3
+    total = sum(pq.read_table(f"{d}/part.parquet").num_rows for d in dirs)
+    assert total == 4

@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _rel.events_sessions,
         "events_prev_gap": _rel.events_prev_gap,
         "events_funnel": _rel.events_funnel,
+        "events_pivot": _rel.events_pivot,
         "order_lineitem_totals": _join.order_lineitem_totals,
         "customer_event_values": _join.customer_event_values,
         "events_orders_range_join": _rel.events_orders_range_join,
@@ -907,6 +908,7 @@ def oracle_sql() -> dict[str, str]:
                        AS prev_gap_us
             FROM events""",
         "events_funnel": _rel.funnel_sql(),
+        "events_pivot": _rel.pivot_sql(),
         "order_lineitem_totals": _join.ORDER_LINEITEM_SQL,
         "customer_event_values": _join.CUSTOMER_EVENT_SQL,
         "pack_sequences": _pack_sql(),

@@ -868,3 +868,69 @@ def funnel_sql(steps: tuple[str, ...] = FUNNEL_STEPS,
     return (f"WITH {', '.join(ctes)} "
             f"SELECT u.user_id, CAST({case} AS BIGINT) AS stage "
             f"FROM u {joins}")
+
+
+# ---------------------------------------------------------------------------
+# Pivot / crosstab (long -> wide conditional aggregation)
+# ---------------------------------------------------------------------------
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str, types: tuple[str, ...] = PIVOT_TYPES):
+    """Crosstab of the events stream: one row per user, one int64
+    column per event type with that user's event count (the long->wide
+    PIVOT). Column set is fixed up front (``types``) — the distributed
+    pivot contract: discovering columns from data would make the
+    output schema a global dependency.
+
+    Shape: a per-block combiner reduces each block to its local
+    (user x type) count matrix (long form), then ONE user-keyed
+    exchange sums and widens per bucket — `np.add.at` on a dense
+    (users x types) matrix, no per-row or per-user Python."""
+    from .bucketing import bucket_groupby, hash_bucket
+
+    idx = {t: i for i, t in enumerate(types)}
+
+    def combine(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        et = batch.column("event_type").cast(pa.string())
+        slot = pc.fill_null(pc.index_in(
+            et, value_set=pa.array(list(types), pa.string())), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = slot >= 0
+        t = pa.table({
+            "user_id": pa.array(uid[keep], pa.int64()),
+            "slot": pa.array(slot[keep], pa.int64()),
+            "n": pa.array(np.ones(keep.sum(), np.int64)),
+        })
+        g = t.group_by(["user_id", "slot"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["user_id", "slot", "n"])
+        return g.append_column("bucket", pa.array(
+            hash_bucket([g.column("user_id")]), pa.int32()))
+
+    def widen(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy()
+        slot = group.column("slot").to_numpy()
+        n = group.column("n").to_numpy()
+        users, uf = np.unique(uid, return_inverse=True)
+        mat = np.zeros((len(users), len(types)), np.int64)
+        np.add.at(mat, (uf, slot), n)
+        cols = {"user_id": pa.array(users, pa.int64())}
+        for t, i in idx.items():
+            cols[f"n_{t}"] = pa.array(mat[:, i], pa.int64())
+        return pa.table(cols)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    ds = ds.map_batches(combine, batch_format="pyarrow", batch_size=None)
+    return bucket_groupby(ds, widen)
+
+
+def pivot_sql(types: tuple[str, ...] = PIVOT_TYPES) -> str:
+    """DuckDB twin: conditional aggregation with the same fixed column
+    set and names."""
+    cols = ", ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) "
+        f"AS n_{t}" for t in types)
+    return f"SELECT user_id, {cols} FROM events GROUP BY user_id"

@@ -48,6 +48,7 @@ SQL_CHECKED = [
     "ann_topk", "lineitem_agg", "segment_revenue", "top_customers",
     "events_hourly", "distinct_users", "events_asof_orders",
     "events_sessions", "events_prev_gap", "events_funnel",
+    "events_pivot",
     "order_lineitem_totals",
     "customer_event_values",
     "events_hourly_watermark",

@@ -1,7 +1,7 @@
 """User-facing query runner CLI.
 
 The engine's operator surface is registered in ``__ray_entry__.queries()``
-(73 pipelines; see COVERAGE.md). This CLI makes every one of them
+(see COVERAGE.md for the full inventory). This CLI makes every one of them
 runnable from a shell — the ops-library twin of the reference's
 script-per-task entry points, without writing Python:
 

@@ -882,7 +882,10 @@ def events_pivot(sf_dir: str, types: tuple[str, ...] = PIVOT_TYPES):
     column per event type with that user's event count (the long->wide
     PIVOT). Column set is fixed up front (``types``) — the distributed
     pivot contract: discovering columns from data would make the
-    output schema a global dependency.
+    output schema a global dependency. Every user in the stream gets a
+    row: events whose type is outside ``types`` count toward no column,
+    but still register the user (all-zero row), matching the SQL
+    ``GROUP BY user_id`` semantics.
 
     Shape: a per-block combiner reduces each block to its local
     (user x type) count matrix (long form), then ONE user-keyed
@@ -899,11 +902,12 @@ def events_pivot(sf_dir: str, types: tuple[str, ...] = PIVOT_TYPES):
         slot = pc.fill_null(pc.index_in(
             et, value_set=pa.array(list(types), pa.string())), -1) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = slot >= 0
+        # slot -1 (type outside the pivot set) is kept: it contributes
+        # no count but registers the user for its all-zero row
         t = pa.table({
-            "user_id": pa.array(uid[keep], pa.int64()),
-            "slot": pa.array(slot[keep], pa.int64()),
-            "n": pa.array(np.ones(keep.sum(), np.int64)),
+            "user_id": pa.array(uid, pa.int64()),
+            "slot": pa.array(slot, pa.int64()),
+            "n": pa.array(np.ones(len(uid), np.int64)),
         })
         g = t.group_by(["user_id", "slot"]).aggregate([("n", "sum")])
         g = g.rename_columns(["user_id", "slot", "n"])
@@ -916,7 +920,8 @@ def events_pivot(sf_dir: str, types: tuple[str, ...] = PIVOT_TYPES):
         n = group.column("n").to_numpy()
         users, uf = np.unique(uid, return_inverse=True)
         mat = np.zeros((len(users), len(types)), np.int64)
-        np.add.at(mat, (uf, slot), n)
+        valid = slot >= 0
+        np.add.at(mat, (uf[valid], slot[valid]), n[valid])
         cols = {"user_id": pa.array(users, pa.int64())}
         for t, i in idx.items():
             cols[f"n_{t}"] = pa.array(mat[:, i], pa.int64())

@@ -132,7 +132,10 @@ def _score_partial(stats_ref, k: int):
         dl = _doc_lengths(batch)
         tf = _term_tf_matrix(batch, terms)
         score = _bm25_contrib(tf, dl, df, n_docs, avgdl).sum(axis=1)
-        hit = score > 0
+        # eligibility = at least one matched term (the SQL twin's tf
+        # table), NOT score > 0: a long doc's contributions can round
+        # to 0 micro-units yet the oracle still ranks it
+        hit = tf.sum(axis=1) > 0
         ids, score = ids[hit], score[hit]
         if len(ids) > k:
             # block-local top-k under the final total order (score desc,
@@ -167,7 +170,9 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
               k: int = DEFAULT_K):
     """Top-k documents by BM25 score for a bag of query terms:
     (doc_id, score_micro, rank), rank 1 = best, ties broken by doc_id.
-    Zero-score documents never surface."""
+    Documents with no matched term never surface; a matched doc whose
+    contributions round to 0 micro-units is still eligible (matches
+    the SQL twin's tf-table semantics)."""
     import ray
     import ray.data
 

@@ -48,6 +48,10 @@ _SUMMARY_SCHEMA = pa.schema([
     ("skipped", pa.bool_()),
 ])
 
+# Hive/Spark convention: rows whose partition value is NULL land in
+# this directory instead of being silently dropped.
+NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
 
 def _cfg_hash(config: str, partition_col: str, schema_names) -> str:
     payload = repr((config, partition_col, sorted(schema_names)))
@@ -94,13 +98,18 @@ def _write_bucket(out_dir: str, partition_col: str, cfg: str,
                   resume: bool):
     def fn(group: pa.Table) -> pa.Table:
         g = group.drop_columns(["bucket"])
-        vals = pc.unique(g.column(partition_col).combine_chunks())
+        col = g.column(partition_col).combine_chunks()
+        vals = pc.unique(col)
         out_v, out_n, out_s = [], [], []
         for v in vals.to_pylist():          # bounded by partition count
-            sval = str(v)
-            part = g.filter(pc.equal(
-                g.column(partition_col).cast(pa.string()),
-                pa.scalar(sval, pa.string())))
+            if v is None:
+                sval = NULL_PARTITION
+                part = g.filter(pc.is_null(col))
+            else:
+                sval = str(v)
+                part = g.filter(pc.equal(
+                    col.cast(pa.string()),
+                    pa.scalar(sval, pa.string())))
             out_v.append(sval)
             out_n.append(part.num_rows)
             if resume and partition_complete(out_dir, sval, cfg):
@@ -130,7 +139,9 @@ def _write_bucket(out_dir: str, partition_col: str, cfg: str,
 def write_partitioned(ds, out_dir: str, partition_col: str,
                       config: str = "", resume: bool = True):
     """Land ``ds`` as hive-partitioned parquet under ``out_dir``,
-    resumably. Returns the per-partition summary Dataset
+    resumably. Rows with a NULL partition value land under the
+    Hive/Spark default partition (``NULL_PARTITION``) rather than
+    being dropped. Returns the per-partition summary Dataset
     (partition, n_rows, skipped); consume it to drive the write."""
     schema_names = ds.schema().names
     cfg = _cfg_hash(config, partition_col, schema_names)
@@ -138,7 +149,8 @@ def write_partitioned(ds, out_dir: str, partition_col: str,
 
     def tag(batch: pa.Table) -> pa.Table:
         h = fnv1a_hashes([
-            str(v) for v in batch.column(partition_col).to_pylist()])
+            NULL_PARTITION if v is None else str(v)
+            for v in batch.column(partition_col).to_pylist()])
         return batch.append_column(
             "bucket", pa.array(hash_bucket([h]), pa.int32()))
 

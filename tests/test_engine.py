@@ -276,3 +276,61 @@ def test_local_and_distributed_finalize_identical(kg_out, tmp_path):
         load(da, "edges", ["subj", "pred", "obj"]))
     pd.testing.assert_frame_equal(
         load(la, "nodes", ["node_id"]), load(da, "nodes", ["node_id"]))
+
+
+@pytest.mark.parametrize("as_uri", [False, True],
+                         ids=["plain-path", "file-uri"])
+def test_fused_sink_uri_clean(ray_session, smoke_corpus, tmp_path, as_uri):
+    """Multi-node deployment claim: every path opened from INSIDE a
+    worker task (shard read + fused event/triple/surf sink writes) is
+    fsspec-URI-clean — running the fused extraction with file:// URIs
+    for both the input shards and the sink roots produces byte-identical
+    parquet output to the plain-path run."""
+    import glob
+    import hashlib
+    import os
+
+    import ray
+
+    from casie_ray.pipelines.kg import extract_group_ds, list_transcript_files
+    from casie_ray.stages.detect import load_tagger_state
+
+    files = list_transcript_files(smoke_corpus)[:3]
+    entities_ref = ray.put(load_tagger_state(
+        os.path.join(smoke_corpus, "entities.parquet")))
+
+    out = str(tmp_path / ("uri" if as_uri else "plain"))
+    raw_root = os.path.join(out, "raw")
+    surf_root = os.path.join(out, "surf")
+    ev_root = os.path.join(out, "events")
+    for root in (raw_root, surf_root, ev_root):
+        os.makedirs(os.path.join(root, ".group-00000.tmp"))
+
+    def u(p: str) -> str:
+        return "file://" + p if as_uri else p
+
+    sink = {"gids": {os.path.basename(p): 0 for p in files},
+            "raw_root": u(raw_root), "surf_root": u(surf_root),
+            "ev_root": u(ev_root), "suffix": ".tmp"}
+    stats = extract_group_ds([u(p) for p in files], entities_ref,
+                             detect_concurrency=2, sink=sink).take_all()
+    assert sum(r["n_events"] for r in stats) > 0
+
+    def digests(root):
+        return {os.path.basename(f): hashlib.sha256(
+            open(f, "rb").read()).hexdigest()
+            for f in sorted(glob.glob(
+                os.path.join(root, ".group-00000.tmp", "*.parquet")))}
+
+    got = {r: digests(os.path.join(out, r))
+           for r in ("raw", "surf", "events")}
+    assert all(len(v) == 3 for v in got.values())
+    # stash for cross-param comparison via a session-stable location
+    marker = tmp_path.parent / ("uri_clean_" +
+                                ("uri" if as_uri else "plain") + ".json")
+    import json
+    marker.write_text(json.dumps(got, sort_keys=True))
+    other = tmp_path.parent / ("uri_clean_" +
+                               ("plain" if as_uri else "uri") + ".json")
+    if other.exists():
+        assert json.loads(other.read_text()) == got   # byte-identical

@@ -21,13 +21,27 @@ from ..schema import EVENT_SCHEMA, event_to_row, row_to_event
 from ..semantics import assign_realis, assign_roles
 
 
-def role_realis_batch(batch: pa.Table) -> pa.Table:
+def role_realis_batch(batch: pa.Table,
+                      realis_model: dict | None = None) -> pa.Table:
+    """``realis_model=None``: rule-based realis (the default seat).
+    With a model dict (stages/modelseat.py), realis comes from ONE
+    batched forward pass instead — the declared seat interface: only
+    the realis column may differ between seats."""
     rows = batch.to_pylist()
+    preds = None
+    if realis_model is not None and rows:
+        from .modelseat import predict_realis
+        preds = predict_realis(
+            realis_model, [r["nugget_text"] for r in rows],
+            [r["modal"] for r in rows], [r["generic"] for r in rows])
     out = []
-    for r in rows:
+    for i, r in enumerate(rows):
         e = row_to_event(r)
         assign_roles(e)
-        assign_realis(e, r["modal"], r["generic"])
+        if preds is not None:
+            e.realis = preds[i]
+        else:
+            assign_realis(e, r["modal"], r["generic"])
         out.append(event_to_row(e, r["ts"], r["modal"], r["generic"]))
     if not out:
         return EVENT_SCHEMA.empty_table()
@@ -35,13 +49,15 @@ def role_realis_batch(batch: pa.Table) -> pa.Table:
 
 
 class ModelRoleRealisScorer:
-    """Actor-pool variant: constructor would load the 5 role heads + 2
-    realis heads once per actor (cf. load_model_role/load_model_realis,
-    link_coref.py:89-119); kept as the drop-in seat for a real model.
-    Use with map_batches(ModelRoleRealisScorer, concurrency=N)."""
+    """Actor-pool variant: the constructor loads the realis model once
+    per actor (cf. load_model_role/load_model_realis,
+    link_coref.py:89-119) — e.g.
+    ``map_batches(ModelRoleRealisScorer,
+    fn_constructor_args=(load_realis_model,), concurrency=N)``.
+    Without a loader it degrades to the stateless rule seat."""
 
     def __init__(self, model_loader=None):
         self.models = model_loader() if model_loader else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return role_realis_batch(batch)
+        return role_realis_batch(batch, realis_model=self.models)

@@ -334,3 +334,48 @@ def test_fused_sink_uri_clean(ray_session, smoke_corpus, tmp_path, as_uri):
                                ("plain" if as_uri else "uri") + ".json")
     if other.exists():
         assert json.loads(other.read_text()) == got   # byte-identical
+
+
+def test_model_seat_swap_only_changes_realis(ray_session, smoke_corpus):
+    """The learned numpy-MLP realis model (stages/modelseat.py) drops
+    into the ModelRoleRealisScorer actor-pool seat and, having distilled
+    the rule to 100% on the trigger grid, reproduces the rule seat's
+    output exactly — proving seat swap flows only through the declared
+    interface (the realis column; here byte-equal). Also pins model
+    determinism: two trainings yield bit-identical weights."""
+    import os
+
+    import numpy as np
+    import ray
+
+    from casie_ray.pipelines.kg import extract_group_ds, list_transcript_files
+    from casie_ray.stages.detect import load_tagger_state
+    from casie_ray.stages.modelseat import train_realis_model
+    from casie_ray.stages.rolerealis import (ModelRoleRealisScorer,
+                                             role_realis_batch)
+
+    m1 = train_realis_model()
+    m2 = train_realis_model()
+    for k in ("w1", "b1", "w2", "b2"):
+        assert (m1[k] == m2[k]).all()
+
+    files = list_transcript_files(smoke_corpus)[:2]
+    entities_ref = ray.put(load_tagger_state(
+        os.path.join(smoke_corpus, "entities.parquet")))
+    events = extract_group_ds(files, entities_ref,
+                              detect_concurrency=2)
+
+    def norm(df):
+        df = df.sort_values(["conv_id", "turn_idx", "event_id",
+                             "nugget_text"]).reset_index(drop=True)
+        return df[sorted(df.columns)]
+
+    rule = events.map_batches(role_realis_batch, batch_format="pyarrow") \
+        .to_pandas()
+    model = events.map_batches(
+        ModelRoleRealisScorer,
+        fn_constructor_args=(train_realis_model,),
+        batch_format="pyarrow", batch_size=256,
+        concurrency=2).to_pandas()
+    assert len(rule) > 0
+    pd.testing.assert_frame_equal(norm(rule), norm(model))

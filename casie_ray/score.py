@@ -54,7 +54,8 @@ def _read_triples(path: str):
 
 def main(argv: list[str] | None = None) -> int:
     from .scoring import (
-        confusion_matrix, format_confusion, mention_prf, triple_prf,
+        confusion_matrix, format_confusion, mention_prf, span_prf,
+        triple_prf,
     )
 
     ap = argparse.ArgumentParser(
@@ -64,11 +65,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--gold", required=True, help="gold parquet table")
     ap.add_argument("--pred", required=True,
                     help="predicted parquet table")
-    ap.add_argument("--options", choices=["mention", "triple"],
+    ap.add_argument("--options", choices=["mention", "span", "triple"],
                     default="mention",
-                    help="mention = span matching (nugget/argument/role "
-                         "tables all use this shape); triple = exact-set "
-                         "(subj, pred, obj)")
+                    help="mention = labeled span matching (nugget/"
+                         "argument/role tables all use this shape); "
+                         "span = label-agnostic raw-overlap matching "
+                         "(the reference's -options span mode); "
+                         "triple = exact-set (subj, pred, obj)")
     ap.add_argument("--metric", choices=["f1", "confusion"],
                     default="f1")
     ap.add_argument("--no-label-match", action="store_true",
@@ -87,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
 
     gold = _read_mentions(args.gold)
     pred = _read_mentions(args.pred)
+    if args.options == "span":
+        if args.metric != "f1":
+            raise SystemExit("--options span supports --metric f1 only")
+        print(json.dumps(span_prf(gold, pred)))
+        return 0
     if args.metric == "f1":
         out = mention_prf(gold, pred,
                           match_label=not args.no_label_match)

@@ -54,6 +54,44 @@ def mention_prf(gold: list[dict], pred: list[dict],
             "n_gold": n_gold, "n_pred": n_pred, "tp": tp}
 
 
+def span_prf(gold: list[dict], pred: list[dict]) -> dict:
+    """Span-only scorer (the reference's ``-options span`` mode,
+    score.py:106-151): label-AGNOSTIC greedy matching per
+    (conv_id, turn_idx) group where each gold picks the prediction
+    with the maximum RAW overlap (ties -> first/lowest index, like the
+    reference's strict ``>`` scan), matched predictions are deleted,
+    and the credit is the dice of the matched pair. Differs from
+    ``mention_prf(match_label=False)`` in the selection criterion:
+    raw-overlap argmax can pick a different (longer) prediction than
+    dice argmax, exactly as the reference's token-intersect pick does.
+    """
+    by_key_g = defaultdict(list)
+    by_key_p = defaultdict(list)
+    for m in gold:
+        by_key_g[(m["conv_id"], m["turn_idx"])].append(m)
+    for m in pred:
+        by_key_p[(m["conv_id"], m["turn_idx"])].append(m)
+    tp = 0.0
+    for key, gs in by_key_g.items():
+        ps = list(by_key_p.get(key, []))
+        for g in sorted(gs, key=lambda m: (m["start"], m["end"])):
+            best, best_ov = None, 0
+            for i, p in enumerate(ps):
+                ov = max(0, min(g["end"], p["end"])
+                         - max(g["start"], p["start"]))
+                if ov > best_ov:
+                    best, best_ov = i, ov
+            if best is not None:
+                p = ps.pop(best)          # matched-pred deletion
+                tp += _dice(g["start"], g["end"], p["start"], p["end"])
+    n_gold, n_pred = len(gold), len(pred)
+    p = tp / n_pred if n_pred else 0.0
+    r = tp / n_gold if n_gold else 0.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return {"precision": p, "recall": r, "f1": f1,
+            "n_gold": n_gold, "n_pred": n_pred, "tp": tp}
+
+
 def confusion_matrix(gold: list[dict], pred: list[dict],
                      labels: list[str] | None = None) -> dict:
     """Label confusion matrix over mention sets (A6; the span-based

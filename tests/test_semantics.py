@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from casie_ray import lexicons as lx
 from casie_ray.semantics import (
     Mention, build_catalog_matcher, detect_turn, extract_conversation,
@@ -449,3 +451,45 @@ def test_lookback_plants_recovered_from_gold(smoke_corpus):
         if m is not None and m.argtype == a["type"] and m.role == a["role"]:
             hits += 1
     assert hits / len(lb_gold) >= 0.9, (hits, len(lb_gold))
+
+
+def test_span_prf_hand_built():
+    """Span-only scorer (score.py:106-151 re-expression) on a hand-built
+    table: label-agnostic, raw-overlap argmax pick (NOT dice argmax),
+    matched-pred deletion, dice credit; P = dice/n_pred, R = dice/n_gold."""
+    from casie_ray.scoring import mention_prf, span_prf
+
+    # gold [0,10); two preds: [0,4) dice=2*4/14, [2,30) overlap 8 but
+    # dice=2*8/38 — span mode must pick the LONGER raw-overlap pred
+    gold = [{"conv_id": "c", "turn_idx": 0, "start": 0, "end": 10,
+             "label": "A"}]
+    pred = [{"conv_id": "c", "turn_idx": 0, "start": 0, "end": 4,
+             "label": "ZZZ"},          # label ignored in span mode
+            {"conv_id": "c", "turn_idx": 0, "start": 2, "end": 30,
+             "label": "B"}]
+    out = span_prf(gold, pred)
+    dice = 2.0 * 8 / (10 + 28)
+    assert out["tp"] == pytest.approx(dice)
+    assert out["precision"] == pytest.approx(dice / 2)
+    assert out["recall"] == pytest.approx(dice)
+    assert out["f1"] == pytest.approx(
+        2 * out["precision"] * out["recall"]
+        / (out["precision"] + out["recall"]))
+    # mention mode with label match finds nothing (labels differ)
+    assert mention_prf(gold, pred)["tp"] == 0.0
+    # dice-argmax (mention, no label) picks the SHORT pred instead
+    m = mention_prf(gold, pred, match_label=False)
+    assert m["tp"] == pytest.approx(2.0 * 4 / 14)
+
+    # matched-pred deletion: second gold in the same turn cannot reuse
+    # the deleted prediction
+    gold2 = gold + [{"conv_id": "c", "turn_idx": 0, "start": 2,
+                     "end": 30, "label": "A"}]
+    out2 = span_prf(gold2, pred)
+    # gold1 takes pred2 (overlap 8 > 4); gold2 then takes pred1
+    # (overlap 2)
+    assert out2["tp"] == pytest.approx(dice + 2.0 * 2 / (28 + 4))
+    # no-overlap predictions earn nothing
+    assert span_prf(gold, [{"conv_id": "c", "turn_idx": 0,
+                            "start": 50, "end": 60,
+                            "label": "A"}])["tp"] == 0.0

@@ -440,3 +440,22 @@ SURFACE_NODE_TYPES = frozenset(t.lower() for t in (
     "Device", "GPE", "File", "Data", "PII", "Vulnerability", "Patch",
     "PaymentMethod", "Capabilities",
 ))
+
+# KB candidate typing filters (the engine form of the reference's
+# wd_search whitelist/blacklist semantics, wd_search.py:75-141: a
+# candidate must carry at least one whitelisted type and NO blacklisted
+# type — a single blacklisted type vetoes the candidate outright).
+# Engine entities are single-typed, so the sets are over the engine's
+# own type vocabulary: the whitelist is every linkable KB type (the
+# 43-QID cyber-relevance list collapses to "all of them" here because
+# the KB is curated cyber entities by construction); the blacklist
+# names types a mixed KB may carry but must never link (the reference's
+# sports/game/fiction/performer/document veto).
+KB_TYPE_WHITELIST = frozenset({
+    "Organization", "Person", "Software", "System", "Malware", "Website",
+    "Device", "GPE", "File", "Vulnerability", "Patch",
+})
+KB_TYPE_BLACKLIST = frozenset({
+    "SportsOrganization", "Game", "FictionalEntity", "MusicOrganisation",
+    "Performer", "Artist", "OrdinaryMatter", "Document", "Composer",
+})

@@ -117,16 +117,30 @@ def build_catalog_matcher(entities) -> dict:
     return index
 
 
-def build_fuzzy_index(entities) -> dict:
+def build_fuzzy_index(entities, whitelist=None, blacklist=None) -> dict:
     """Blocked candidate index for fuzzy linking (SURVEY J5; the engine
     seat of wd_search's name-candidate generation, wd_search.py:153-201):
     (type, first-2-chars of normalized surface) ->
     (embedding matrix, entity_ids, norms), candidates sorted by
-    (entity_id, norm) for deterministic ties."""
+    (entity_id, norm) for deterministic ties.
+
+    Typing filters (wd_search.py:75-141 semantics at candidate-
+    generation time): an entity whose type is in ``blacklist``
+    (default lx.KB_TYPE_BLACKLIST) is vetoed outright; with a
+    ``whitelist`` (default lx.KB_TYPE_WHITELIST) the type must also
+    be whitelisted. The defaults cover the engine's full linkable
+    vocabulary, so curated KBs are unaffected while a mixed KB drops
+    its out-of-domain rows; pass narrower sets to restrict further."""
+    if whitelist is None:
+        whitelist = lx.KB_TYPE_WHITELIST
+    if blacklist is None:
+        blacklist = lx.KB_TYPE_BLACKLIST
     if hasattr(entities, "to_pylist"):
         entities = entities.to_pylist()
     buckets: dict[tuple, set] = {}
     for e in sorted(entities, key=lambda e: e["entity_id"]):
+        if e["type"] in blacklist or e["type"] not in whitelist:
+            continue
         for s in [e["canonical"]] + list(e["aliases"] or []):
             norm = lx.normalize_surface(s)
             if not norm:
@@ -141,11 +155,17 @@ def build_fuzzy_index(entities) -> dict:
     return out
 
 
-def fuzzy_link(norm: str, argtype: str, fuzzy: dict | None) -> str | None:
+def fuzzy_link(norm: str, argtype: str, fuzzy: dict | None,
+               required_types=None) -> str | None:
     """Best cosine candidate at/above LINK_THRESHOLD within the block;
     ties broken by minimum entity_id (cf. strdist scoring,
-    link_coref.py:285-309)."""
+    link_coref.py:285-309). ``required_types`` is the wd_search
+    required-type filter (wd_search.py:154-157): when given, only
+    candidates of a required type are eligible — with single-typed
+    engine entities that gates the typed block probe itself."""
     if not fuzzy or not norm:
+        return None
+    if required_types is not None and argtype not in required_types:
         return None
     hit = fuzzy.get((argtype, norm[:lx.LINK_BLOCK_PREFIX]))
     if hit is None:

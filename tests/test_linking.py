@@ -69,3 +69,37 @@ def test_canonical_mapping_min_root():
     ])
     assert mapping == {
         "organization:bramado group intl": "organization:bramado group"}
+
+
+def test_kb_type_whitelist_blacklist_and_required_types():
+    """wd_search typing semantics (wd_search.py:75-157 re-expression):
+    a blacklisted-type entity is vetoed at candidate generation even
+    when it is the best cosine match; a type outside the whitelist is
+    dropped; required_types gates the probe."""
+    from casie_ray.semantics import build_fuzzy_index, fuzzy_link
+
+    ents = [
+        {"entity_id": "E1", "canonical": "Acme Corp", "aliases": [],
+         "type": "Organization"},
+        # same surface prefix + type vocabulary outside the whitelist
+        {"entity_id": "E2", "canonical": "Acme Corp", "aliases": [],
+         "type": "SportsOrganization"},          # blacklisted
+        {"entity_id": "E3", "canonical": "Acme Studio", "aliases": [],
+         "type": "Performer"},                   # blacklisted
+        {"entity_id": "E4", "canonical": "Acme Thing", "aliases": [],
+         "type": "UnknownKind"},                 # not whitelisted
+    ]
+    fuzzy = build_fuzzy_index(ents)
+    # only the Organization survives candidate generation
+    assert {k[0] for k in fuzzy} == {"Organization"}
+    norm = "acme corp"
+    assert fuzzy_link(norm, "Organization", fuzzy) == "E1"
+    assert fuzzy_link(norm, "SportsOrganization", fuzzy) is None
+    # required-type filter: probe only allowed types
+    assert fuzzy_link(norm, "Organization", fuzzy,
+                      required_types=frozenset({"Person"})) is None
+    assert fuzzy_link(norm, "Organization", fuzzy,
+                      required_types=frozenset({"Organization"})) == "E1"
+    # explicit narrow whitelist drops even in-vocabulary types
+    narrow = build_fuzzy_index(ents, whitelist=frozenset({"Person"}))
+    assert narrow == {}

@@ -612,7 +612,14 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--status", action="store_true",
+                    help="print the resume-status manifest summary for "
+                         "--out and exit (no Ray, no reads of row data)")
     args = ap.parse_args()
+    if args.status:
+        import json
+        print(json.dumps(manifest.summarize(args.out), indent=1))
+        return
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")

@@ -46,6 +46,7 @@ def config_hash() -> str:
         sorted(lx.ORG_HINTS), lx.LINK_THRESHOLD, lx.CANON_THRESHOLD,
         lx.SIM_CUTOFF, sorted(lx.NUMWORDS.items()),
         lx.LINK_BLOCK_PREFIX, sorted(lx.SURFACE_NODE_TYPES), _embed_dim(),
+        sorted(lx.KB_TYPE_WHITELIST), sorted(lx.KB_TYPE_BLACKLIST),
     ))
     return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
 
@@ -103,3 +104,43 @@ def atomic_dir_swap(tmp_dir: str, final_dir: str) -> None:
         import shutil
         shutil.rmtree(final_dir)
     os.replace(tmp_dir, final_dir)
+
+
+def summarize(out_dir: str) -> dict:
+    """Resume-status view over a run directory's manifests: one row per
+    committed group (gid, status, whether its config hash matches the
+    CURRENT code's semantics, input shard count, counters, completed_at)
+    plus totals — what an operator checks before re-submitting a 100 TB
+    job ("how much is already done, and is it reusable under the current
+    config?"). Driver-side metadata only; never touches row data."""
+    import glob as _glob
+
+    cur = config_hash()
+    groups = []
+    for p in sorted(_glob.glob(os.path.join(manifest_dir(out_dir),
+                                            "group-*.json"))):
+        try:
+            with open(p) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            groups.append({"path": p, "status": "corrupt"})
+            continue
+        groups.append({
+            "group_id": m.get("group_id"),
+            "status": m.get("status"),
+            "config_current": m.get("config_hash") == cur,
+            "n_input_files": len(m.get("input_files", [])),
+            "counters": m.get("counters", {}),
+            "completed_at": m.get("completed_at"),
+        })
+    complete = [g for g in groups if g.get("status") == "complete"]
+    reusable = [g for g in complete if g.get("config_current")]
+    return {
+        "out_dir": out_dir,
+        "config_hash": cur,
+        "groups_committed": len(complete),
+        "groups_reusable_on_resume": len(reusable),
+        "events_total": sum(g["counters"].get("events", 0)
+                            for g in complete),
+        "groups": groups,
+    }

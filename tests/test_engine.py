@@ -379,3 +379,33 @@ def test_model_seat_swap_only_changes_realis(ray_session, smoke_corpus):
         concurrency=2).to_pandas()
     assert len(rule) > 0
     pd.testing.assert_frame_equal(norm(rule), norm(model))
+
+
+def test_manifest_status_summary(ray_session, smoke_corpus, tmp_path):
+    """manifest.summarize: per-group lineage/metrics view with
+    config-currency — committed groups read reusable under the current
+    config; a config-hash mismatch (simulated stale manifest) reads
+    committed but NOT reusable."""
+    import json
+    import os
+
+    from casie_ray.pipelines.kg import run_kg_pipeline
+    from casie_ray.state import manifest
+
+    out = str(tmp_path / "kg")
+    info = run_kg_pipeline(smoke_corpus, out, resume=False, n_groups=2)
+    s = manifest.summarize(out)
+    assert s["groups_committed"] == 2
+    assert s["groups_reusable_on_resume"] == 2
+    assert s["events_total"] == sum(g["counters"]["events"]
+                                    for g in s["groups"])
+    assert s["events_total"] > 0 and info["edges"] > 0
+
+    # stale a manifest's config hash: still committed, not reusable
+    p = manifest.manifest_path(out, 0)
+    m = json.load(open(p))
+    m["config_hash"] = "deadbeefdeadbeef"
+    json.dump(m, open(p, "w"))
+    s2 = manifest.summarize(out)
+    assert s2["groups_committed"] == 2
+    assert s2["groups_reusable_on_resume"] == 1

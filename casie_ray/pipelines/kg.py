@@ -245,9 +245,12 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
                     detect_concurrency=None, batch_size: int = 256,
                     keep_events: bool = True,
                     conv_partitioned: bool = True,
-                    group_size: int = GROUP_SIZE) -> dict:
+                    group_size: int = GROUP_SIZE,
+                    kb_whitelist=None, kb_blacklist=None) -> dict:
     """Run extraction + finalize; returns counters. Requires an active
-    Ray session (callers own init/shutdown)."""
+    Ray session (callers own init/shutdown). ``kb_whitelist``/
+    ``kb_blacklist`` override the KB candidate typing filters
+    (config.PipelineConfig surface; None -> lexicon defaults)."""
     import ray
 
     t0 = time.time()
@@ -272,8 +275,17 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
 
     from ..stages.detect import load_tagger_state
     entities_ref = ray.put(load_tagger_state(
-        os.path.join(corpus_dir, "entities.parquet")))
+        os.path.join(corpus_dir, "entities.parquet"),
+        kb_whitelist=kb_whitelist, kb_blacklist=kb_blacklist))
     cfg = manifest.config_hash()
+    if kb_whitelist is not None or kb_blacklist is not None:
+        # non-default typing filters are semantic config: fold them into
+        # the manifest hash so resume never reuses default-filter output
+        import hashlib as _hl
+        cfg = _hl.blake2b(
+            (cfg + repr((sorted(kb_whitelist or ()),
+                         sorted(kb_blacklist or ())))).encode(),
+            digest_size=8).hexdigest()
 
     raw_root = os.path.join(out_dir, "raw_triples")
     ev_root = os.path.join(out_dir, "events")

@@ -55,22 +55,27 @@ def build_hot_vocab(catalog: dict) -> frozenset[str]:
     return frozenset(vocab)
 
 
-def build_tagger_state(entities) -> dict:
+def build_tagger_state(entities, kb_whitelist=None,
+                       kb_blacklist=None) -> dict:
     """Build the tagger's broadcast state ONCE (driver side): catalog
     matcher, blocked fuzzy-link index (J5), hot-vocab pre-pass set.
     ``ray.put`` the result and pass the ref to every tagger actor —
     actors then pay one plasma deserialize (~50 ms) instead of
     re-deriving the embedding index per actor per group (~1.3 s at
-    sf1.0), which is pure serial cost on the extraction critical path."""
+    sf1.0), which is pure serial cost on the extraction critical path.
+    ``kb_whitelist``/``kb_blacklist`` override the KB candidate typing
+    filters (PipelineConfig surface; None -> lexicon defaults)."""
     catalog = build_catalog_matcher(entities)
     return {
         "catalog": catalog,
-        "fuzzy": build_fuzzy_index(entities),
+        "fuzzy": build_fuzzy_index(entities, whitelist=kb_whitelist,
+                                   blacklist=kb_blacklist),
         "hot_vocab": sorted(build_hot_vocab(catalog)),
     }
 
 
-def load_tagger_state(entities_path: str) -> dict:
+def load_tagger_state(entities_path: str, kb_whitelist=None,
+                      kb_blacklist=None) -> dict:
     """Disk-cached :func:`build_tagger_state`, keyed by the entities
     table bytes + the semantic config hash. The build is ~1.3 s of
     driver-serial embedding-index work per run — a fixed cost that does
@@ -85,7 +90,10 @@ def load_tagger_state(entities_path: str) -> dict:
 
     with open(entities_path, "rb") as f:
         raw = f.read()
-    key = hashlib.blake2b(raw + config_hash().encode(),
+    kb_key = repr((sorted(kb_whitelist) if kb_whitelist else None,
+                   sorted(kb_blacklist) if kb_blacklist else None))
+    key = hashlib.blake2b(raw + config_hash().encode()
+                          + kb_key.encode(),
                           digest_size=16).hexdigest()
     cdir = os.path.join(tempfile.gettempdir(), "casie_state_cache")
     cpath = os.path.join(cdir, f"{key}.pkl")
@@ -96,7 +104,9 @@ def load_tagger_state(entities_path: str) -> dict:
         except (pickle.UnpicklingError, EOFError, OSError):
             pass  # corrupt/partial cache: rebuild below
     import pyarrow.parquet as pq
-    state = build_tagger_state(pq.read_table(entities_path).to_pylist())
+    state = build_tagger_state(pq.read_table(entities_path).to_pylist(),
+                               kb_whitelist=kb_whitelist,
+                               kb_blacklist=kb_blacklist)
     os.makedirs(cdir, exist_ok=True)
     tmp = cpath + f".{os.getpid()}.tmp"
     with open(tmp, "wb") as f:

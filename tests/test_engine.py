@@ -409,3 +409,72 @@ def test_manifest_status_summary(ray_session, smoke_corpus, tmp_path):
     s2 = manifest.summarize(out)
     assert s2["groups_committed"] == 2
     assert s2["groups_reusable_on_resume"] == 1
+
+
+def test_pipeline_config_surface(ray_session, smoke_corpus, tmp_path):
+    """SURVEY §2.10 user-extension surface: (a) a default PipelineConfig
+    reproduces the default pipeline exactly; (b) a KB blacklist in the
+    config flows to the linker AND separates resume state (the manifest
+    hash folds the filters, so a filtered run never reuses
+    default-filter output); (c) edge_stages insert user map_batches
+    steps — both a plain callable and a stateful actor class."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.pipelines.config import (PipelineConfig, edges_dataset,
+                                            run_configured)
+    from casie_ray.pipelines.kg import run_kg_pipeline
+
+    base = str(tmp_path / "base")
+    info0 = run_kg_pipeline(smoke_corpus, base, resume=False, n_groups=2)
+
+    out = str(tmp_path / "cfg")
+    info1 = run_configured(smoke_corpus, out, PipelineConfig())
+    assert info1["edges"] == info0["edges"]
+
+    def load_edges(d):
+        t = pa.concat_tables([pq.read_table(f) for f in sorted(
+            glob.glob(os.path.join(d, "edges", "*.parquet")))])
+        return t.to_pandas().sort_values(["subj", "pred", "obj"]) \
+            .reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(load_edges(base), load_edges(out))
+
+    # blacklisting Organization kills fuzzy org links -> different KG,
+    # and the SAME out_dir must re-extract (no manifest reuse)
+    bl = PipelineConfig(kb_blacklist=frozenset({"Organization"}))
+    info2 = run_configured(smoke_corpus, out, bl)
+    assert info2["groups_skipped"] == 0          # resume state separated
+    # fuzzy org links become surface nodes: contents differ (the edge
+    # COUNT may coincide — each linked edge is replaced 1:1)
+    e1 = set(map(tuple, load_edges(base)[["subj", "pred", "obj"]]
+                 .itertuples(index=False)))
+    e2 = set(map(tuple, load_edges(out)[["subj", "pred", "obj"]]
+                 .itertuples(index=False)))
+    assert e1 - e2 and e2 - e1
+
+    # edge_stages: plain callable + actor class
+    def only_targets(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.equal(batch.column("pred"), "targets"))
+
+    class CountStamp:
+        def __init__(self, tag):
+            self.tag = tag
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "stage_tag", pa.array([self.tag] * batch.num_rows))
+
+    staged = PipelineConfig(edge_stages=(
+        (only_targets, {"batch_size": None}),
+        (CountStamp, {"fn_constructor_args": ("v1",), "concurrency": 1}),
+    ))
+    df = edges_dataset(base, staged).to_pandas()
+    assert set(df["pred"]) <= {"targets"} and len(df) > 0
+    assert (df["stage_tag"] == "v1").all()
+    plain = edges_dataset(base).to_pandas()
+    assert len(plain) == info0["edges"]

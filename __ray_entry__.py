@@ -670,11 +670,13 @@ GROUP BY s.doc_id
 
 
 def _token_features_sql(corpus: str) -> str:
-    """M6/M7 window-function twin of ops.features.token_features."""
-    from casie_ray.ops.features import _NON_CONTENT
+    """M6/M7 window-function twin of ops.features.token_features, plus
+    the deppathtoTrigger shape as bounded governor-chain self-joins."""
+    from casie_ray.ops.features import _NON_CONTENT, TRIGGER_TOKENS
     from casie_ray.tokenize import TOKEN_RE
     pat = TOKEN_RE.pattern.replace("'", "''")
     nc = "(" + ", ".join(f"'{w}'" for w in sorted(_NON_CONTENT)) + ")"
+    tg = "(" + ", ".join(f"'{w}'" for w in sorted(TRIGGER_TOKENS)) + ")"
     return f"""
         WITH tok AS (
           SELECT conv_id, turn_idx,
@@ -684,28 +686,47 @@ def _token_features_sql(corpus: str) -> str:
           FROM read_parquet('{corpus}/transcripts/*.parquet')
         ), f AS (
           SELECT *, (regexp_matches(surface, '^[A-Za-z]')
-                     AND lower(surface) NOT IN {nc}) AS is_content
+                     AND lower(surface) NOT IN {nc}) AS is_content,
+                 (lower(surface) IN {tg}) AS is_trigger
           FROM tok
         ), w AS (
           SELECT *, (is_content AND NOT
                      coalesce(lag(is_content) OVER win, false)) AS begins
           FROM f
           WINDOW win AS (PARTITION BY conv_id, turn_idx ORDER BY tok_idx)
+        ), base AS (
+          SELECT conv_id, turn_idx, CAST(tok_idx AS BIGINT) AS tok_idx,
+                 surface, is_content, is_trigger,
+                 CASE WHEN NOT is_content THEN 'O'
+                      WHEN begins THEN 'B-NP' ELSE 'I-NP' END AS chunk_tag,
+                 CAST(CASE WHEN is_content THEN
+                      sum(CASE WHEN begins THEN 1 ELSE 0 END) OVER win2
+                      ELSE 0 END AS BIGINT) AS chunk_id,
+                 CAST(coalesce(max(CASE WHEN is_content THEN tok_idx END)
+                      OVER win3, 0) AS BIGINT) AS gov_id
+          FROM w
+          WINDOW win2 AS (PARTITION BY conv_id, turn_idx ORDER BY tok_idx
+                          ROWS UNBOUNDED PRECEDING),
+                 win3 AS (PARTITION BY conv_id, turn_idx ORDER BY tok_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         )
-        SELECT conv_id, turn_idx, CAST(tok_idx AS BIGINT) AS tok_idx,
-               surface, is_content,
-               CASE WHEN NOT is_content THEN 'O'
-                    WHEN begins THEN 'B-NP' ELSE 'I-NP' END AS chunk_tag,
-               CAST(CASE WHEN is_content THEN
-                    sum(CASE WHEN begins THEN 1 ELSE 0 END) OVER win2
-                    ELSE 0 END AS BIGINT) AS chunk_id,
-               CAST(coalesce(max(CASE WHEN is_content THEN tok_idx END)
-                    OVER win3, 0) AS BIGINT) AS gov_id
-        FROM w
-        WINDOW win2 AS (PARTITION BY conv_id, turn_idx ORDER BY tok_idx
-                        ROWS UNBOUNDED PRECEDING),
-               win3 AS (PARTITION BY conv_id, turn_idx ORDER BY tok_idx
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        SELECT b.conv_id, b.turn_idx, b.tok_idx, b.surface, b.is_content,
+               b.chunk_tag, b.chunk_id, b.gov_id, b.is_trigger,
+               CAST(CASE WHEN b.is_trigger THEN 0
+                    WHEN coalesce(g1.is_trigger, false) THEN 1
+                    WHEN coalesce(g2.is_trigger, false) THEN 2
+                    WHEN coalesce(g3.is_trigger, false) THEN 3
+                    WHEN coalesce(g4.is_trigger, false) THEN 4
+                    ELSE -1 END AS BIGINT) AS dep_to_trigger
+        FROM base b
+        LEFT JOIN base g1 ON g1.conv_id = b.conv_id
+             AND g1.turn_idx = b.turn_idx AND g1.tok_idx = b.gov_id
+        LEFT JOIN base g2 ON g2.conv_id = g1.conv_id
+             AND g2.turn_idx = g1.turn_idx AND g2.tok_idx = g1.gov_id
+        LEFT JOIN base g3 ON g3.conv_id = g2.conv_id
+             AND g3.turn_idx = g2.turn_idx AND g3.tok_idx = g2.gov_id
+        LEFT JOIN base g4 ON g4.conv_id = g3.conv_id
+             AND g4.turn_idx = g3.turn_idx AND g4.tok_idx = g3.gov_id
     """
 
 

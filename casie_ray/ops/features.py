@@ -12,12 +12,20 @@ deterministically from the token stream itself:
 - ``gov_id``: the adjacency fold of M6 — each token's governor is the
   nearest preceding content token (0 = ROOT), the linear-order
   projection of the dependency fold.
+- ``is_trigger`` / ``dep_to_trigger``: the deppathtoTrigger feature
+  shape (parseJsontoFeatures.py:108-162) under the same projection —
+  number of governor hops (<= DEP_MAX_DEPTH) from the token to the
+  nearest trigger-surface ancestor; 0 = the token IS a trigger,
+  -1 = no trigger within the bound. Upward-only along the governor
+  chain (the reference walks real dependency arcs both ways — this is
+  the documented approximation, consistent with the module's stance).
 
 One stateless vectorized ``map_batches`` pass, no shuffle; every value
-is reproduced exactly by the DuckDB oracle (window functions over the
-same regex token stream), so this feature layer is value-checked, not
-just present. Downstream these columns feed the feature-hungry tagger
-seat (stages/alttagger.py, the T3 interface).
+is reproduced exactly by the DuckDB oracle (window functions + bounded
+governor-chain self-joins over the same regex token stream), so this
+feature layer is value-checked, not just present. Downstream these
+columns feed the feature-hungry tagger seat (stages/alttagger.py, the
+T3 interface).
 """
 
 from __future__ import annotations
@@ -36,10 +44,15 @@ FEATURE_SCHEMA = pa.schema([
     ("chunk_tag", pa.string()),         # B-NP | I-NP | O
     ("chunk_id", pa.int64()),           # 1-based per turn, 0 for O
     ("gov_id", pa.int64()),             # nearest preceding content tok, 0=ROOT
+    ("is_trigger", pa.bool_()),
+    ("dep_to_trigger", pa.int64()),     # governor hops to a trigger; -1 none
 ])
 
 _NON_CONTENT = frozenset(lx.STOPWORDS) | frozenset(lx.MODAL_WORDS) \
     | frozenset(lx.GENERIC_WORDS)
+DEP_MAX_DEPTH = 4
+TRIGGER_TOKENS = frozenset(k for k in lx.TRIGGER_SURFACES
+                           if " " not in k)
 
 
 def token_features_batch(batch: pa.Table) -> pa.Table:
@@ -49,6 +62,7 @@ def token_features_batch(batch: pa.Table) -> pa.Table:
 
     out_conv, out_turn, out_tok, out_surf = [], [], [], []
     content_flags: list[bool] = []
+    trig_flags: list[bool] = []
     row_bounds = [0]
     for cid, ti, text in zip(conv_ids, turn_idxs, texts):
         toks = TOKEN_RE.findall(text or "")
@@ -57,8 +71,10 @@ def token_features_batch(batch: pa.Table) -> pa.Table:
             out_turn.append(ti)
             out_tok.append(k + 1)
             out_surf.append(s)
+            low = s.lower()
             content_flags.append(s[0].isalpha()
-                                 and s.lower() not in _NON_CONTENT)
+                                 and low not in _NON_CONTENT)
+            trig_flags.append(low in TRIGGER_TOKENS)
         row_bounds.append(len(out_tok))
 
     n = len(out_tok)
@@ -92,6 +108,20 @@ def token_features_batch(batch: pa.Table) -> pa.Table:
     tags = np.full(n, "O", dtype=object)
     tags[is_content & ~begins] = "I-NP"
     tags[begins] = "B-NP"
+    # dep_to_trigger: bounded walk up the governor chain, one vectorized
+    # gather per depth level (never a per-token loop)
+    is_trig = np.array(trig_flags, dtype=bool) if n else np.zeros(0, bool)
+    turn_start = bounds[:-1]
+    gptr = np.where(gov > 0, turn_start[turn_of] + gov - 1, -1) if n \
+        else np.zeros(0, np.int64)
+    depth = np.where(is_trig, 0, -1).astype(np.int64)
+    ptr = gptr.copy()
+    for d in range(1, DEP_MAX_DEPTH + 1):
+        valid = ptr >= 0
+        safe = np.where(valid, ptr, 0)
+        hit = (depth == -1) & valid & is_trig[safe]
+        depth[hit] = d
+        ptr = np.where(valid, gptr[safe], -1)
     return pa.table({
         "conv_id": pa.array(out_conv, pa.string()),
         "turn_idx": pa.array(out_turn, pa.int32()),
@@ -101,6 +131,8 @@ def token_features_batch(batch: pa.Table) -> pa.Table:
         "chunk_tag": pa.array(tags.tolist(), pa.string()),
         "chunk_id": pa.array(chunk_id, pa.int64()),
         "gov_id": pa.array(gov, pa.int64()),
+        "is_trigger": pa.array(is_trig, pa.bool_()),
+        "dep_to_trigger": pa.array(depth, pa.int64()),
     }).cast(FEATURE_SCHEMA)
 
 

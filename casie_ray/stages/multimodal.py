@@ -5,17 +5,23 @@ decode / feature-extraction runs as an actor-pool ``map_batches`` stage
 with SMALL batches (payloads are large — batch_size x concurrency must
 fit the worker heap; the object store spills the rest).
 
-The actual codecs (PIL / ffmpeg / torchaudio) are NOT in this
-environment, so the decode kernel is stubbed: ``strict=True`` raises
-NotImplementedError at the exact seam a real decoder would occupy;
-the default is a deterministic fake decode (pure function of the
-payload bytes) so the Ray-side plumbing — schema, actor signature,
-batch sizing, output layout — is real and testable end-to-end.
+Codecs: formats decodable with stdlib + numpy are decoded FOR REAL —
+24-bit uncompressed BMP and binary PPM (P6) images (hand-parsed
+headers, vectorized pixel math) and PCM WAV audio (stdlib ``wave``):
+true width/height/mean-luma for images, sample-rate/duration/RMS for
+audio. Compressed formats (JPEG/PNG/MP3/MP4 — PIL/ffmpeg are NOT in
+this environment) hit the documented seam: ``strict=True`` raises
+NotImplementedError exactly where a real codec plugs in; the default
+falls back to a deterministic fake decode (pure function of the
+payload bytes) so the Ray-side plumbing stays testable end-to-end on
+arbitrary payloads. ``encode_bmp`` / ``encode_wav`` are the matching
+fixture encoders (round-trip tested).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -32,11 +38,107 @@ FEATURE_SCHEMA = pa.schema([
     ("media_type", pa.string()),
     ("n_bytes", pa.int64()),
     ("checksum", pa.int64()),
-    ("width", pa.int32()),                # fake-decoded dimensions
+    ("decoder", pa.string()),             # bmp | ppm | wav | fake
+    ("width", pa.int32()),                # images (0 for audio/fake)
     ("height", pa.int32()),
-    ("mean_luma", pa.float32()),
+    ("mean_luma", pa.float32()),          # images; fake path digest luma
+    ("sample_rate", pa.int32()),          # audio (0 otherwise)
+    ("duration_ms", pa.int64()),          # audio (0 otherwise)
+    ("rms", pa.float32()),                # audio (0 otherwise)
     ("embedding", pa.list_(pa.float32())),
 ])
+
+_LUMA = np.array([0.299, 0.587, 0.114], np.float64)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP bytes (bottom-up
+    rows, BGR, 4-byte row padding — the classic BITMAPINFOHEADER)."""
+    h, w, _ = pixels.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):                 # bottom-up
+        body += pixels[r, :, ::-1].tobytes()       # RGB -> BGR
+        body += b"\x00" * pad
+    off = 14 + 40
+    size = off + len(body)
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return hdr + info + bytes(body)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """1-D int16 PCM -> mono WAV bytes via the stdlib codec."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _decode_bmp(payload: bytes):
+    off, = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp, = struct.unpack_from("<H", payload, 28)
+    comp, = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={comp})")
+    flip = h < 0                                   # top-down variant
+    h = abs(h)
+    row = ((w * 3 + 3) // 4) * 4
+    data = np.frombuffer(payload, np.uint8, count=h * row, offset=off) \
+        .reshape(h, row)[:, :w * 3].reshape(h, w, 3)
+    if not flip:
+        data = data[::-1]
+    luma = float((data[:, :, ::-1].astype(np.float64) @ _LUMA).mean()
+                 / 255.0)                          # BGR -> RGB weights
+    return w, h, luma
+
+
+def _decode_ppm(payload: bytes):
+    # P6 header: magic, width, height, maxval as ASCII tokens
+    # (comments allowed), then one whitespace byte, then raw RGB
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end:end + 1].isspace():
+            end += 1
+        fields.append(int(payload[pos:end]))
+        pos = end
+    pos += 1
+    w, h, maxval = fields
+    data = np.frombuffer(payload, np.uint8, count=h * w * 3, offset=pos) \
+        .reshape(h, w, 3)
+    luma = float((data.astype(np.float64) @ _LUMA).mean() / maxval)
+    return w, h, luma
+
+
+def _decode_wav(payload: bytes):
+    import io
+    import wave
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        width = wf.getsampwidth()
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    else:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128) / 128
+    rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+    duration_ms = int(round(1000.0 * n / rate)) if rate else 0
+    return rate, duration_ms, rms
 
 # recommended map_batches sizing for large binary payloads
 MEDIA_BATCH_SIZE = 16
@@ -55,17 +157,39 @@ class MediaDecoder:
         self.strict = strict
         self.codec = None  # real build: load PIL / ffmpeg / model here
 
-    def _decode(self, payload: bytes) -> tuple[int, int, float]:
+    def _decode(self, payload: bytes) -> dict:
+        """Route by magic bytes: BMP / PPM(P6) / WAV decode for real;
+        anything else is the compressed-codec seam (strict raises, the
+        default falls back to the deterministic fake)."""
+        zero = {"width": 0, "height": 0, "mean_luma": 0.0,
+                "sample_rate": 0, "duration_ms": 0, "rms": 0.0}
+        try:
+            if payload[:2] == b"BM":
+                w, h, luma = _decode_bmp(payload)
+                return {**zero, "decoder": "bmp", "width": w,
+                        "height": h, "mean_luma": luma}
+            if payload[:2] == b"P6":
+                w, h, luma = _decode_ppm(payload)
+                return {**zero, "decoder": "ppm", "width": w,
+                        "height": h, "mean_luma": luma}
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                rate, dur, rms = _decode_wav(payload)
+                return {**zero, "decoder": "wav", "sample_rate": rate,
+                        "duration_ms": dur, "rms": rms}
+        except (ValueError, struct.error, EOFError, IndexError) as e:
+            if self.strict:
+                raise NotImplementedError(
+                    f"payload sniffed as media but undecodable: {e}") \
+                    from e
         if self.strict:
             raise NotImplementedError(
-                "media codecs unavailable in this environment; "
-                "plug a real decoder here")
+                "no native codec for this payload format (PIL/ffmpeg "
+                "absent in this environment; BMP/PPM/WAV decode "
+                "natively) — plug a real decoder here")
         # deterministic fake decode: dims and luma from the digest
         d = hashlib.blake2b(payload or b"", digest_size=16).digest()
-        width = 64 + d[0] * 8
-        height = 64 + d[1] * 8
-        mean_luma = d[2] / 255.0
-        return width, height, mean_luma
+        return {**zero, "decoder": "fake", "width": 64 + d[0] * 8,
+                "height": 64 + d[1] * 8, "mean_luma": d[2] / 255.0}
 
     def _embed(self, payload: bytes) -> np.ndarray:
         d = hashlib.blake2b(payload or b"", digest_size=2 * EMBED_DIM,
@@ -82,7 +206,6 @@ class MediaDecoder:
         rows = []
         for mid, mtype, p in zip(ids, types, payloads):
             p = p or b""
-            w, h, luma = self._decode(p)
             rows.append({
                 "media_id": mid, "media_type": mtype,
                 "n_bytes": len(p),
@@ -90,7 +213,7 @@ class MediaDecoder:
                 # (CAST('0x'||substring(sha256(payload),1,15) AS BIGINT)),
                 # making the metadata half of this stage oracle-checkable
                 "checksum": int(hashlib.sha256(p).hexdigest()[:15], 16),
-                "width": w, "height": h, "mean_luma": luma,
+                **self._decode(p),
                 "embedding": self._embed(p).tolist(),
             })
         return pa.Table.from_pylist(rows, schema=FEATURE_SCHEMA)

@@ -255,6 +255,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # after slot 50 is hash-green in CORRECTNESS_r03 with unchanged
     # code. Rotate freshly-evidenced entries to the back each round.
     return {
+        # --- new in r4 (never driver-checked) ---
+        "events_retention": _rel.events_retention,
+        "events_cube": _rel.events_cube,
+        "doc_top_terms": _text.doc_top_terms,
+        "inverted_index": _retr.inverted_index,
         # --- never driver-checked before r4 ---
         "events_funnel": _rel.events_funnel,
         "events_pivot": _rel.events_pivot,
@@ -303,13 +308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann.ann_topk,
         "ann_topk_lsh": _ann.ann_topk_lsh,
         "dedup_exact": _dedup.exact_dedup,
-        "dedup_jaccard_pairs": _dedup.jaccard_pairs,
         "dedup_minhash_lsh": _dedup.minhash_lsh_pairs,
-        "dedup_simhash_pairs": _dedup.simhash_pairs,
-        "dedup_substring_pairs": _dedup.substring_pairs,
         "dedup_embedding_pairs": _dedup.embedding_dup_pairs,
         "dedup_embedding_pairs_lsh": _dedup.embedding_dup_pairs_lsh,
-        "dup_clusters": _dup_clusters,
         "doc_stats": _text.doc_stats,
         "doc_corpus_stats": _text.corpus_stats,
         "event_class_weights": _event_class_weights,
@@ -318,6 +319,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": _media_dedup,
         "turn_token_features": _token_features,
         # ---- slot 51+: hash-green in CORRECTNESS_r03, unchanged ----
+        "dedup_jaccard_pairs": _dedup.jaccard_pairs,
+        "dedup_simhash_pairs": _dedup.simhash_pairs,
+        "dedup_substring_pairs": _dedup.substring_pairs,
+        "dup_clusters": _dup_clusters,
         "doc_token_count": _text.token_count,
         "doc_lang_id": _text.lang_id,
         "doc_fingerprint": _text.fingerprint,
@@ -827,6 +832,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS media_id,
                    count(*) AS n_copies
             FROM documents GROUP BY 1""",
+        "events_retention": _rel.RETENTION_SQL,
+        "events_cube": _rel.CUBE_SQL,
+        "doc_top_terms": _text.doc_top_terms_sql(),
+        "inverted_index": _retr.inverted_index_sql(),
         "dedup_jaccard_pairs": _JACCARD_SQL,
         "dedup_minhash_lsh": _JACCARD_SQL,
         "dedup_simhash_pairs": _simhash_sql(),

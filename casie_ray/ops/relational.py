@@ -939,3 +939,165 @@ def pivot_sql(types: tuple[str, ...] = PIVOT_TYPES) -> str:
         f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) "
         f"AS n_{t}" for t in types)
     return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (the classic product-analytics matrix over events)
+# ---------------------------------------------------------------------------
+
+WEEK_US = 7 * 86400 * 1_000_000
+
+
+def events_retention(sf_dir: str):
+    """(cohort_week, week_offset, n_users): users bucketed by the epoch
+    week of their FIRST event; for every later week in which a cohort
+    member was active, the count of such members. Week = floor of epoch
+    microseconds / one week (no calendar/timezone semantics, so both
+    sides compute the identical integer).
+
+    Scale shape: a per-batch combiner first dedupes (user, week) pairs
+    — the only mass that ever crosses the wire is one row per active
+    user-week, not one per event. One bucketed exchange on hash(user)
+    makes each user's weeks complete in one task, where cohort = the
+    run minimum; per-bucket (cohort, offset) count partials are
+    O(weeks^2) tiny and fold in a single final block."""
+    from .bucketing import bucket_groupby, hash_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        week = pc.divide(batch.column("ts").cast(pa.int64()),
+                         pa.scalar(WEEK_US, pa.int64()))
+        t = pa.table({"user_id": batch.column("user_id"), "week": week})
+        g = t.group_by(["user_id", "week"]).aggregate([])
+        return g.append_column("bucket", pa.array(
+            hash_bucket([g.column("user_id")]), pa.int32()))
+
+    def per_user(group: pa.Table) -> pa.Table:
+        # user-complete bucket: dedupe across blocks, then run-min
+        g = group.select(["user_id", "week"]) \
+            .group_by(["user_id", "week"]).aggregate([])
+        uid = g.column("user_id").to_numpy()
+        week = g.column("week").to_numpy()
+        order = np.lexsort((week, uid))
+        uid, week = uid[order], week[order]
+        n = len(uid)
+        if n == 0:
+            return pa.table({"cohort_week": pa.array([], pa.int64()),
+                             "week_offset": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        change = np.concatenate([[True], uid[1:] != uid[:-1]])
+        run_start = np.maximum.accumulate(
+            np.where(change, np.arange(n), 0))
+        cohort = week[run_start]
+        t = pa.table({
+            "cohort_week": pa.array(cohort, pa.int64()),
+            "week_offset": pa.array(week - cohort, pa.int64()),
+            "n_users": pa.array(np.ones(n, np.int64)),
+        })
+        g2 = t.group_by(["cohort_week", "week_offset"]).aggregate(
+            [("n_users", "sum")])
+        return g2.rename_columns(["cohort_week", "week_offset", "n_users"])
+
+    def final(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["cohort_week", "week_offset"]).aggregate(
+            [("n_users", "sum")])
+        return g.rename_columns(["cohort_week", "week_offset", "n_users"])
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    ds = bucket_groupby(ds, per_user)
+    return ds.repartition(1).map_batches(final, batch_format="pyarrow",
+                                         batch_size=None)
+
+
+RETENTION_SQL = f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // {WEEK_US} AS BIGINT) AS week
+      FROM events
+    ), c AS (
+      SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id
+    )
+    SELECT c.cohort AS cohort_week,
+           CAST(uw.week - c.cohort AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM uw JOIN c USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets (rollup's 2^d sibling) over the events stream
+# ---------------------------------------------------------------------------
+
+DAY_US = 86400 * 1_000_000
+
+
+def events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, dow): all four grouping sets of
+    (event_type, epoch-day-of-week), NULL-marked like SQL. dow is the
+    epoch day modulo 7 (day 0 = 1970-01-01), a pure integer both sides
+    derive identically. Like lineitem_agg_rollup, the three coarser
+    sets are computed FROM the base aggregate in one tiny final block —
+    one distributed combiner pass over raw events, never a rescan."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dow = pa.array((ts // DAY_US) % 7, pa.int64())
+        cents = _cents(batch.column("value"))
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "dow": dow,
+            "n_events": pa.array(np.ones(batch.num_rows, np.int64)),
+            "value_cents": cents,
+        })
+        g = t.group_by(["event_type", "dow"]).aggregate(
+            [("n_events", "sum"), ("value_cents", "sum")])
+        return g.rename_columns(
+            ["event_type", "dow", "n_events", "value_cents"])
+
+    def cube(t: pa.Table) -> pa.Table:
+        base = t.group_by(["event_type", "dow"]).aggregate(
+            [("n_events", "sum"), ("value_cents", "sum")])
+        base = base.rename_columns(
+            ["event_type", "dow", "n_events", "value_cents"])
+        by_type = base.group_by(["event_type"]).aggregate(
+            [("n_events", "sum"), ("value_cents", "sum")])
+        by_type = by_type.rename_columns(
+            ["event_type", "n_events", "value_cents"])
+        by_type = by_type.add_column(
+            1, "dow", pa.nulls(by_type.num_rows, pa.int64()))
+        by_dow = base.group_by(["dow"]).aggregate(
+            [("n_events", "sum"), ("value_cents", "sum")])
+        by_dow = by_dow.rename_columns(["dow", "n_events", "value_cents"])
+        by_dow = by_dow.add_column(
+            0, "event_type", pa.nulls(by_dow.num_rows, pa.string()))
+        tot = pa.table({
+            "event_type": pa.nulls(1, pa.string()),
+            "dow": pa.nulls(1, pa.int64()),
+            "n_events": pa.array(
+                [pc.sum(base.column("n_events")).as_py() or 0],
+                pa.int64()),
+            "value_cents": pa.array(
+                [pc.sum(base.column("value_cents")).as_py() or 0],
+                pa.int64()),
+        })
+        cols = ["event_type", "dow", "n_events", "value_cents"]
+        return pa.concat_tables(
+            [base.select(cols), by_type.select(cols),
+             by_dow.select(cols), tot.select(cols)])
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return ds.repartition(1).map_batches(cube, batch_format="pyarrow",
+                                         batch_size=None)
+
+
+CUBE_SQL = f"""
+    SELECT event_type,
+           CAST((epoch_us(ts) // {DAY_US}) % 7 AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY CUBE(event_type, dow)
+"""

@@ -236,3 +236,158 @@ def bm25_sql(terms: tuple[str, ...] = DEFAULT_TERMS,
                CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
                     AS BIGINT) AS rank
         FROM s ORDER BY rank LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build (word -> postings summary)
+# ---------------------------------------------------------------------------
+#
+# The index-construction half of retrieval: one row per vocabulary
+# word with its document frequency, total term frequency, and a
+# POSTINGS SIGNATURE — the mod-2^63 wrapping sum of splitmix64(doc_id)
+# over the word's distinct posting docs. The signature is commutative
+# and associative, so per-block partials combine in any order (the
+# mergeable-sketch property HLL uses) and the whole table has an exact
+# DuckDB twin; it is exactly the integrity checksum a sharded index
+# build wants per posting list. At 100 TB only one row per distinct
+# (block, word) crosses the wire — token mass never does — and the
+# word-bucketed exchange is the same one vocab_top_words rides.
+
+
+def _fold_postings(t: "pa.Table", wrap_final: bool) -> "pa.Table":
+    """Fold (word, df, tf_total, sig) rows by word: int64 sums for
+    df/tf, wrapping uint64 sum for sig (order-free). Vectorized via
+    one sort + reduceat; the only loop-free boundary scan is Arrow
+    string inequality on adjacent rows."""
+    t = t.sort_by([("word", "ascending")])
+    n = t.num_rows
+    if n == 0:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64()),
+                         "tf_total": pa.array([], pa.int64()),
+                         "postings_sig": pa.array([], pa.int64() if
+                                                  wrap_final
+                                                  else pa.uint64())})
+    w = t.column("word").combine_chunks()
+    if n > 1:
+        change = np.concatenate(
+            [[True], pc.not_equal(w.slice(1), w.slice(0, n - 1))
+             .to_numpy(zero_copy_only=False)])
+    else:
+        change = np.array([True])
+    starts = np.nonzero(change)[0]
+    df = np.add.reduceat(
+        t.column("df").to_numpy(zero_copy_only=False), starts)
+    tf = np.add.reduceat(
+        t.column("tf_total").to_numpy(zero_copy_only=False), starts)
+    with np.errstate(over="ignore"):
+        sig = np.add.reduceat(
+            t.column("postings_sig").to_numpy(zero_copy_only=False)
+            .astype(np.uint64), starts)
+    if wrap_final:
+        sig_col = pa.array((sig % np.uint64(1 << 63)).astype(np.int64),
+                           pa.int64())
+    else:
+        sig_col = pa.array(sig, pa.uint64())
+    return pa.table({
+        "word": w.take(pa.array(starts, pa.int64())),
+        "df": pa.array(df.astype(np.int64), pa.int64()),
+        "tf_total": pa.array(tf.astype(np.int64), pa.int64()),
+        "postings_sig": sig_col,
+    })
+
+
+def inverted_index(sf_dir: str):
+    """(word, df, tf_total, postings_sig) for every vocabulary word;
+    single-space tokenization shared with the vocab/BM25 family."""
+    import ray.data
+
+    from .bucketing import (bucket_groupby, fnv1a_hashes, hash_bucket,
+                            mix64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        splits = pc.split_pattern(
+            pc.fill_null(batch.column("text"), ""), " ")
+        lens = pc.list_value_length(splits).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(splits)
+        row_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                           lens)
+        tfd = pa.table({"row": pa.array(row_of), "word": flat}) \
+            .group_by(["row", "word"]).aggregate([([], "count_all")]) \
+            .rename_columns(["row", "word", "tf"])
+        sig = mix64([ids[tfd.column("row").to_numpy()]])
+        folded = _fold_postings(pa.table({
+            "word": tfd.column("word"),
+            "df": pa.array(np.ones(tfd.num_rows, np.int64)),
+            "tf_total": tfd.column("tf").cast(pa.int64()),
+            "postings_sig": pa.array(sig, pa.uint64()),
+        }), wrap_final=False)
+        h = fnv1a_hashes(folded.column("word").to_pylist())
+        return folded.append_column(
+            "bucket", pa.array(hash_bucket([h]), pa.int32()))
+
+    def final(group: pa.Table) -> pa.Table:
+        return _fold_postings(group.drop_columns(["bucket"]),
+                              wrap_final=True)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    ds = docs.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+    return bucket_groupby(ds, final)
+
+
+# splitmix64 constants (shared with ops.bucketing.mix64 / the HLL twin)
+_PHI = 0x9E3779B97F4A7C15
+_SPLIT1 = 0xBF58476D1CE4E5B9
+_SPLIT2 = 0x94D049BB133111EB
+_M64_SQL = "CAST(18446744073709551616 AS HUGEINT)"
+
+
+def _mulmod64(h: str, const: int) -> str:
+    """(h * const) mod 2^64 without HUGEINT overflow: split the
+    constant into 32-bit halves (every intermediate < 2^97)."""
+    hi, lo = const >> 32, const & 0xFFFFFFFF
+    return (f"CAST((((CAST({h} AS HUGEINT) * {hi}) % 4294967296) "
+            f"* 4294967296 + CAST({h} AS HUGEINT) * {lo}) % {_M64_SQL} "
+            "AS UBIGINT)")
+
+
+def inverted_index_sql() -> str:
+    """DuckDB twin: splitmix64 of doc_id reproduced stage-by-stage in
+    CTEs (the hll_user_registers idiom), wrapping HUGEINT sum per word,
+    final mod 2^63 to land in BIGINT."""
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(coalesce(text, ''), ' ')) AS word
+          FROM documents
+        ), tfd AS (
+          SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY word, doc_id
+        ), s1 AS (
+          SELECT word, tf,
+                 {_mulmod64('CAST(doc_id AS UBIGINT)', _PHI)} AS h0
+          FROM tfd
+        ), s1b AS (
+          SELECT word, tf, CAST((CAST(h0 AS HUGEINT) + 1) % {_M64_SQL}
+                                AS UBIGINT) AS h FROM s1
+        ), s2 AS (
+          SELECT word, tf, xor(h, h >> 30) AS h FROM s1b
+        ), s3 AS (
+          SELECT word, tf, {_mulmod64('h', _SPLIT1)} AS h FROM s2
+        ), s4 AS (
+          SELECT word, tf, xor(h, h >> 27) AS h FROM s3
+        ), s5 AS (
+          SELECT word, tf, {_mulmod64('h', _SPLIT2)} AS h FROM s4
+        ), s6 AS (
+          SELECT word, tf, xor(h, h >> 31) AS h FROM s5
+        )
+        SELECT word, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS tf_total,
+               CAST(((sum(CAST(h AS HUGEINT)) % {_M64_SQL})
+                     % CAST(9223372036854775808 AS HUGEINT)) AS BIGINT)
+                   AS postings_sig
+        FROM s6 GROUP BY word"""

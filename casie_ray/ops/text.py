@@ -546,3 +546,150 @@ COLLOC_SQL = f"""
            ua.n AS n_a, ub.n AS n_b
     FROM bg JOIN uni ua ON ua.w = bg.wa JOIN uni ub ON ub.w = bg.wb
 """
+
+
+# --- per-document top terms (the integer core of TF-IDF keywording) ---
+#
+# The keyword-extraction primitive: for every document, its k most
+# salient terms with term frequency and corpus document frequency. The
+# ranking contract is the integer-exact total order (tf desc, df asc,
+# word asc) — highest in-doc frequency first, corpus-rarest breaking
+# ties — so the driver hash-compares exactly; any float idf weighting
+# (tf*ln(N/df), BM25-idf, ...) is a trivial epilogue over the emitted
+# (tf, df) columns.
+#
+# Scale shape (two bucketed exchanges, token mass never crosses the
+# wire):
+#  1. per-batch: per-doc tf via one Arrow group_by; PRUNE to the
+#     doc-local candidate set tf >= (k-th largest tf in that doc) —
+#     df only breaks ties among equal tf, so no other word can reach
+#     the top-k; emit word-level df partials (distinct words per
+#     block) alongside, tagged-union keyed on hash(word);
+#  2. word-complete buckets: fold df, attach it to candidates with a
+#     per-bucket vectorized Arrow join, rebucket by hash(doc_id);
+#  3. doc-complete buckets: one sort + run-rank, keep rk <= k.
+
+DOC_TOP_TERMS_K = 5
+
+
+def doc_top_terms(sf_dir: str, k: int = DOC_TOP_TERMS_K):
+    """(doc_id, word, tf, df, rk): each document's top-k terms by
+    (tf desc, df asc, word asc); single-space tokenization shared with
+    the vocab/BM25 family."""
+    from .bucketing import bucket_groupby, fnv1a_hashes, hash_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        splits = pc.split_pattern(
+            pc.fill_null(batch.column("text"), ""), " ")
+        lens = pc.list_value_length(splits).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(splits)
+        row_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                           lens)
+        tf_t = pa.table({"row": pa.array(row_of), "word": flat}) \
+            .group_by(["row", "word"]).aggregate([([], "count_all")]) \
+            .rename_columns(["row", "word", "tf"])
+        row = tf_t.column("row").to_numpy()
+        tf = tf_t.column("tf").to_numpy().astype(np.int64)
+        # doc-local candidate prune: tf >= k-th largest tf of the doc
+        order = np.lexsort((-tf, row))
+        row_s, tf_s = row[order], tf[order]
+        n = len(row_s)
+        if n:
+            change = np.concatenate([[True], row_s[1:] != row_s[:-1]])
+            start = np.maximum.accumulate(
+                np.where(change, np.arange(n), 0))
+            pos = np.arange(n) - start
+            counts = np.bincount(row_s, minlength=batch.num_rows)
+            kth_pos = np.minimum(counts[row_s], k) - 1
+            thr_idx = start + kth_pos
+            keep = order[tf_s >= tf_s[thr_idx]]
+        else:
+            keep = np.empty(0, np.int64)
+        cand = tf_t.take(pa.array(keep, pa.int64()))
+        cw = cand.column("word")
+        # df partials: one row per distinct word in the block
+        dfp = tf_t.group_by(["word"]).aggregate([([], "count_all")]) \
+            .rename_columns(["word", "n"])
+        nc, nd = cand.num_rows, dfp.num_rows
+        h = fnv1a_hashes(cw.to_pylist() + dfp.column("word").to_pylist())
+        return pa.table({
+            "word": pa.concat_arrays([cw.combine_chunks(),
+                                      dfp.column("word").combine_chunks()]),
+            "doc_id": pa.concat_arrays([
+                pa.array(ids[row[keep]], pa.int64()),
+                pa.nulls(nd, pa.int64())]),
+            "tf": pa.concat_arrays([
+                cand.column("tf").cast(pa.int64()).combine_chunks(),
+                pa.nulls(nd, pa.int64())]),
+            "n": pa.concat_arrays([
+                pa.nulls(nc, pa.int64()),
+                dfp.column("n").cast(pa.int64()).combine_chunks()]),
+            "bucket": pa.array(hash_bucket([h]), pa.int32()),
+        })
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        is_cand = pc.is_valid(group.column("doc_id"))
+        cand = group.filter(is_cand)
+        dfp = group.filter(pc.invert(is_cand))
+        df_t = dfp.select(["word", "n"]).group_by(["word"]) \
+            .aggregate([("n", "sum")]).rename_columns(["word", "df"])
+        j = cand.select(["word", "doc_id", "tf"]).join(
+            df_t, keys="word", join_type="inner")
+        return pa.table({
+            "doc_id": j.column("doc_id"), "word": j.column("word"),
+            "tf": j.column("tf"), "df": j.column("df").cast(pa.int64()),
+            "bucket": pa.array(hash_bucket(
+                [j.column("doc_id").to_numpy(zero_copy_only=False)]),
+                pa.int32()),
+        })
+
+    def rank(group: pa.Table) -> pa.Table:
+        t = group.select(["doc_id", "word", "tf", "df"]).sort_by(
+            [("doc_id", "ascending"), ("tf", "descending"),
+             ("df", "ascending"), ("word", "ascending")])
+        ids = t.column("doc_id").to_numpy()
+        n = len(ids)
+        if n == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "word": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "rk": pa.array([], pa.int64())})
+        change = np.concatenate([[True], ids[1:] != ids[:-1]])
+        start = np.maximum.accumulate(np.where(change, np.arange(n), 0))
+        rk = np.arange(n) - start + 1
+        t = t.append_column("rk", pa.array(rk, pa.int64()))
+        return t.filter(pa.array(rk <= k))
+
+    ds = _read_documents(sf_dir).map_batches(
+        partial, batch_format="pyarrow", batch_size=None)
+    ds = bucket_groupby(ds, attach_df)
+    return bucket_groupby(ds, rank, pre_repartition=False)
+
+
+def doc_top_terms_sql(k: int = DOC_TOP_TERMS_K) -> str:
+    """DuckDB twin: identical tokenization, identical total order."""
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(coalesce(text, ''), ' ')) AS word
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, word
+        ), df AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf
+          GROUP BY word
+        ), ranked AS (
+          SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                 CAST(row_number() OVER (
+                     PARTITION BY tf.doc_id
+                     ORDER BY tf.tf DESC, df.df ASC, tf.word ASC)
+                   AS BIGINT) AS rk
+          FROM tf JOIN df USING (word)
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, word, tf, df, rk
+        FROM ranked WHERE rk <= {k}"""

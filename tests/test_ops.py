@@ -68,6 +68,9 @@ SQL_CHECKED = [
     "lineitem_quantiles_by_flag", "events_sliding_counts",
     "lineitem_agg_rollup", "doc_normalize", "doc_bm25_topk",
     "doc_export_partitioned",
+    # round-4 additions
+    "events_retention", "events_cube", "doc_top_terms",
+    "inverted_index",
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events",

@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": _rel.events_retention,
         "events_cube": _rel.events_cube,
         "doc_top_terms": _text.doc_top_terms,
+        "doc_length_rank": _text.doc_length_rank,
         "inverted_index": _retr.inverted_index,
         # --- never driver-checked before r4 ---
         "events_funnel": _rel.events_funnel,
@@ -835,6 +836,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": _rel.RETENTION_SQL,
         "events_cube": _rel.CUBE_SQL,
         "doc_top_terms": _text.doc_top_terms_sql(),
+        "doc_length_rank": _text.DOC_LENGTH_RANK_SQL,
         "inverted_index": _retr.inverted_index_sql(),
         "dedup_jaccard_pairs": _JACCARD_SQL,
         "dedup_minhash_lsh": _JACCARD_SQL,

@@ -693,3 +693,94 @@ def doc_top_terms_sql(k: int = DOC_TOP_TERMS_K) -> str:
         )
         SELECT CAST(doc_id AS BIGINT) AS doc_id, word, tf, df, rk
         FROM ranked WHERE rk <= {k}"""
+
+
+# --- exact global sort-rank on a value key (distributed ORDER BY) ---
+#
+# The ordered-export primitive: every document's exact global rank
+# under (n_chars DESC, doc_id ASC) WITHOUT a payload sort — the
+# shuffled_windows two-pass shape applied to a VALUE key instead of a
+# hash. Pass 1 builds a tiny value-range histogram (per-block partials
+# merged in one task), whose descending prefix sums are exact base
+# offsets; pass 2 exchanges rows keyed by their value range and ranks
+# each range locally (equal sort keys co-locate by construction, so
+# ties resolve exactly). Only the histogram and the final (id, key,
+# rank) rows move — document text never does; at 100 TB this is the
+# difference between a rank assignment and an all-to-all payload sort.
+
+N_RANK_RANGES = 4096
+_RANK_RANGE_WIDTH = 16
+
+
+def doc_length_rank(sf_dir: str):
+    """(doc_id, n_chars, rank): rank 1 = longest document, ties broken
+    by doc_id ascending — exact twin of
+    row_number() OVER (ORDER BY n_chars DESC, doc_id)."""
+    import ray.data
+
+    from .bucketing import bucket_groupby
+
+    def rng_of(n_chars: np.ndarray) -> np.ndarray:
+        return np.minimum(n_chars // _RANK_RANGE_WIDTH,
+                          N_RANK_RANGES - 1).astype(np.int64)
+
+    def hist(t: pa.Table) -> pa.Table:
+        rng = rng_of(t.column("n_chars").to_numpy(zero_copy_only=False))
+        cnt = np.bincount(rng, minlength=N_RANK_RANGES)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"rng": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    def merge_hist(t: pa.Table) -> pa.Table:
+        g = t.group_by(["rng"]).aggregate([("n", "sum")])
+        return g.rename_columns(["rng", "n"])
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+    hist_tbl = pa.concat_tables(
+        docs.map_batches(hist, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge_hist, batch_format="pyarrow",
+                     batch_size=None)
+        .iter_batches(batch_format="pyarrow"))
+    counts = np.zeros(N_RANK_RANGES, np.int64)
+    counts[hist_tbl.column("rng").to_numpy()] = \
+        hist_tbl.column("n").to_numpy()
+    # descending key order: a range's base offset = total mass of all
+    # STRICTLY GREATER ranges
+    above = np.concatenate(
+        [[0], np.cumsum(counts[::-1])[:-1]])[::-1].copy()
+
+    def keyed(t: pa.Table) -> pa.Table:
+        rng = rng_of(t.column("n_chars").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": t.column("n_chars"),
+            "bucket": pa.array(rng, pa.int32()),
+        })
+
+    def rank_range(group: pa.Table) -> pa.Table:
+        rng = int(group.column("bucket")[0].as_py())
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = group.column("n_chars").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -nc))
+        rank = np.empty(len(ids), np.int64)
+        rank[order] = above[rng] + np.arange(1, len(ids) + 1)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars": pa.array(nc, pa.int64()),
+            "rank": pa.array(rank, pa.int64()),
+        })
+
+    ds = docs.map_batches(keyed, batch_format="pyarrow",
+                          batch_size=None)
+    return bucket_groupby(ds, rank_range)
+
+
+DOC_LENGTH_RANK_SQL = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM documents
+"""

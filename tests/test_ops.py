@@ -70,7 +70,7 @@ SQL_CHECKED = [
     "doc_export_partitioned",
     # round-4 additions
     "events_retention", "events_cube", "doc_top_terms",
-    "inverted_index",
+    "inverted_index", "doc_length_rank",
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events",
@@ -1429,3 +1429,117 @@ def test_ivf_quantizer_unbiased_under_sorted_layout(ray_session,
     got = {(r.query_id, r.neighbor_id) for r in ivf.itertuples()}
     want = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
     assert len(got & want) / len(want) >= 0.8
+
+
+def test_doc_top_terms_tie_pruning_planted(ray_session, tmp_path):
+    """Adversarial fixture for the doc-local candidate prune: tf ties
+    straddling the k boundary must be resolved by df (corpus-rare
+    first) then word — which requires every tf-threshold tie to
+    survive the prune and meet its df. Includes docs with fewer than
+    k distinct words and an empty doc."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops.text import doc_top_terms, doc_top_terms_sql
+
+    # 'rare' occurs in 1 doc, 'common' in all -> at equal tf, 'rare'
+    # outranks 'common'; doc 0 has six words tied at tf=2 so the k=5
+    # cut lands inside the tie group
+    docs = [
+        "rare common aa bb cc dd rare common aa bb cc dd",
+        "common common zz",
+        "",
+        "solo",
+    ]
+    d = tmp_path / "toptermsfx"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())}),
+        str(d / "documents.parquet"))
+    got = doc_top_terms(str(d)).to_pandas()
+    got = got[sorted(got.columns)].sort_values(
+        list(sorted(got.columns))).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = con.execute(doc_top_terms_sql()).fetchdf()
+    want = want[sorted(want.columns)].sort_values(
+        list(sorted(want.columns))).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    # the rare-vs-common df tie-break actually fired in doc 0's top-5
+    top0 = got[got.doc_id == 0]
+    assert "rare" in set(top0.word) and len(top0) == 5
+
+
+def test_inverted_index_signature_merge_order_free():
+    """The postings signature must be identical however the rows are
+    partitioned and ordered (the mergeable-partial property the
+    distributed fold relies on)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from casie_ray.ops.bucketing import mix64
+    from casie_ray.ops.retrieval import _fold_postings
+
+    rng = np.random.RandomState(7)
+    words = np.array(["w%d" % (i % 5) for i in range(40)])
+    doc_ids = rng.randint(0, 1 << 62, size=40).astype(np.uint64)
+    rows = pa.table({
+        "word": pa.array(words, pa.string()),
+        "df": pa.array(np.ones(40, np.int64)),
+        "tf_total": pa.array(rng.randint(1, 9, 40).astype(np.int64)),
+        "postings_sig": pa.array(mix64([doc_ids]), pa.uint64()),
+    })
+    full = _fold_postings(rows, wrap_final=True).to_pandas() \
+        .sort_values("word").reset_index(drop=True)
+    # fold in two scrambled halves, then fold the partials
+    perm = rng.permutation(40)
+    half1 = _fold_postings(rows.take(pa.array(perm[:13])),
+                           wrap_final=False)
+    half2 = _fold_postings(rows.take(pa.array(perm[13:])),
+                           wrap_final=False)
+    merged = _fold_postings(pa.concat_tables([half2, half1]),
+                            wrap_final=True).to_pandas() \
+        .sort_values("word").reset_index(drop=True)
+    pd.testing.assert_frame_equal(full, merged)
+
+
+def test_doc_length_rank_clamped_ranges(ray_session, tmp_path):
+    """Ranks are an exact permutation even when many docs clamp into
+    the last value range (n_chars beyond the histogram width) and tie
+    on n_chars."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops.text import doc_length_rank, DOC_LENGTH_RANK_SQL
+
+    rng = np.random.RandomState(3)
+    n = 300
+    n_chars = np.concatenate([
+        rng.randint(0, 200, 150),          # normal ranges, with ties
+        rng.randint(70000, 70005, 150),    # all clamp into range 4095
+    ]).astype(np.int64)
+    d = tmp_path / "rankfx"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array([""] * n, pa.string()),
+        "n_chars": pa.array(n_chars, pa.int64()),
+    }), str(d / "documents.parquet"))
+    got = doc_length_rank(str(d)).to_pandas()
+    assert sorted(got["rank"]) == list(range(1, n + 1))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = con.execute(DOC_LENGTH_RANK_SQL).fetchdf()
+    got = got.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_chars", "rank"]]
+    want = want.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_chars", "rank"]]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)

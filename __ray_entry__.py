@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": _text.doc_top_terms,
         "doc_length_rank": _text.doc_length_rank,
         "inverted_index": _retr.inverted_index,
+        "kmv_distinct_users": _sketch.kmv_user_values,
         # --- never driver-checked before r4 ---
         "events_funnel": _rel.events_funnel,
         "events_pivot": _rel.events_pivot,
@@ -419,6 +420,28 @@ def _hll_sql() -> str:
                         ELSE 53 - length(bin({w})) END) AS BIGINT)
                    AS max_rank
         FROM s6 GROUP BY register"""
+
+
+def _kmv_sql(k: int = 64) -> str:
+    """DuckDB twin of ops.sketch.kmv_user_values: splitmix64 of each
+    distinct user_id (the _hll_sql chain), K smallest full values,
+    reported >> 1 to stay BIGINT-safe."""
+    phi = 0x9E3779B97F4A7C15
+    s1c = 0xBF58476D1CE4E5B9
+    s2c = 0x94D049BB133111EB
+    return f"""
+        WITH u AS (SELECT DISTINCT CAST(user_id AS UBIGINT) AS a
+                   FROM events),
+        s1 AS (SELECT {_mulmod64_sql('a', phi)} AS h0 FROM u),
+        s1b AS (SELECT CAST((CAST(h0 AS HUGEINT) + 1) % {_M64}
+                            AS UBIGINT) AS h FROM s1),
+        s2 AS (SELECT xor(h, h >> 30) AS h FROM s1b),
+        s3 AS (SELECT {_mulmod64_sql('h', s1c)} AS h FROM s2),
+        s4 AS (SELECT xor(h, h >> 27) AS h FROM s3),
+        s5 AS (SELECT {_mulmod64_sql('h', s2c)} AS h FROM s4),
+        s6 AS (SELECT xor(h, h >> 31) AS h FROM s5)
+        SELECT CAST((h >> 1) AS BIGINT) AS h
+        FROM s6 ORDER BY h LIMIT {k}"""
 
 
 def _pack_sql(seq_len: int = 512, n_buckets: int = 64) -> str:
@@ -838,6 +861,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_terms": _text.doc_top_terms_sql(),
         "doc_length_rank": _text.DOC_LENGTH_RANK_SQL,
         "inverted_index": _retr.inverted_index_sql(),
+        "kmv_distinct_users": _kmv_sql(),
         "dedup_jaccard_pairs": _JACCARD_SQL,
         "dedup_minhash_lsh": _JACCARD_SQL,
         "dedup_simhash_pairs": _simhash_sql(),

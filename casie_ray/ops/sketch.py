@@ -206,3 +206,69 @@ def hll_estimate(registers: pa.Table, p: int = HLL_P) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch
+# ---------------------------------------------------------------------------
+#
+# The order-statistics sibling of HLL (Bar-Yossef et al. 2002): keep
+# the K smallest splitmix64 hash values over distinct user_ids; the
+# K-th smallest estimates the distinct count as (K-1)/kth_normalized.
+# Like the HLL registers, the SKETCH STATE is the query contract — a
+# deterministic integer table with an exact DuckDB twin — while the
+# float estimate stays a separate helper. Partials are mergeable
+# (concat -> dedup -> K smallest), so per-block prunes to K rows and
+# only K x #blocks rows ever reach the single merge task.
+
+KMV_K = 64
+
+
+def kmv_user_values(sf_dir: str, k: int = KMV_K):
+    """The K smallest splitmix64(user_id) values over distinct
+    ``events.user_id``, reported as h >> 1 (BIGINT-safe; selection
+    uses the full 64-bit value on both sides). One column ``h``."""
+    import ray.data
+
+    from .bucketing import mix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.unique(batch.column("user_id")
+                        .to_numpy(zero_copy_only=False))
+        h = mix64([ids.astype(np.uint64)])
+        if len(h) > k:
+            keep = np.argpartition(h, k - 1)[:k]
+            ids, h = ids[keep], h[keep]
+        return pa.table({"user_id": pa.array(ids.astype(np.int64)),
+                         "h": pa.array(h, pa.uint64())})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        ids = batch.column("user_id").to_numpy(zero_copy_only=False)
+        h = batch.column("h").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        # dedup by user (cross-block repeats carry identical h); a
+        # genuine h collision between two users keeps both rows,
+        # matching the SQL twin's DISTINCT user_id semantics
+        _, first = np.unique(ids, return_index=True)
+        h = h[first]
+        h = np.sort(h)[:k]
+        return pa.table({"h": pa.array((h >> np.uint64(1))
+                                       .astype(np.int64), pa.int64())})
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["user_id"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+
+
+def kmv_estimate(values: pa.Table, k: int = KMV_K) -> float:
+    """Distinct-count estimate from the KMV state: if fewer than k
+    values exist the count is exact (= #values); else (k-1) scaled by
+    the k-th smallest normalized hash."""
+    h = np.sort(values.column("h").to_numpy(zero_copy_only=False)
+                .astype(np.uint64))
+    if len(h) < k:
+        return float(len(h))
+    kth = float(h[k - 1] << np.uint64(1)) / float(1 << 64)
+    return (k - 1) / kth

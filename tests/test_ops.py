@@ -70,7 +70,7 @@ SQL_CHECKED = [
     "doc_export_partitioned",
     # round-4 additions
     "events_retention", "events_cube", "doc_top_terms",
-    "inverted_index", "doc_length_rank",
+    "inverted_index", "doc_length_rank", "kmv_distinct_users",
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events",
@@ -1543,3 +1543,19 @@ def test_doc_length_rank_clamped_ranges(ray_session, tmp_path):
         ["doc_id", "n_chars", "rank"]]
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_kmv_estimate_accuracy(ray_session, ddb):
+    """The KMV values are the exactly-checked contract (SQL_CHECKED);
+    the derived estimate must land within the ~1/sqrt(K-2) band of the
+    true distinct count."""
+    import pyarrow as pa
+
+    from casie_ray.ops.sketch import kmv_estimate, kmv_user_values
+
+    vals = pa.concat_tables(kmv_user_values(SF_DIR)
+                            .iter_batches(batch_format="pyarrow"))
+    est = kmv_estimate(vals)
+    exact = ddb.execute(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert abs(est - exact) / exact < 0.3

@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_rank": _text.doc_length_rank,
         "inverted_index": _retr.inverted_index,
         "kmv_distinct_users": _sketch.kmv_user_values,
+        "curation_pack": _cur.curation_pack,
         # --- never driver-checked before r4 ---
         "events_funnel": _rel.events_funnel,
         "events_pivot": _rel.events_pivot,
@@ -444,19 +445,23 @@ def _kmv_sql(k: int = 64) -> str:
         FROM s6 ORDER BY h LIMIT {k}"""
 
 
-def _pack_sql(seq_len: int = 512, n_buckets: int = 64) -> str:
+def _pack_sql(seq_len: int = 512, n_buckets: int = 64,
+              from_clause: str = "documents",
+              extra_ctes: str = "") -> str:
     """DuckDB twin of ops.mlprep.pack_sequences: splitmix64(doc_id) mod
     n_buckets picks the pack bucket, tokens stream in (doc_id, position)
     order per bucket, and each seq_len window's order-sensitive
     checksum is sum(fnv(w) * (pos_in_window+1)) mod 2^64 — so the
-    packing layout itself is value-checked, not just counts."""
+    packing layout itself is value-checked, not just counts.
+    ``from_clause``/``extra_ctes`` let a composed pipeline (the
+    curation_pack twin) pack a filtered doc set."""
     phi = 0x9E3779B97F4A7C15
     s1c = 0xBF58476D1CE4E5B9
     s2c = 0x94D049BB133111EB
     prod = f"(CAST(h AS HUGEINT) * ((g % {seq_len}) + 1)) % {_M64}"
     return f"""
-        WITH b0 AS (SELECT doc_id, CAST(doc_id AS UBIGINT) AS a
-                    FROM documents),
+        WITH {extra_ctes}b0 AS (SELECT doc_id, CAST(doc_id AS UBIGINT) AS a
+                    FROM {from_clause}),
         b1 AS (SELECT doc_id, {_mulmod64_sql('a', phi)} AS h0 FROM b0),
         b2 AS (SELECT doc_id, CAST((CAST(h0 AS HUGEINT) + 1) % {_M64}
                                    AS UBIGINT) AS h FROM b1),
@@ -471,7 +476,7 @@ def _pack_sql(seq_len: int = 512, n_buckets: int = 64) -> str:
                        unnest(string_split(text, ' ')) AS w,
                        generate_subscripts(string_split(text, ' '), 1)
                            AS i
-                FROM documents),
+                FROM {from_clause}),
         pos AS (SELECT bk.bucket, {_FNV_WORD} AS h,
                        row_number() OVER (PARTITION BY bk.bucket
                            ORDER BY tok.doc_id, tok.i) - 1 AS g
@@ -480,6 +485,45 @@ def _pack_sql(seq_len: int = 512, n_buckets: int = 64) -> str:
                CAST(count(*) AS BIGINT) AS n_tokens,
                CAST(sum({prod}) % {_M64} AS UBIGINT) AS checksum
         FROM pos GROUP BY bucket, window_idx"""
+
+
+def _curation_pack_sql() -> str:
+    """DuckDB twin of ops.curation.curation_pack — the composed
+    curation chain. kept0 = quality-passing non-holdout docs
+    (QUALITY_SQL nested as a CTE subquery), dd = exact-dedup winners
+    (min doc_id per distinct text among kept0), contam = the
+    decontaminate semi-join over the FULL corpus (contamination is a
+    property of the text, independent of filtering), kept = surviving
+    (doc_id, text) rows, packed by _pack_sql's window machinery.
+    CTE names are prefixed c*/kept* to dodge _pack_sql's b0-b6/bk/
+    tok/pos namespace."""
+    extra = f"""qf AS ({_cur.QUALITY_SQL}),
+        kept0 AS (SELECT d.doc_id, d.text FROM documents d
+                  JOIN qf ON d.doc_id = qf.doc_id
+                  WHERE qf.n_words >= {_cur.CPACK_MIN_WORDS}
+                    AND qf.n_words <= {_cur.MAX_WORDS}
+                    AND qf.max_word_chars <= {_cur.MAX_WORD_CHARS}
+                    AND qf.n_braces = 0 AND d.doc_id % 20 <> 0),
+        dd AS (SELECT min(doc_id) AS doc_id FROM kept0 GROUP BY text),
+        ctok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                        generate_subscripts(string_split(text, ' '), 1)
+                            AS i
+                 FROM documents),
+        csh AS (SELECT DISTINCT a.doc_id,
+                       a.w || ' ' || b.w || ' ' || c.w AS shingle
+                FROM ctok a
+                JOIN ctok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                JOIN ctok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        cbench AS (SELECT DISTINCT shingle FROM csh
+                   WHERE doc_id % 20 = 0),
+        contam AS (SELECT DISTINCT s.doc_id FROM csh s
+                   JOIN cbench b ON s.shingle = b.shingle
+                   WHERE s.doc_id % 20 <> 0),
+        kept AS (SELECT k.doc_id, k.text FROM kept0 k
+                 JOIN dd ON k.doc_id = dd.doc_id
+                 WHERE k.doc_id NOT IN (SELECT doc_id FROM contam)),
+        """
+    return _pack_sql(from_clause="kept", extra_ctes=extra)
 
 
 def _shuffle_sql(seq_len: int = 512) -> str:
@@ -971,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         "order_lineitem_totals": _join.ORDER_LINEITEM_SQL,
         "customer_event_values": _join.CUSTOMER_EVENT_SQL,
         "pack_sequences": _pack_sql(),
+        "curation_pack": _curation_pack_sql(),
         "pack_sequences_bpe": f"""
             SELECT bucket, window_idx, n_tokens, checksum
             FROM read_parquet(

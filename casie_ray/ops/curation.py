@@ -459,3 +459,115 @@ DSIR_SQL = f"""
     FROM bg JOIN cb USING (bigram) LEFT JOIN ct USING (bigram)
     GROUP BY bg.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation: quality filter -> exact dedup -> benchmark
+# decontamination -> sequence packing, composed as ONE lazy Ray Data
+# pipeline (the full "raw crawl to training shards" flow every
+# pretraining job runs; reference parity: the same compose-the-ops
+# shape as CASIE's pipeline.py chain, re-expressed as dataflow).
+#
+# Scale shape (100 TB): stage 1 is a shuffle-free streaming map
+# (quality rules + eval-holdout filter); stage 2 is one keyed exchange
+# on the text-hash bucket whose per-bucket winner pick is vectorized
+# (the text payload must cross an exchange for packing anyway, so
+# carrying it here adds no extra data movement); stage 3 reuses
+# decontaminate()'s two keyed exchanges (the eval side rides the
+# dataflow, nothing broadcast); stage 4 is one doc-id-keyed exchange
+# doing a tagged anti-join (contaminated ids are a tiny fraction, so
+# the exchange mass is the surviving text); stage 5 is
+# pack_sequences' single pack-bucket exchange. No stage materializes
+# the corpus on the driver.
+# ---------------------------------------------------------------------------
+
+
+CPACK_MIN_WORDS = 30
+
+
+def curation_pack(sf_dir: str, seq_len: int | None = None):
+    """The composed curation pipeline: quality filter (word-count
+    floor CPACK_MIN_WORDS, longest-word cap, brace ban — the active
+    rule config; the C4 sentence rule is excluded because the corpus
+    carries no terminal punctuation, and the standalone
+    doc_quality_filter op still reports the full signal set), drop
+    eval-holdout docs (doc_id % BENCH_MOD == 0), exact-dedup to the
+    min doc_id per distinct text, drop docs sharing any word-3-gram
+    with the holdout (decontaminate), then pack the survivors into
+    seq_len-token windows. Output = pack_sequences rows over the
+    curated doc set; value-exact vs the composed DuckDB twin
+    (_curation_pack_sql), which checks the whole chain end to end —
+    filter decisions, dedup winners, contamination set, and the
+    packing layout checksum."""
+    from .dedup import BENCH_MOD, decontaminate
+    from .mlprep import SEQ_LEN, pack_sequences
+    if seq_len is None:
+        seq_len = SEQ_LEN
+
+    def qfilter(batch: pa.Table) -> pa.Table:
+        sig = quality_filter_batch(batch)
+        nw = sig.column("n_words").to_numpy(zero_copy_only=False)
+        mw = sig.column("max_word_chars") \
+            .to_numpy(zero_copy_only=False)
+        nb = sig.column("n_braces").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(
+            (nw >= CPACK_MIN_WORDS) & (nw <= MAX_WORDS)
+            & (mw <= MAX_WORD_CHARS) & (nb == 0)
+            & (ids % BENCH_MOD != 0)))
+
+    def hash_tag(batch: pa.Table) -> pa.Table:
+        th = fnv1a_hashes([t or "" for t in
+                           batch.column("text").to_pylist()])
+        return pa.table({
+            "bucket": pa.array(hash_bucket([th]), pa.int32()),
+            "text_hash": pa.array(th, pa.uint64()),
+            "doc_id": batch.column("doc_id"),
+            "text": batch.column("text"),
+        })
+
+    def winners(group: pa.Table) -> pa.Table:
+        """Min doc_id per text_hash, text carried; re-keyed by doc_id
+        for the downstream anti-join exchange."""
+        th = group.column("text_hash").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, th))
+        first = np.ones(len(order), bool)
+        first[1:] = th[order[1:]] != th[order[:-1]]
+        sel = group.take(pa.array(np.sort(order[first])))
+        sids = sel.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(hash_bucket([sids]), pa.int32()),
+            "doc_id": sel.column("doc_id"),
+            "text": sel.column("text"),
+            "is_contam": pa.array(np.zeros(len(sids), bool)),
+        })
+
+    def contam_tag(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(hash_bucket([ids]), pa.int32()),
+            "doc_id": t.column("doc_id"),
+            "text": pa.array([""] * t.num_rows, pa.string()),
+            "is_contam": pa.array(np.ones(t.num_rows, bool)),
+        })
+
+    def anti(group: pa.Table) -> pa.Table:
+        """Tagged anti-join: doc rows survive unless a contam row with
+        the same doc_id shares the bucket group."""
+        isc = group.column("is_contam").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        bad = np.unique(ids[isc])
+        mask = ~isc
+        mask[mask] = ~np.isin(ids[~isc], bad)
+        return group.filter(pa.array(mask)).select(["doc_id", "text"])
+
+    q = _read_documents(sf_dir).map_batches(
+        qfilter, batch_format="pyarrow", batch_size=None)
+    w = bucket_groupby(
+        q.map_batches(hash_tag, batch_format="pyarrow",
+                      batch_size=None), winners)
+    contam = decontaminate(sf_dir).map_batches(
+        contam_tag, batch_format="pyarrow", batch_size=None)
+    kept = bucket_groupby(w.union(contam), anti)
+    return pack_sequences(sf_dir, seq_len=seq_len, docs=kept)

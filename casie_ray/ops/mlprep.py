@@ -108,7 +108,7 @@ N_PACK_BUCKETS = 64
 
 
 def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN,
-                   emit_tokens: bool = False):
+                   emit_tokens: bool = False, docs=None):
     """Pack ``documents.text`` into ``seq_len``-token windows.
 
     Returns one row per (bucket, window_idx) with ``n_tokens`` and an
@@ -161,9 +161,10 @@ def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN,
                 pa.array(h, pa.uint64()))
         return pa.table(out)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"]) \
-        .map_batches(tag, batch_format="pyarrow", batch_size=None)
+    if docs is None:
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+    ds = docs.map_batches(tag, batch_format="pyarrow", batch_size=None)
     return bucket_groupby(ds, pack)
 
 

@@ -71,6 +71,7 @@ SQL_CHECKED = [
     # round-4 additions
     "events_retention", "events_cube", "doc_top_terms",
     "inverted_index", "doc_length_rank", "kmv_distinct_users",
+    "curation_pack",
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events",

@@ -263,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _retr.inverted_index,
         "kmv_distinct_users": _sketch.kmv_user_values,
         "curation_pack": _cur.curation_pack,
+        "lineitem_corr": _rel.lineitem_corr,
+        "hll_users_by_type": _sketch.hll_users_by_type,
         # --- never driver-checked before r4 ---
         "events_funnel": _rel.events_funnel,
         "events_pivot": _rel.events_pivot,
@@ -421,6 +423,36 @@ def _hll_sql() -> str:
                         ELSE 53 - length(bin({w})) END) AS BIGINT)
                    AS max_rank
         FROM s6 GROUP BY register"""
+
+
+def _hll_by_type_sql() -> str:
+    """Grouped twin of _hll_sql: the same splitmix64 chain over
+    distinct (event_type, user_id), registers grouped per type."""
+    phi = 0x9E3779B97F4A7C15
+    s1c = 0xBF58476D1CE4E5B9
+    s2c = 0x94D049BB133111EB
+    w = "h % CAST(4503599627370496 AS UBIGINT)"
+    return f"""
+        WITH u AS (SELECT DISTINCT event_type,
+                          CAST(user_id AS UBIGINT) AS a
+                   FROM events),
+        s1 AS (SELECT event_type, {_mulmod64_sql('a', phi)} AS h0
+               FROM u),
+        s1b AS (SELECT event_type,
+                       CAST((CAST(h0 AS HUGEINT) + 1) % {_M64}
+                            AS UBIGINT) AS h FROM s1),
+        s2 AS (SELECT event_type, xor(h, h >> 30) AS h FROM s1b),
+        s3 AS (SELECT event_type, {_mulmod64_sql('h', s1c)} AS h
+               FROM s2),
+        s4 AS (SELECT event_type, xor(h, h >> 27) AS h FROM s3),
+        s5 AS (SELECT event_type, {_mulmod64_sql('h', s2c)} AS h
+               FROM s4),
+        s6 AS (SELECT event_type, xor(h, h >> 31) AS h FROM s5)
+        SELECT event_type, CAST(h >> 52 AS BIGINT) AS register,
+               CAST(max(CASE WHEN {w} = CAST(0 AS UBIGINT) THEN 53
+                        ELSE 53 - length(bin({w})) END) AS BIGINT)
+                   AS max_rank
+        FROM s6 GROUP BY event_type, register"""
 
 
 def _kmv_sql(k: int = 64) -> str:
@@ -906,6 +938,22 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_rank": _text.DOC_LENGTH_RANK_SQL,
         "inverted_index": _retr.inverted_index_sql(),
         "kmv_distinct_users": _kmv_sql(),
+        "hll_users_by_type": _hll_by_type_sql(),
+        # corr registers: micro-unit products summed mod 2^64 (ring
+        # homomorphism — continuous engine wraps == one final SQL mod)
+        "lineitem_corr": f"""
+            WITH b AS (
+              SELECT l_returnflag,
+                     CAST(round(l_quantity * 100) AS HUGEINT) AS x,
+                     CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+              FROM lineitem)
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(x) % {_M64} AS UBIGINT) AS sum_x,
+                   CAST(sum(y) % {_M64} AS UBIGINT) AS sum_y,
+                   CAST(sum(x * x) % {_M64} AS UBIGINT) AS sum_xx,
+                   CAST(sum(y * y) % {_M64} AS UBIGINT) AS sum_yy,
+                   CAST(sum(x * y) % {_M64} AS UBIGINT) AS sum_xy
+            FROM b GROUP BY l_returnflag""",
         "dedup_jaccard_pairs": _JACCARD_SQL,
         "dedup_minhash_lsh": _JACCARD_SQL,
         "dedup_simhash_pairs": _simhash_sql(),

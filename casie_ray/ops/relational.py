@@ -80,6 +80,98 @@ def lineitem_agg(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# One-pass feature-correlation registers (training-data profiling).
+# The standard mergeable second-moment register set (n, Σx, Σy, Σx²,
+# Σy², Σxy) per group, kept integer-exact in micro-units with
+# wrap-mod-2^64 arithmetic: mod 2^64 is a ring homomorphism, so
+# continuously-wrapping per-batch partials merge to exactly the true
+# sum mod 2^64 regardless of block order — a hash-stable contract at
+# any scale, reproduced by a DuckDB HUGEINT twin. Shuffle shape:
+# per-batch combiner collapses each block to ≤ n_groups rows, then one
+# tiny keyed exchange. Pearson r / least-squares slope derive from the
+# registers driver-side (corr_from_registers), pinned vs duckdb
+# corr() in tests.
+# ---------------------------------------------------------------------------
+
+_CORR_SCHEMA = pa.schema([
+    ("l_returnflag", pa.string()), ("n_rows", pa.int64()),
+    ("sum_x", pa.uint64()), ("sum_y", pa.uint64()),
+    ("sum_xx", pa.uint64()), ("sum_yy", pa.uint64()),
+    ("sum_xy", pa.uint64()),
+])
+
+
+def _corr_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch register combiner: dictionary-encode the group key,
+    one np.add.at pass per register (uint64 wraps are the contract)."""
+    enc = pc.dictionary_encode(
+        batch.column("l_returnflag").combine_chunks())
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = enc.dictionary.to_pylist()
+    x = _cents(batch.column("l_quantity")).to_numpy(
+        zero_copy_only=False).astype(np.uint64)
+    y = _cents(batch.column("l_extendedprice")).to_numpy(
+        zero_copy_only=False).astype(np.uint64)
+    g = len(keys)
+    regs = np.zeros((5, g), np.uint64)
+    for r, v in enumerate((x, y, x * x, y * y, x * y)):
+        np.add.at(regs[r], idx, v)
+    return pa.table({
+        "l_returnflag": pa.array(keys, pa.string()),
+        "n_rows": pa.array(np.bincount(idx, minlength=g)
+                           .astype(np.int64)),
+        "sum_x": pa.array(regs[0], pa.uint64()),
+        "sum_y": pa.array(regs[1], pa.uint64()),
+        "sum_xx": pa.array(regs[2], pa.uint64()),
+        "sum_yy": pa.array(regs[3], pa.uint64()),
+        "sum_xy": pa.array(regs[4], pa.uint64()),
+    }).cast(_CORR_SCHEMA)
+
+
+def _corr_final(group: pa.Table) -> pa.Table:
+    out = {"l_returnflag": [group.column("l_returnflag")[0]]}
+    out["n_rows"] = pa.array([int(np.sum(
+        group.column("n_rows").to_numpy(zero_copy_only=False)))],
+        pa.int64())
+    for c in ("sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"):
+        v = group.column(c).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        out[c] = pa.array([np.sum(v, dtype=np.uint64)], pa.uint64())
+    return pa.table(out).cast(_CORR_SCHEMA)
+
+
+def lineitem_corr(sf_dir: str):
+    """Mergeable (n, Σx, Σy, Σx², Σy², Σxy) registers per returnflag
+    over (l_quantity, l_extendedprice) in micro-units mod 2^64."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    ds = ds.map_batches(_corr_partial, batch_format="pyarrow",
+                        batch_size=None)
+    return ds.groupby("l_returnflag").map_groups(
+        _corr_final, batch_format="pyarrow")
+
+
+def corr_from_registers(regs: pa.Table):
+    """Pearson r and least-squares slope (y on x) per group from
+    un-wrapped registers (exact below 2^64 register mass; at wrap
+    scale the registers remain the hash contract and the estimate
+    seat would widen to 128-bit partials)."""
+    import pandas as pd
+    df = regs.to_pandas()
+    n = df["n_rows"].astype(float)
+    sx, sy = df["sum_x"].astype(float), df["sum_y"].astype(float)
+    sxx, syy = df["sum_xx"].astype(float), df["sum_yy"].astype(float)
+    sxy = df["sum_xy"].astype(float)
+    cov = sxy - sx * sy / n
+    vx, vy = sxx - sx * sx / n, syy - sy * sy / n
+    return pd.DataFrame({
+        "l_returnflag": df["l_returnflag"],
+        "corr": cov / np.sqrt(vx * vy),
+        "slope": cov / vx,
+    })
+
+
+# ---------------------------------------------------------------------------
 # Broadcast join + top-k: revenue per customer market segment
 # ---------------------------------------------------------------------------
 

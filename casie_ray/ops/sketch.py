@@ -272,3 +272,48 @@ def kmv_estimate(values: pa.Table, k: int = KMV_K) -> float:
         return float(len(h))
     kth = float(h[k - 1] << np.uint64(1)) / float(1 << 64)
     return (k - 1) / kth
+
+
+# ---------------------------------------------------------------------------
+# Grouped HLL: one register table PER KEY (distinct users per
+# event_type) — the sketch-per-group shape every audience/reach
+# dashboard needs at scale. Per-block partials stay bounded at
+# n_groups x 4096 rows; merging is the same max-reduce, keyed by
+# (event_type, register). One tiny exchange of register partials
+# only — the event rows themselves never shuffle.
+# ---------------------------------------------------------------------------
+
+
+def hll_users_by_type(sf_dir: str):
+    """(event_type, register, max_rank) HLL state for distinct
+    ``user_id`` per ``event_type``. Integer-exact register contract
+    (same DuckDB splitmix64 twin as hll_distinct_users, grouped);
+    estimates derive per group via ``hll_estimate``."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .bucketing import mix64
+        ids = batch.column("user_id").to_numpy(zero_copy_only=False)
+        h = mix64([ids.astype(np.int64)])
+        reg = (h >> np.uint64(_W_BITS)).astype(np.int64)
+        w = h & np.uint64((1 << _W_BITS) - 1)
+        rank = _W_BITS + 1 - _bit_length_u64(w)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "register": pa.array(reg, pa.int64()),
+                      "max_rank": pa.array(rank, pa.int64())})
+        g = t.group_by(["event_type", "register"]).aggregate(
+            [("max_rank", "max")])
+        return g.rename_columns(["event_type", "register", "max_rank"])
+
+    def merge(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "register"]).aggregate(
+            [("max_rank", "max")])
+        g = g.rename_columns(["event_type", "register", "max_rank"])
+        return g.sort_by([("event_type", "ascending"),
+                          ("register", "ascending")])
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["event_type", "user_id"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)

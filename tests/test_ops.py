@@ -71,7 +71,7 @@ SQL_CHECKED = [
     # round-4 additions
     "events_retention", "events_cube", "doc_top_terms",
     "inverted_index", "doc_length_rank", "kmv_distinct_users",
-    "curation_pack",
+    "curation_pack", "lineitem_corr", "hll_users_by_type",
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events",
@@ -89,6 +89,50 @@ def test_query_matches_oracle_sql(ray_session, ddb, name):
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_grouped_hll_estimates(ray_session, ddb):
+    """Per-type register tables are the exact contract (SQL_CHECKED);
+    each group's derived estimate must sit in the HLL error band."""
+    import pyarrow as pa
+
+    from casie_ray.ops.sketch import hll_estimate, hll_users_by_type
+
+    regs = pa.concat_tables(hll_users_by_type(SF_DIR)
+                            .iter_batches(batch_format="pyarrow")) \
+        .to_pandas()
+    for et, sub in regs.groupby("event_type"):
+        est = hll_estimate(pa.Table.from_pandas(
+            sub[["register", "max_rank"]], preserve_index=False))
+        exact = ddb.execute(
+            "SELECT count(DISTINCT user_id) FROM events "
+            "WHERE event_type = ?", [et]).fetchone()[0]
+        assert abs(est - exact) / exact < 0.08
+
+
+def test_corr_from_registers_vs_duckdb(ray_session, ddb):
+    """The wrap-mod registers are the exact contract (SQL_CHECKED);
+    the derived Pearson r / OLS slope must match duckdb corr()/
+    regr_slope() on the same micro-unit columns."""
+    import numpy as np
+    import pyarrow as pa
+
+    from casie_ray.ops.relational import (corr_from_registers,
+                                          lineitem_corr)
+
+    regs = pa.concat_tables(lineitem_corr(SF_DIR)
+                            .iter_batches(batch_format="pyarrow"))
+    mine = corr_from_registers(regs).set_index("l_returnflag") \
+        .sort_index()
+    ref = ddb.execute(
+        "SELECT l_returnflag,"
+        " corr(round(l_quantity*100), round(l_extendedprice*100)) c,"
+        " regr_slope(round(l_extendedprice*100),"
+        "            round(l_quantity*100)) s "
+        "FROM lineitem GROUP BY 1").fetchdf() \
+        .set_index("l_returnflag").sort_index()
+    assert np.allclose(mine["corr"], ref["c"], atol=1e-9)
+    assert np.allclose(mine["slope"], ref["s"], atol=1e-6)
 
 
 def test_hll_estimate_accuracy(ray_session, ddb):

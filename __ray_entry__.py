@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pack": _cur.curation_pack,
         "lineitem_corr": _rel.lineitem_corr,
         "hll_users_by_type": _sketch.hll_users_by_type,
+        "decontaminate_substring": _dedup.decontaminate_substring,
         # --- never driver-checked before r4 ---
         "events_funnel": _rel.events_funnel,
         "events_pivot": _rel.events_pivot,
@@ -524,11 +525,13 @@ def _curation_pack_sql() -> str:
     curation chain. kept0 = quality-passing non-holdout docs
     (QUALITY_SQL nested as a CTE subquery), dd = exact-dedup winners
     (min doc_id per distinct text among kept0), contam = the
-    decontaminate semi-join over the FULL corpus (contamination is a
-    property of the text, independent of filtering), kept = surviving
-    (doc_id, text) rows, packed by _pack_sql's window machinery.
-    CTE names are prefixed c*/kept* to dodge _pack_sql's b0-b6/bk/
-    tok/pos namespace."""
+    exact-substring (50-char window) decontamination semi-join over
+    the FULL corpus (contamination is a property of the text,
+    independent of filtering; the word-3-gram form saturates on this
+    corpus' small vocabulary), kept = surviving (doc_id, text) rows,
+    packed by _pack_sql's window machinery. CTE names are prefixed
+    c*/kept* to dodge _pack_sql's b0-b6/bk/tok/pos namespace."""
+    sw = _dedup.SUBSTR_W
     extra = f"""qf AS ({_cur.QUALITY_SQL}),
         kept0 AS (SELECT d.doc_id, d.text FROM documents d
                   JOIN qf ON d.doc_id = qf.doc_id
@@ -537,19 +540,15 @@ def _curation_pack_sql() -> str:
                     AND qf.max_word_chars <= {_cur.MAX_WORD_CHARS}
                     AND qf.n_braces = 0 AND d.doc_id % 20 <> 0),
         dd AS (SELECT min(doc_id) AS doc_id FROM kept0 GROUP BY text),
-        ctok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-                        generate_subscripts(string_split(text, ' '), 1)
-                            AS i
-                 FROM documents),
-        csh AS (SELECT DISTINCT a.doc_id,
-                       a.w || ' ' || b.w || ' ' || c.w AS shingle
-                FROM ctok a
-                JOIN ctok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-                JOIN ctok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
-        cbench AS (SELECT DISTINCT shingle FROM csh
+        cwin AS (SELECT DISTINCT doc_id,
+                        unnest([substring(text, i, {sw})
+                                FOR i IN generate_series(
+                                    1, length(text) - {sw} + 1)]) AS win
+                 FROM documents WHERE length(text) >= {sw}),
+        cbench AS (SELECT DISTINCT win FROM cwin
                    WHERE doc_id % 20 = 0),
-        contam AS (SELECT DISTINCT s.doc_id FROM csh s
-                   JOIN cbench b ON s.shingle = b.shingle
+        contam AS (SELECT DISTINCT s.doc_id FROM cwin s
+                   JOIN cbench b ON s.win = b.win
                    WHERE s.doc_id % 20 <> 0),
         kept AS (SELECT k.doc_id, k.text FROM kept0 k
                  JOIN dd ON k.doc_id = dd.doc_id
@@ -1071,6 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffled_windows": _shuffle_sql(),
         "token_budget_sample": _budget_sql(),
         "decontaminate": _DECONTAM_SQL,
+        "decontaminate_substring": _dedup.DECONTAM_SUBSTR_SQL,
         "decontaminate_fuzzy": _dedup.DECONTAM_FUZZY_SQL,
         "doc_quality_filter": _cur.QUALITY_SQL,
         "doc_stratified_sample": _cur.stratified_sample_sql(),

@@ -473,7 +473,7 @@ DSIR_SQL = f"""
 # on the text-hash bucket whose per-bucket winner pick is vectorized
 # (the text payload must cross an exchange for packing anyway, so
 # carrying it here adds no extra data movement); stage 3 reuses
-# decontaminate()'s two keyed exchanges (the eval side rides the
+# decontaminate_substring()'s two keyed exchanges (the eval side rides the
 # dataflow, nothing broadcast); stage 4 is one doc-id-keyed exchange
 # doing a tagged anti-join (contaminated ids are a tiny fraction, so
 # the exchange mass is the surviving text); stage 5 is
@@ -492,14 +492,16 @@ def curation_pack(sf_dir: str, seq_len: int | None = None):
     carries no terminal punctuation, and the standalone
     doc_quality_filter op still reports the full signal set), drop
     eval-holdout docs (doc_id % BENCH_MOD == 0), exact-dedup to the
-    min doc_id per distinct text, drop docs sharing any word-3-gram
-    with the holdout (decontaminate), then pack the survivors into
+    min doc_id per distinct text, drop docs sharing any exact 50-char
+    substring window with the holdout (decontaminate_substring; the
+    word-3-gram form saturates on this corpus' small vocabulary), then
+    pack the survivors into
     seq_len-token windows. Output = pack_sequences rows over the
     curated doc set; value-exact vs the composed DuckDB twin
     (_curation_pack_sql), which checks the whole chain end to end —
     filter decisions, dedup winners, contamination set, and the
     packing layout checksum."""
-    from .dedup import BENCH_MOD, decontaminate
+    from .dedup import BENCH_MOD, decontaminate_substring
     from .mlprep import SEQ_LEN, pack_sequences
     if seq_len is None:
         seq_len = SEQ_LEN
@@ -567,7 +569,7 @@ def curation_pack(sf_dir: str, seq_len: int | None = None):
     w = bucket_groupby(
         q.map_batches(hash_tag, batch_format="pyarrow",
                       batch_size=None), winners)
-    contam = decontaminate(sf_dir).map_batches(
+    contam = decontaminate_substring(sf_dir).map_batches(
         contam_tag, batch_format="pyarrow", batch_size=None)
     kept = bucket_groupby(w.union(contam), anti)
     return pack_sequences(sf_dir, seq_len=seq_len, docs=kept)

@@ -919,6 +919,31 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.5,
 BENCH_MOD = 20  # doc_id % 20 == 0 -> held-out benchmark member
 
 
+def _contam_bucket_hits(group: pa.Table) -> pa.Table:
+    """One shingle bucket: count each train doc's windows present in
+    the bucket's benchmark-window set (numpy set ops, never global)."""
+    sh = group.column("shingle").to_numpy(zero_copy_only=False)
+    doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+    bench = group.column("is_bench").to_numpy(zero_copy_only=False)
+    bset = np.unique(sh[bench])
+    mask = ~bench
+    mask[mask] = np.isin(sh[mask], bset, assume_unique=False)
+    hits = pa.table({"doc_id": pa.array(doc[mask], pa.int64())}) \
+        .group_by("doc_id").aggregate([([], "count_all")]) \
+        .rename_columns(["doc_id", "n"])
+    return hits.append_column("bucket", pa.array(
+        hash_bucket([hits.column("doc_id")]), pa.int32()))
+
+
+def _contam_total(group: pa.Table) -> pa.Table:
+    out = group.select(["doc_id", "n"]).group_by("doc_id") \
+        .aggregate([("n", "sum")])
+    return pa.table({
+        "doc_id": out.column("doc_id"),
+        "n_hits": out.column("n_sum").cast(pa.int64()),
+    })
+
+
 def decontaminate(sf_dir: str, bench_mod: int = BENCH_MOD):
     """(doc_id, n_hits) for every NON-benchmark document sharing at
     least one distinct word-3-gram shingle with any benchmark document
@@ -939,30 +964,9 @@ def decontaminate(sf_dir: str, bench_mod: int = BENCH_MOD):
             "bucket": pa.array(hash_bucket([sh]), pa.int32()),
         })
 
-    def bucket_hits(group: pa.Table) -> pa.Table:
-        sh = group.column("shingle").to_numpy(zero_copy_only=False)
-        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
-        bench = group.column("is_bench").to_numpy(zero_copy_only=False)
-        bset = np.unique(sh[bench])
-        mask = ~bench
-        mask[mask] = np.isin(sh[mask], bset, assume_unique=False)
-        hits = pa.table({"doc_id": pa.array(doc[mask], pa.int64())}) \
-            .group_by("doc_id").aggregate([([], "count_all")]) \
-            .rename_columns(["doc_id", "n"])
-        return hits.append_column("bucket", pa.array(
-            hash_bucket([hits.column("doc_id")]), pa.int32()))
-
-    def total(group: pa.Table) -> pa.Table:
-        out = group.select(["doc_id", "n"]).group_by("doc_id") \
-            .aggregate([("n", "sum")])
-        return pa.table({
-            "doc_id": out.column("doc_id"),
-            "n_hits": out.column("n_sum").cast(pa.int64()),
-        })
-
     ds = ds.map_batches(rows, batch_format="pyarrow", batch_size=None)
-    ds = bucket_groupby(ds, bucket_hits)
-    return bucket_groupby(ds, total, coarse_per_cpu=4)
+    ds = bucket_groupby(ds, _contam_bucket_hits)
+    return bucket_groupby(ds, _contam_total, coarse_per_cpu=4)
 
 
 # ---------------------------------------------------------------------------
@@ -1099,6 +1103,50 @@ SUBSTRING_SQL = f"""
            CAST(count(*) AS BIGINT) AS n_shared
     FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
     GROUP BY 1, 2
+"""
+
+
+def decontaminate_substring(sf_dir: str, w: int = SUBSTR_W,
+                            bench_mod: int = BENCH_MOD):
+    """Exact-substring decontamination (the Lee et al. 2022 signal at
+    the train/eval boundary): (doc_id, n_hits) for every NON-benchmark
+    document sharing at least one exact ``w``-char substring window
+    with any benchmark document; n_hits = how many of the doc's
+    DISTINCT windows are contaminated. Word-shingle decontaminate()
+    saturates on short-vocabulary corpora (nearly every doc shares
+    some 3-gram); the char-window form only fires on genuinely copied
+    passages, which is why the composed curation pipeline uses it.
+    Same machinery: the shared rolling-hash window kernel, a
+    window-keyed exchange with per-bucket set intersection, a
+    doc-keyed exchange for totals."""
+    ds = _read_documents(sf_dir)
+
+    def rows(batch: pa.Table) -> pa.Table:
+        t = char_window_rows_batch(batch, w)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "is_bench", pa.array(doc % bench_mod == 0))
+
+    ds = ds.map_batches(rows, batch_format="pyarrow", batch_size=None)
+    ds = bucket_groupby(ds, _contam_bucket_hits)
+    return bucket_groupby(ds, _contam_total, coarse_per_cpu=4)
+
+
+DECONTAM_SUBSTR_SQL = f"""
+    WITH w AS (
+      SELECT DISTINCT doc_id,
+             unnest([substring(text, i, {SUBSTR_W})
+                     FOR i IN generate_series(
+                         1, length(text) - {SUBSTR_W} + 1)]) AS win
+      FROM documents
+      WHERE length(text) >= {SUBSTR_W}
+    ), bench AS (
+      SELECT DISTINCT win FROM w WHERE doc_id % 20 = 0
+    )
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM w s JOIN bench b ON s.win = b.win
+    WHERE s.doc_id % 20 <> 0
+    GROUP BY s.doc_id
 """
 
 

@@ -72,6 +72,7 @@ SQL_CHECKED = [
     "events_retention", "events_cube", "doc_top_terms",
     "inverted_index", "doc_length_rank", "kmv_distinct_users",
     "curation_pack", "lineitem_corr", "hll_users_by_type",
+    "decontaminate_substring",
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events",

@@ -34,6 +34,7 @@ from casie_ray.ops import graph as _graph
 from casie_ray.ops import graphx as _graphx
 from casie_ray.ops import join as _join
 from casie_ray.ops import mlprep as _mlprep
+from casie_ray.ops import pca as _pca
 from casie_ray.ops import relational as _rel
 from casie_ray.ops import quantiles as _quant
 from casie_ray.ops import sketch as _sketch
@@ -266,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": _rel.lineitem_corr,
         "hll_users_by_type": _sketch.hll_users_by_type,
         "decontaminate_substring": _dedup.decontaminate_substring,
+        "embedding_pca_gram": _pca.embedding_pca_gram,
         # --- never driver-checked before r4 ---
         "events_funnel": _rel.events_funnel,
         "events_pivot": _rel.events_pivot,
@@ -1071,6 +1073,29 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": _budget_sql(),
         "decontaminate": _DECONTAM_SQL,
         "decontaminate_substring": _dedup.DECONTAM_SUBSTR_SQL,
+        # PCA registers: micro-unit quantized sums/Gram mod 2^64; the
+        # ((s % M) + M) % M canonicalizes negative HUGEINT sums to the
+        # engine's two's-complement uint64 residue
+        "embedding_pca_gram": f"""
+            WITH e AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                * {_pca.PCA_SCALE}) AS HUGEINT) AS q
+              FROM embeddings)
+            SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS j,
+                   CAST(count(*) AS UBIGINT) AS value FROM embeddings
+            UNION ALL
+            SELECT 0, CAST(dim AS BIGINT),
+                   CAST(((sum(q) % {_M64}) + {_M64}) % {_M64}
+                        AS UBIGINT)
+            FROM e GROUP BY dim
+            UNION ALL
+            SELECT CAST(a.dim AS BIGINT), CAST(b.dim AS BIGINT),
+                   CAST(((sum(a.q * b.q) % {_M64}) + {_M64}) % {_M64}
+                        AS UBIGINT)
+            FROM e a JOIN e b
+              ON a.vec_id = b.vec_id AND a.dim <= b.dim
+            GROUP BY a.dim, b.dim""",
         "decontaminate_fuzzy": _dedup.DECONTAM_FUZZY_SQL,
         "doc_quality_filter": _cur.QUALITY_SQL,
         "doc_stratified_sample": _cur.stratified_sample_sql(),

@@ -72,7 +72,7 @@ SQL_CHECKED = [
     "events_retention", "events_cube", "doc_top_terms",
     "inverted_index", "doc_length_rank", "kmv_distinct_users",
     "curation_pack", "lineitem_corr", "hll_users_by_type",
-    "decontaminate_substring",
+    "decontaminate_substring", "embedding_pca_gram",
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events",
@@ -109,6 +109,30 @@ def test_grouped_hll_estimates(ray_session, ddb):
             "SELECT count(DISTINCT user_id) FROM events "
             "WHERE event_type = ?", [et]).fetchone()[0]
         assert abs(est - exact) / exact < 0.08
+
+
+def test_pca_components_vs_numpy(ray_session):
+    """The Gram register table is the exact contract (SQL_CHECKED);
+    the derived eigendecomposition must match a direct numpy
+    covariance eigendecomposition of the quantized embeddings."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops.pca import (PCA_SCALE, _quantize,
+                                   embedding_pca_gram, pca_components)
+
+    regs = pa.concat_tables(embedding_pca_gram(SF_DIR)
+                            .iter_batches(batch_format="pyarrow"))
+    w, comps = pca_components(regs, k=5)
+    m = np.stack(pq.read_table(f"{SF_DIR}/embeddings.parquet")
+                 .column("embedding").to_pylist())
+    q = _quantize(m).astype(np.int64).astype(np.float64) / PCA_SCALE
+    cov = np.cov(q, rowvar=False, bias=True)
+    wref = np.sort(np.linalg.eigvalsh(cov))[::-1][:5]
+    assert np.allclose(w, wref, atol=1e-9)
+    # components diagonalize the covariance to the same eigenvalues
+    assert np.allclose(comps @ cov @ comps.T, np.diag(w), atol=1e-9)
 
 
 def test_corr_from_registers_vs_duckdb(ray_session, ddb):

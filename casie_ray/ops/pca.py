@@ -64,44 +64,51 @@ def _register_rows(n: int, sums: np.ndarray, gram: np.ndarray) -> pa.Table:
     })
 
 
+def pca_partial(batch: pa.Table) -> pa.Table:
+    """One block's register partial."""
+    m = _emb_matrix(batch)
+    q = _quantize(m)
+    sums = q.sum(axis=0, dtype=np.uint64)
+    gram = q.T @ q  # uint64 matmul wraps mod 2^64
+    return _register_rows(m.shape[0], sums, gram)
+
+
+def pca_merge(batch: pa.Table) -> pa.Table:
+    """Merge register partials: segment-sum on the (i, j) key (uint64
+    wrap = exact mod-2^64 merge in any order/grouping)."""
+    i = batch.column("i").to_numpy(zero_copy_only=False)
+    j = batch.column("j").to_numpy(zero_copy_only=False)
+    v = batch.column("value").to_numpy(zero_copy_only=False) \
+        .astype(np.uint64)
+    key = (i << np.int64(32)) | j
+    order = np.argsort(key, kind="stable")
+    key, v = key[order], v[order]
+    seg = np.ones(len(key), bool)
+    seg[1:] = key[1:] != key[:-1]
+    starts = np.flatnonzero(seg)
+    tot = np.add.reduceat(v, starts)  # uint64 wrap mod 2^64
+    return pa.table({
+        "i": pa.array((key[starts] >> np.int64(32))
+                      .astype(np.int64), pa.int64()),
+        "j": pa.array((key[starts] & np.int64(0xFFFFFFFF))
+                      .astype(np.int64), pa.int64()),
+        "value": pa.array(tot, pa.uint64()),
+    })
+
+
 def embedding_pca_gram(sf_dir: str):
     """The PCA register table over ``embeddings.embedding``: row count,
     per-dimension micro-unit sums, and the upper-triangle Gram matrix,
     all mod 2^64 (1 + d + d(d+1)/2 rows; d=64 -> 2145)."""
     import ray.data
 
-    def partial(batch: pa.Table) -> pa.Table:
-        m = _emb_matrix(batch)
-        q = _quantize(m)
-        sums = q.sum(axis=0, dtype=np.uint64)
-        gram = q.T @ q  # uint64 matmul wraps mod 2^64
-        return _register_rows(m.shape[0], sums, gram)
-
-    def merge(batch: pa.Table) -> pa.Table:
-        i = batch.column("i").to_numpy(zero_copy_only=False)
-        j = batch.column("j").to_numpy(zero_copy_only=False)
-        v = batch.column("value").to_numpy(zero_copy_only=False) \
-            .astype(np.uint64)
-        key = (i << np.int64(32)) | j
-        order = np.argsort(key, kind="stable")
-        key, v = key[order], v[order]
-        seg = np.ones(len(key), bool)
-        seg[1:] = key[1:] != key[:-1]
-        starts = np.flatnonzero(seg)
-        tot = np.add.reduceat(v, starts)  # uint64 wrap mod 2^64
-        return pa.table({
-            "i": pa.array((key[starts] >> np.int64(32))
-                          .astype(np.int64), pa.int64()),
-            "j": pa.array((key[starts] & np.int64(0xFFFFFFFF))
-                          .astype(np.int64), pa.int64()),
-            "value": pa.array(tot, pa.uint64()),
-        })
-
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                  columns=["embedding"]) \
-        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .map_batches(pca_partial, batch_format="pyarrow",
+                     batch_size=None) \
         .repartition(1) \
-        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .map_batches(pca_merge, batch_format="pyarrow",
+                     batch_size=None)
 
 
 def pca_components(regs: pa.Table, k: int = 8):

@@ -121,3 +121,70 @@ def test_tokenizer_matches_duckdb_regex(text):
     dk = con.execute(
         "SELECT regexp_extract_all(?, '" + pat + "')", [text]).fetchone()[0]
     assert TOKEN_RE.findall(text) == dk, text
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(
+    st.sampled_from(["A", "N", "R"]),
+    st.floats(min_value=0, max_value=60, allow_nan=False),
+    st.floats(min_value=0, max_value=120_000, allow_nan=False)),
+    min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=7))
+def test_corr_registers_merge_invariant(rows, nsplit):
+    """The correlation register partial/final pair must produce
+    identical registers for ANY block split of the same rows — the
+    mergeability property the shuffle-free scale design relies on."""
+    import pyarrow as pa
+
+    from casie_ray.ops.relational import _corr_final, _corr_partial
+
+    def table(rs):
+        return pa.table({
+            "l_returnflag": pa.array([r[0] for r in rs], pa.string()),
+            "l_quantity": pa.array([r[1] for r in rs], pa.float64()),
+            "l_extendedprice": pa.array([r[2] for r in rs],
+                                        pa.float64()),
+        })
+
+    def run(splits):
+        parts = pa.concat_tables(
+            [_corr_partial(table(s)) for s in splits if s])
+        out = []
+        for flag in sorted(set(parts.column("l_returnflag")
+                               .to_pylist())):
+            import pyarrow.compute as pc
+            g = parts.filter(pc.equal(parts.column("l_returnflag"),
+                                      flag))
+            out.append(_corr_final(g))
+        return pa.concat_tables(out).sort_by("l_returnflag") \
+            .to_pydict()
+
+    whole = run([rows])
+    k = max(1, len(rows) // nsplit)
+    chunked = run([rows[i:i + k] for i in range(0, len(rows), k)])
+    assert whole == chunked
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(
+    st.floats(min_value=-2, max_value=2, allow_nan=False,
+              allow_subnormal=False),
+    min_size=4, max_size=4), min_size=1, max_size=24),
+    st.integers(min_value=1, max_value=5))
+def test_pca_registers_merge_invariant(vecs, nsplit):
+    """PCA Gram registers must be identical under any block split
+    (uint64 wrap-sum merge is order- and grouping-free)."""
+    import pyarrow as pa
+
+    from casie_ray.ops.pca import pca_merge, pca_partial
+
+    def table(vs):
+        return pa.table({"embedding": pa.array(vs,
+                                               pa.list_(pa.float32()))})
+
+    whole = pca_merge(pca_partial(table(vecs))).to_pydict()
+    k = max(1, len(vecs) // nsplit)
+    parts = [pca_partial(table(vecs[i:i + k]))
+             for i in range(0, len(vecs), k)]
+    chunked = pca_merge(pa.concat_tables(parts)).to_pydict()
+    assert whole == chunked

@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_by_type": _sketch.hll_users_by_type,
         "decontaminate_substring": _dedup.decontaminate_substring,
         "embedding_pca_gram": _pca.embedding_pca_gram,
+        "events_props_extract": _rel.events_props_extract,
         # --- never driver-checked before r4 ---
         "events_funnel": _rel.events_funnel,
         "events_pivot": _rel.events_pivot,
@@ -1073,6 +1074,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": _budget_sql(),
         "decontaminate": _DECONTAM_SQL,
         "decontaminate_substring": _dedup.DECONTAM_SUBSTR_SQL,
+        "events_props_extract": _rel.PROPS_EXTRACT_SQL,
         # PCA registers: micro-unit quantized sums/Gram mod 2^64; the
         # ((s % M) + M) % M canonicalizes negative HUGEINT sums to the
         # engine's two's-complement uint64 residue

@@ -1193,3 +1193,72 @@ CUBE_SQL = f"""
                AS value_cents
     FROM events GROUP BY CUBE(event_type, dow)
 """
+
+
+# ---------------------------------------------------------------------------
+# Typed field extraction from a JSON properties column — the standard
+# "semi-structured sidecar" step every event pipeline runs. Engine
+# path: ONE vectorized Arrow extract_regex pass (flat-object fast
+# path; a full JSON parser seat would slot into the same kernel for
+# nested payloads), then the usual per-batch combiner + tiny keyed
+# exchange. The DuckDB twin parses with a REAL JSON extractor
+# (json_extract), so the regex fast path is checked against an
+# independent full parser, not against itself.
+# ---------------------------------------------------------------------------
+
+_PROPS_K_RE = r'"k":\s*(?P<v>-?\d+)'
+
+
+def events_props_extract(sf_dir: str):
+    """Per-event-type stats of the integer ``k`` field inside the JSON
+    ``props`` column: (event_type, n_with_k, sum_k, min_k, max_k)."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(
+            pc.fill_null(batch.column("props"), ""), _PROPS_K_RE)
+        k = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "k": k,
+        }).filter(pc.is_valid(k))
+        g = t.group_by("event_type").aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")])
+        return g.rename_columns(
+            ["event_type", "n_with_k", "sum_k", "min_k", "max_k"])
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": [group.column("event_type")[0]],
+            "n_with_k": pa.array([int(np.sum(
+                group.column("n_with_k").to_numpy(
+                    zero_copy_only=False)))], pa.int64()),
+            "sum_k": pa.array([int(np.sum(
+                group.column("sum_k").to_numpy(
+                    zero_copy_only=False)))], pa.int64()),
+            "min_k": pa.array([int(np.min(
+                group.column("min_k").to_numpy(
+                    zero_copy_only=False)))], pa.int64()),
+            "max_k": pa.array([int(np.max(
+                group.column("max_k").to_numpy(
+                    zero_copy_only=False)))], pa.int64()),
+        })
+
+    ds = ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=None)
+    return ds.groupby("event_type").map_groups(
+        final, batch_format="pyarrow")
+
+
+PROPS_EXTRACT_SQL = """
+    SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    WHERE k IS NOT NULL
+    GROUP BY event_type
+"""

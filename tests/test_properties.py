@@ -188,3 +188,30 @@ def test_pca_registers_merge_invariant(vecs, nsplit):
              for i in range(0, len(vecs), k)]
     chunked = pca_merge(pa.concat_tables(parts)).to_pydict()
     assert whole == chunked
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10_000),
+                min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=6))
+def test_hll_partials_merge_invariant(ids, nsplit):
+    """HLL register partials must max-merge to the same table under
+    any block split — the mergeability the shuffle-free distinct
+    count relies on."""
+    import numpy as np
+    import pyarrow as pa
+
+    from casie_ray.ops.sketch import hll_partial
+
+    def merge(tables):
+        t = pa.concat_tables(tables)
+        g = t.group_by(["register"]).aggregate([("max_rank", "max")])
+        return dict(zip(g.column(0).to_pylist(),
+                        g.column(1).to_pylist()))
+
+    arr = np.array(ids, np.int64)
+    whole = merge([hll_partial(arr)])
+    k = max(1, len(arr) // nsplit)
+    chunked = merge([hll_partial(arr[i:i + k])
+                     for i in range(0, len(arr), k)])
+    assert whole == chunked

@@ -1,0 +1,100 @@
+"""CASIE annotation-JSON ingest tests: a self-contained synthetic file
+in the reference format (format per /root/reference/data/annotation/
+*.json, studied not copied), plus an optional smoke-parse of the real
+reference corpus when present."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+DOC = {
+    "sourcefile": "90001.txt",
+    "info": {"title": "t", "date": "2018_11_09", "type": "text",
+             "link": "https://example.invalid/x"},
+    "content": "POLICE have launched an investigation after a breach.",
+    "cyberevent": {"hopper": [{
+        "relation": "Same", "index": 0,
+        "events": [{
+            "nugget": {"startOffset": 47, "endOffset": 53,
+                       "index": "T1", "text": "breach"},
+            "subtype": "Databreach", "index": "E1",
+            "realis": "Actual", "type": "Attack",
+            "argument": [{
+                "startOffset": 0, "endOffset": 6, "index": "T2",
+                "role": {"type": "Attacker"}, "type": "Person",
+                "text": "POLICE",
+                "external_reference": {"wikidataid": "Q467"},
+            }],
+        }],
+    }]},
+}
+
+
+def _write_corpus(tmp_path, n=3):
+    d = tmp_path / "ann"
+    d.mkdir()
+    for i in range(n):
+        doc = json.loads(json.dumps(DOC))
+        doc["sourcefile"] = f"9000{i}.txt"
+        if i == 2:  # a docs-only file: no events at all
+            doc["cyberevent"] = {"hopper": []}
+        (d / f"9000{i}.json").write_text(json.dumps(doc))
+    return str(d)
+
+
+def test_parse_annotation_scalar(tmp_path):
+    from casie_ray.ingest import parse_annotation
+
+    doc, events, args = parse_annotation(
+        "/x/90001.json", json.dumps(DOC).encode())
+    assert doc["doc_id"] == "90001" and doc["n_hoppers"] == 1
+    assert len(events) == 1 and events[0]["subtype"] == "Databreach"
+    assert events[0]["nugget_text"] == "breach"
+    assert len(args) == 1 and args[0]["role"] == "Attacker"
+    assert args[0]["wikidata_id"] == "Q467"
+
+
+def test_casie_readers_over_directory(ray_session, tmp_path):
+    from casie_ray.ingest import (casie_arguments, casie_documents,
+                                  casie_events)
+
+    d = _write_corpus(tmp_path)
+    docs = casie_documents(d).to_pandas().sort_values("doc_id")
+    assert list(docs["doc_id"]) == ["90000", "90001", "90002"]
+    assert docs["n_hoppers"].tolist() == [1, 1, 0]
+    ev = casie_events(d).to_pandas()
+    assert len(ev) == 2 and set(ev["doc_id"]) == {"90000", "90001"}
+    assert (ev["realis"] == "Actual").all()
+    ar = casie_arguments(d).to_pandas()
+    assert len(ar) == 2 and (ar["role"] == "Attacker").all()
+    # event/argument rows join on the composite key
+    j = ev.merge(ar, on=["doc_id", "hopper_idx", "event_idx"])
+    assert len(j) == 2
+
+
+REF_DIR = "/root/reference/data/annotation"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DIR),
+                    reason="reference corpus not present")
+def test_casie_readers_parse_real_reference_head(ray_session,
+                                                 tmp_path):
+    """Smoke-parse a few REAL reference files (copied into /tmp so the
+    reader never touches the read-only tree with write intent)."""
+    import shutil
+
+    from casie_ray.ingest import casie_events
+
+    d = tmp_path / "real"
+    d.mkdir()
+    for name in sorted(os.listdir(REF_DIR))[:3]:
+        shutil.copy(os.path.join(REF_DIR, name), d / name)
+    ev = casie_events(str(d)).to_pandas()
+    assert len(ev) > 0
+    assert set(ev["subtype"]) <= {
+        "Databreach", "Phishing", "Ransom",
+        "DiscoverVulnerability", "PatchVulnerability"}
+    assert (ev["nugget_end"] > ev["nugget_start"]).all()

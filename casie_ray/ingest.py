@@ -147,3 +147,97 @@ def casie_arguments(path: str):
     """Dataset of one row per event argument span."""
     return _read_raw(path).map_batches(
         _explode("arg", ARG_SCHEMA), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Corpus bridge: annotation JSON -> the engine's corpus layout
+# (transcripts/*.parquet + entities.parquet), so the flagship KG
+# pipeline (pipelines/kg.py) runs directly over a reference-format
+# corpus: annotations_to_corpus(ann_dir, corpus_dir) then
+# run_kg_pipeline(corpus_dir, out_dir). Each document becomes one
+# conversation; sentences become turns; the entity catalog is built
+# from the corpus' own typed argument spans (wikidata ids preserved),
+# embedded with the engine's surface embedder.
+# ---------------------------------------------------------------------------
+
+CATALOG_TYPES = frozenset({
+    "Person", "Organization", "Malware", "Website", "GPE", "File",
+    "System", "Software", "Device",
+})
+
+
+def _date_us(date: str) -> int:
+    """'2018_11_09' -> epoch microseconds (fallback 2018-01-01)."""
+    from datetime import datetime, timezone
+    try:
+        dt = datetime.strptime(date, "%Y_%m_%d")
+    except (ValueError, TypeError):
+        dt = datetime(2018, 1, 1)
+    return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+
+
+def _doc_turn_rows(batch: pa.Table) -> pa.Table:
+    out = {k: [] for k in
+           ("conv_id", "turn_idx", "role", "text", "tool")}
+    ts = []
+    for doc_id, date, content in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("date").to_pylist(),
+            batch.column("content").to_pylist()):
+        base = _date_us(date)
+        turns = [s.strip() for s in (content or "").split(". ")]
+        turns = [t for t in turns if t]
+        for i, t in enumerate(turns):
+            out["conv_id"].append(doc_id)
+            out["turn_idx"].append(i)
+            out["role"].append("user")
+            out["text"].append(t)
+            out["tool"].append(None)
+            ts.append(base + i * 1_000_000)
+    return pa.table({
+        "conv_id": pa.array(out["conv_id"], pa.string()),
+        "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+        "role": pa.array(out["role"], pa.string()),
+        "text": pa.array(out["text"], pa.string()),
+        "tool": pa.array(out["tool"], pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+
+
+def annotations_to_corpus(ann_dir: str, corpus_dir: str) -> dict:
+    """Materialize an engine corpus from an annotation-JSON directory.
+    Transcripts stream straight to partitioned parquet; the entity
+    catalog (vocabulary-sized by nature, like the BPE vocab) is
+    reduced through the dataflow and written once."""
+    import numpy as np
+
+    from .embed import embed_surfaces
+
+    os.makedirs(os.path.join(corpus_dir, "transcripts"), exist_ok=True)
+    casie_documents(ann_dir).map_batches(
+        _doc_turn_rows, batch_format="pyarrow") \
+        .write_parquet(os.path.join(corpus_dir, "transcripts"))
+
+    args = casie_arguments(ann_dir).to_pandas()
+    args = args[args["arg_type"].isin(CATALOG_TYPES)]
+    cat = args.groupby(["text", "arg_type"], as_index=False) \
+        .agg(wikidata_id=("wikidata_id", "max"))
+    cat = cat.sort_values(["text", "arg_type"]).reset_index(drop=True)
+    from .ops.bucketing import fnv1a_hashes
+    h = fnv1a_hashes([f"{t}|{y}" for t, y in
+                      zip(cat["text"], cat["arg_type"])])
+    ent_id = [w if w else f"ENT{x:016x}"
+              for w, x in zip(cat["wikidata_id"], h)]
+    emb = embed_surfaces(list(cat["text"])).astype(np.float32)
+    t = pa.table({
+        "entity_id": pa.array(ent_id, pa.string()),
+        "canonical": pa.array(list(cat["text"]), pa.string()),
+        "aliases": pa.array([[] for _ in ent_id],
+                            pa.list_(pa.string())),
+        "type": pa.array(list(cat["arg_type"]), pa.string()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.reshape(-1), pa.float32()), emb.shape[1]),
+    })
+    import pyarrow.parquet as pq
+    pq.write_table(t, os.path.join(corpus_dir, "entities.parquet"))
+    return {"entities": len(ent_id), "corpus_dir": corpus_dir}

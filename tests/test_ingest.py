@@ -98,3 +98,30 @@ def test_casie_readers_parse_real_reference_head(ray_session,
         "Databreach", "Phishing", "Ransom",
         "DiscoverVulnerability", "PatchVulnerability"}
     assert (ev["nugget_end"] > ev["nugget_start"]).all()
+
+
+def test_annotations_to_corpus_feeds_kg_pipeline(ray_session,
+                                                 tmp_path):
+    """The corpus bridge output is a valid engine corpus: the flagship
+    KG pipeline runs over it end to end and links catalog entities
+    from the annotation's own argument spans."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from casie_ray.ingest import annotations_to_corpus
+    from casie_ray.pipelines.kg import run_kg_pipeline
+
+    ann = _write_corpus(tmp_path)
+    corpus = str(tmp_path / "corpus")
+    summary = annotations_to_corpus(ann, corpus)
+    assert summary["entities"] == 1  # POLICE (Person), deduped
+    tr = pq.read_table(glob.glob(f"{corpus}/transcripts/*.parquet")[0])
+    assert tr.num_rows > 0
+    assert set(tr.schema.names) == {"conv_id", "turn_idx", "role",
+                                    "text", "tool", "ts"}
+    out = str(tmp_path / "kg")
+    res = run_kg_pipeline(corpus, out)
+    assert res["groups"] >= 1
+    edges = glob.glob(f"{out}/edges/**/*.parquet", recursive=True)
+    assert edges  # pipeline completed and materialized the edge table

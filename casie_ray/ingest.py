@@ -176,6 +176,22 @@ def _date_us(date: str) -> int:
     return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
 
 
+def _turn_spans(content: str) -> list[tuple[str, int]]:
+    """Sentence-ish turn segmentation with exact doc offsets:
+    (stripped turn text, its char offset in content). The single
+    source of truth for BOTH the transcript bridge and the gold
+    mention mapping, so annotation offsets project consistently."""
+    spans = []
+    pos = 0
+    for seg in (content or "").split(". "):
+        start = pos
+        pos += len(seg) + 2  # the '. ' separator consumed by split
+        t = seg.strip()
+        if t:
+            spans.append((t, start + (len(seg) - len(seg.lstrip()))))
+    return spans
+
+
 def _doc_turn_rows(batch: pa.Table) -> pa.Table:
     out = {k: [] for k in
            ("conv_id", "turn_idx", "role", "text", "tool")}
@@ -185,8 +201,7 @@ def _doc_turn_rows(batch: pa.Table) -> pa.Table:
             batch.column("date").to_pylist(),
             batch.column("content").to_pylist()):
         base = _date_us(date)
-        turns = [s.strip() for s in (content or "").split(". ")]
-        turns = [t for t in turns if t]
+        turns = [t for t, _ in _turn_spans(content)]
         for i, t in enumerate(turns):
             out["conv_id"].append(doc_id)
             out["turn_idx"].append(i)
@@ -241,3 +256,52 @@ def annotations_to_corpus(ann_dir: str, corpus_dir: str) -> dict:
     import pyarrow.parquet as pq
     pq.write_table(t, os.path.join(corpus_dir, "entities.parquet"))
     return {"entities": len(ent_id), "corpus_dir": corpus_dir}
+
+
+# ---------------------------------------------------------------------------
+# Gold projection: annotation nugget spans -> the scorer's mention
+# table (conv_id, turn_idx, start, end, label), with doc-level char
+# offsets re-based onto the SAME turn segmentation the transcript
+# bridge produces — so `python -m casie_ray.score` evaluates any
+# engine prediction directly against the reference's own gold.
+# ---------------------------------------------------------------------------
+
+MENTION_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("start", pa.int64()), ("end", pa.int64()),
+    ("label", pa.string()), ("clipped", pa.bool_()),
+])
+
+
+def _gold_mention_rows(batch: pa.Table) -> pa.Table:
+    out: list[dict] = []
+    for path, raw in zip(batch.column("path").to_pylist(),
+                         batch.column("bytes").to_pylist()):
+        doc, events, _args = parse_annotation(path, raw)
+        spans = _turn_spans(doc["content"])
+        bounds = [(off, off + len(t)) for t, off in spans]
+        for ev in events:
+            s, e = ev["nugget_start"], ev["nugget_end"]
+            if s < 0:
+                continue
+            ti = next((i for i, (a, b) in enumerate(bounds)
+                       if a <= s < b), None)
+            if ti is None:
+                continue
+            a, b = bounds[ti]
+            out.append({
+                "conv_id": doc["doc_id"], "turn_idx": ti,
+                "start": s - a, "end": min(e, b) - a,
+                "label": ev["subtype"], "clipped": e > b,
+            })
+    if not out:
+        return MENTION_SCHEMA.empty_table()
+    return pa.Table.from_pylist(out, schema=MENTION_SCHEMA)
+
+
+def gold_nugget_mentions(path: str):
+    """Dataset of gold nugget mentions in scorer format (turn-local
+    offsets under the bridge's segmentation; ``clipped`` marks spans
+    crossing a turn boundary, truncated at the boundary)."""
+    return _read_raw(path).map_batches(
+        _gold_mention_rows, batch_format="pyarrow")

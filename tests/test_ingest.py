@@ -18,7 +18,7 @@ DOC = {
     "cyberevent": {"hopper": [{
         "relation": "Same", "index": 0,
         "events": [{
-            "nugget": {"startOffset": 47, "endOffset": 53,
+            "nugget": {"startOffset": 46, "endOffset": 52,
                        "index": "T1", "text": "breach"},
             "subtype": "Databreach", "index": "E1",
             "realis": "Actual", "type": "Attack",
@@ -125,3 +125,51 @@ def test_annotations_to_corpus_feeds_kg_pipeline(ray_session,
     assert res["groups"] >= 1
     edges = glob.glob(f"{out}/edges/**/*.parquet", recursive=True)
     assert edges  # pipeline completed and materialized the edge table
+
+
+def test_gold_nugget_mentions_offsets(ray_session, tmp_path):
+    """Gold nugget spans re-base onto the bridge's turn segmentation:
+    slicing the turn text with the mention offsets must reproduce the
+    annotated nugget text exactly."""
+    from casie_ray.ingest import _turn_spans, gold_nugget_mentions
+
+    d = _write_corpus(tmp_path)
+    m = gold_nugget_mentions(d).to_pandas()
+    assert len(m) == 2 and (m["label"] == "Databreach").all()
+    content = DOC["content"]
+    turns = [t for t, _ in _turn_spans(content)]
+    for _, r in m.iterrows():
+        assert turns[r["turn_idx"]][r["start"]:r["end"]] == "breach"
+        assert not r["clipped"]
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DIR),
+                    reason="reference corpus not present")
+def test_gold_mentions_match_real_nugget_text(ray_session, tmp_path):
+    """On real reference files, ≥95% of unclipped gold mentions must
+    slice back to the exact annotated nugget text."""
+    import shutil
+
+    from casie_ray.ingest import (_turn_spans, casie_documents,
+                                  casie_events, gold_nugget_mentions)
+
+    d = tmp_path / "real"
+    d.mkdir()
+    for name in sorted(os.listdir(REF_DIR))[:20]:
+        shutil.copy(os.path.join(REF_DIR, name), d / name)
+    docs = casie_documents(str(d)).to_pandas() \
+        .set_index("doc_id")["content"]
+    ev = casie_events(str(d)).to_pandas()
+    nug = {(r["doc_id"], r["nugget_start"]): r["nugget_text"]
+           for _, r in ev.iterrows()}
+    m = gold_nugget_mentions(str(d)).to_pandas()
+    m = m[~m["clipped"]]
+    assert len(m) > 50
+    ok = 0
+    for _, r in m.iterrows():
+        spans = _turn_spans(docs[r["conv_id"]])
+        text, off = spans[r["turn_idx"]]
+        got = text[r["start"]:r["end"]]
+        want = nug.get((r["conv_id"], off + r["start"]))
+        ok += int(want is not None and got == want)
+    assert ok / len(m) >= 0.95, (ok, len(m))

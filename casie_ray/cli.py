@@ -8,9 +8,15 @@ script-per-task entry points, without writing Python:
     python -m casie_ray.cli list
     python -m casie_ray.cli run doc_bm25_topk --sf-dir /root/testdata/sf0.01
     python -m casie_ray.cli run kg_triangles --out /tmp/tri.parquet
+    python -m casie_ray.cli ingest /path/to/annotation /tmp/corpus
+    python -m casie_ray.cli gold /path/to/annotation --out gold.parquet
 
 ``run`` executes the named pipeline over the given table directory and
 either writes the result to parquet (--out) or prints row count + head.
+``ingest`` bridges a reference-format annotation-JSON directory to the
+engine corpus layout (then ``python -m casie_ray.pipelines.kg`` runs
+over it); ``gold`` projects the annotation nuggets to the scorer's
+mention table (``python -m casie_ray.score --gold ...``).
 Owns the Ray session (guarded init, shutdown on exit) — library code
 never does (driver contract).
 """
@@ -44,7 +50,40 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--out", default=None,
                     help="write result parquet here instead of printing")
     rp.add_argument("--num-cpus", type=int, default=None)
+    ip = sub.add_parser(
+        "ingest", help="annotation-JSON dir -> engine corpus layout")
+    ip.add_argument("ann_dir")
+    ip.add_argument("corpus_dir")
+    gp = sub.add_parser(
+        "gold", help="annotation-JSON dir -> scorer mention table")
+    gp.add_argument("ann_dir")
+    gp.add_argument("--out", required=True)
     args = ap.parse_args(argv)
+
+    if args.cmd in ("ingest", "gold"):
+        import ray
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address="local", include_dashboard=False)
+        try:
+            if args.cmd == "ingest":
+                from .ingest import annotations_to_corpus
+                print(annotations_to_corpus(args.ann_dir,
+                                            args.corpus_dir))
+            else:
+                import pyarrow as pa
+
+                from .ingest import gold_nugget_mentions
+                t = pa.concat_tables(
+                    gold_nugget_mentions(args.ann_dir)
+                    .iter_batches(batch_format="pyarrow"))
+                import pyarrow.parquet as pq
+                pq.write_table(t, args.out)
+                print(f"gold: {t.num_rows} mentions -> {args.out}")
+            return 0
+        finally:
+            if owns:
+                ray.shutdown()
 
     qs = _queries()
     if args.cmd == "list":

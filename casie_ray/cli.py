@@ -58,6 +58,8 @@ def main(argv: list[str] | None = None) -> int:
         "gold", help="annotation-JSON dir -> scorer mention table")
     gp.add_argument("ann_dir")
     gp.add_argument("--out", required=True)
+    gp.add_argument("--what", choices=["nugget", "argument"],
+                    default="nugget")
     args = ap.parse_args(argv)
 
     if args.cmd in ("ingest", "gold"):
@@ -73,13 +75,17 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 import pyarrow as pa
 
-                from .ingest import gold_nugget_mentions
+                from .ingest import (gold_argument_mentions,
+                                     gold_nugget_mentions)
+                fn = (gold_nugget_mentions if args.what == "nugget"
+                      else gold_argument_mentions)
                 t = pa.concat_tables(
-                    gold_nugget_mentions(args.ann_dir)
+                    fn(args.ann_dir)
                     .iter_batches(batch_format="pyarrow"))
                 import pyarrow.parquet as pq
                 pq.write_table(t, args.out)
-                print(f"gold: {t.num_rows} mentions -> {args.out}")
+                print(f"gold {args.what}: {t.num_rows} mentions -> "
+                      f"{args.out}")
             return 0
         finally:
             if owns:

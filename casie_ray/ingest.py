@@ -305,3 +305,47 @@ def gold_nugget_mentions(path: str):
     crossing a turn boundary, truncated at the boundary)."""
     return _read_raw(path).map_batches(
         _gold_mention_rows, batch_format="pyarrow")
+
+
+ARG_MENTION_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("start", pa.int64()), ("end", pa.int64()),
+    ("label", pa.string()), ("role", pa.string()),
+    ("clipped", pa.bool_()),
+])
+
+
+def _gold_arg_rows(batch: pa.Table) -> pa.Table:
+    out: list[dict] = []
+    for path, raw in zip(batch.column("path").to_pylist(),
+                         batch.column("bytes").to_pylist()):
+        doc, _events, args = parse_annotation(path, raw)
+        spans = _turn_spans(doc["content"])
+        bounds = [(off, off + len(t)) for t, off in spans]
+        for a in args:
+            s, e = a["start"], a["end"]
+            if s < 0:
+                continue
+            ti = next((i for i, (lo, hi) in enumerate(bounds)
+                       if lo <= s < hi), None)
+            if ti is None:
+                continue
+            lo, hi = bounds[ti]
+            out.append({
+                "conv_id": doc["doc_id"], "turn_idx": ti,
+                "start": s - lo, "end": min(e, hi) - lo,
+                "label": a["arg_type"], "role": a["role"],
+                "clipped": e > hi,
+            })
+    if not out:
+        return ARG_MENTION_SCHEMA.empty_table()
+    return pa.Table.from_pylist(out, schema=ARG_MENTION_SCHEMA)
+
+
+def gold_argument_mentions(path: str):
+    """Dataset of gold ARGUMENT mentions in scorer format (label =
+    argument entity type, plus the role column — score with label for
+    the reference's `-options argument` mode, or re-label with role
+    for its `-options role` mode)."""
+    return _read_raw(path).map_batches(
+        _gold_arg_rows, batch_format="pyarrow")

@@ -173,3 +173,16 @@ def test_gold_mentions_match_real_nugget_text(ray_session, tmp_path):
         want = nug.get((r["conv_id"], off + r["start"]))
         ok += int(want is not None and got == want)
     assert ok / len(m) >= 0.95, (ok, len(m))
+
+
+def test_gold_argument_mentions(ray_session, tmp_path):
+    from casie_ray.ingest import _turn_spans, gold_argument_mentions
+
+    d = _write_corpus(tmp_path)
+    m = gold_argument_mentions(d).to_pandas()
+    assert len(m) == 2
+    assert (m["label"] == "Person").all()
+    assert (m["role"] == "Attacker").all()
+    turns = [t for t, _ in _turn_spans(DOC["content"])]
+    for _, r in m.iterrows():
+        assert turns[r["turn_idx"]][r["start"]:r["end"]] == "POLICE"

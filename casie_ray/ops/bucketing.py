@@ -179,3 +179,22 @@ def fnv1a_hashes(words: list[str]) -> np.ndarray:
             out[live] = (out[live] ^ buf[live, j].astype(np.uint64)) \
                 * FNV_BASE
     return out
+
+
+def register_reduce(ds, merge_fn, *, batch_format="pyarrow"):
+    """Tree-merge for bounded REGISTER tables (HLL/PCA-style mergeable
+    state whose merge fn is closed over its own output schema): one
+    intermediate merge level at cluster width, then the single final
+    task. The final task's input is ~#CPUs blocks of register-sized
+    tables regardless of how many input blocks the scan produced — the
+    missing piece that makes the "one tiny final merge" claim hold at
+    100k-block corpora, at the cost of one extra linear pass over
+    register-mass-only data."""
+    import ray
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    return ds.repartition(ncpu) \
+        .map_batches(merge_fn, batch_format=batch_format,
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge_fn, batch_format=batch_format,
+                     batch_size=None)

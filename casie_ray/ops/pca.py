@@ -5,9 +5,9 @@ clustering or SemDeDup).
 Shape: PCA of N x d embeddings needs only the d x d Gram matrix, the
 column-sum vector and the row count — all MERGEABLE one-pass block
 partials, so the whole reduction is shuffle-free (the same register
-pattern as the HLL/KMV sketches: per-block bounded partials, one tiny
-merge; tree-merge via an intermediate repartition if block count grows
-past driver comfort). The eigendecomposition then runs driver-side on
+pattern as the HLL/KMV sketches: per-block bounded partials, a
+cluster-width tree-merge level, one tiny final task —
+bucketing.register_reduce). The eigendecomposition then runs driver-side on
 the d x d matrix — O(d^3) independent of corpus size.
 
 Exactness contract: embeddings are quantized to fixed-point micro-units
@@ -102,13 +102,12 @@ def embedding_pca_gram(sf_dir: str):
     all mod 2^64 (1 + d + d(d+1)/2 rows; d=64 -> 2145)."""
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                 columns=["embedding"]) \
+    from .bucketing import register_reduce
+    return register_reduce(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["embedding"])
         .map_batches(pca_partial, batch_format="pyarrow",
-                     batch_size=None) \
-        .repartition(1) \
-        .map_batches(pca_merge, batch_format="pyarrow",
-                     batch_size=None)
+                     batch_size=None), pca_merge)
 
 
 def pca_components(regs: pa.Table, k: int = 8):

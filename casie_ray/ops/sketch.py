@@ -166,10 +166,11 @@ def hll_partial(ids: np.ndarray) -> pa.Table:
 
 def hll_user_registers(sf_dir: str):
     """HLL registers for distinct ``events.user_id``: per-block partials
-    (bounded 4096 rows each) merged in ONE tiny final task — no
-    exchange of row data at all; only register partials move. On a
-    cluster the merge input is #blocks x 4096 rows max; tree-merge via
-    an intermediate repartition if #blocks grows past driver comfort.
+    (bounded 4096 rows each) merged through the
+    register_reduce tree (cluster-width intermediate level, then one
+    tiny final task) — no exchange of row data at all; only register
+    partials move, and the final task sees ~#CPUs blocks regardless of
+    scan width.
     The register table (not the float estimate) is the query contract:
     it is deterministic integer data, hash-checkable against a DuckDB
     oracle reproducing splitmix64 + bit_length in SQL."""
@@ -184,11 +185,12 @@ def hll_user_registers(sf_dir: str):
         g = g.rename_columns(["register", "max_rank"])
         return g.sort_by("register")
 
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                                 columns=["user_id"]) \
-        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
-        .repartition(1) \
-        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    from .bucketing import register_reduce
+    return register_reduce(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id"])
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=None), merge)
 
 
 def hll_estimate(registers: pa.Table, p: int = HLL_P) -> float:
@@ -255,6 +257,10 @@ def kmv_user_values(sf_dir: str, k: int = KMV_K):
         return pa.table({"h": pa.array((h >> np.uint64(1))
                                        .astype(np.int64), pa.int64())})
 
+    # single-level merge on purpose: the final task's input is already
+    # bounded at k rows PER BLOCK, and the merge fn is not closed over
+    # its own output (it drops user_id), so register_reduce's tree
+    # does not apply
     return ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                  columns=["user_id"]) \
         .map_batches(partial, batch_format="pyarrow", batch_size=None) \
@@ -312,8 +318,9 @@ def hll_users_by_type(sf_dir: str):
         return g.sort_by([("event_type", "ascending"),
                           ("register", "ascending")])
 
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                                 columns=["event_type", "user_id"]) \
-        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
-        .repartition(1) \
-        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    from .bucketing import register_reduce
+    return register_reduce(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=None), merge)

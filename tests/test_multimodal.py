@@ -106,3 +106,58 @@ def test_real_codecs_roundtrip(ray_session, tmp_path):
     # real formats decode even in strict mode
     out = strictd(tbl.slice(0, 1))
     assert out.column("decoder").to_pylist() == ["bmp"]
+
+
+def test_average_hash_noise_invariance():
+    """aHash is stable under small pixel noise and differs across
+    genuinely different images."""
+    import numpy as np
+
+    from casie_ray.stages.multimodal import average_hash
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    # strong structure so block means are far from the threshold
+    base[:20] = np.minimum(base[:20] // 4, 40)
+    base[20:] = np.maximum(255 - base[20:] // 4, 200)
+    noisy = base.astype(np.int16) + rng.integers(-3, 4, base.shape)
+    noisy = np.clip(noisy, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    h0, h1, h2 = (average_hash(x) for x in (base, noisy, other))
+    assert bin(h0 ^ h1).count("1") <= 2
+    assert bin(h0 ^ h2).count("1") > 8
+
+
+def test_media_phash_pairs_planted(ray_session):
+    """Banded aHash pair search finds the planted noisy copy and
+    nothing else, over real encoded BMP payloads."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from casie_ray.stages.multimodal import (MEDIA_SCHEMA, encode_bmp,
+                                             media_phash_pairs)
+
+    rng = np.random.default_rng(3)
+    imgs = []
+    for i in range(6):
+        # distinct blocky binary pattern per image -> aHash ~ the mask
+        mask = rng.integers(0, 2, (8, 8)).astype(np.uint8)
+        m = np.repeat(np.repeat(mask * 255, 4, 0), 4, 1)
+        imgs.append(np.stack([m, m, m], axis=2))
+    noisy = np.clip(imgs[0].astype(np.int16)
+                    + rng.integers(-2, 3, imgs[0].shape),
+                    0, 255).astype(np.uint8)
+    imgs.append(noisy)  # media_id 6 ~ media_id 0
+    t = pa.table({
+        "media_id": pa.array(list(range(len(imgs))), pa.int64()),
+        "media_type": pa.array(["image"] * len(imgs), pa.string()),
+        "payload": pa.array([encode_bmp(m) for m in imgs],
+                            pa.binary()),
+        "source": pa.array(["t"] * len(imgs), pa.string()),
+    }).cast(MEDIA_SCHEMA)
+    ds = ray.data.from_arrow(t)
+    out = media_phash_pairs(ds).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["media_a"], out.iloc[0]["media_b"]) == (0, 6)
+    assert out.iloc[0]["hamming"] <= 4

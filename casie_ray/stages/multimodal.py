@@ -141,7 +141,8 @@ def _decode_ppm(payload: bytes):
     return w, h, luma
 
 
-def _decode_wav(payload: bytes):
+def _wav_samples(payload: bytes):
+    """PCM WAV -> (rate, n_frames, float64 samples in [-1, 1])."""
     import io
     import wave
     with wave.open(io.BytesIO(payload), "rb") as wf:
@@ -153,6 +154,11 @@ def _decode_wav(payload: bytes):
         x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
     else:
         x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128) / 128
+    return rate, n, x
+
+
+def _decode_wav(payload: bytes):
+    rate, n, x = _wav_samples(payload)
     rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
     duration_ms = int(round(1000.0 * n / rate)) if rate else 0
     return rate, duration_ms, rms
@@ -364,9 +370,13 @@ class AHashStage:
         })
 
 
-def media_phash_pairs(media_ds, hamming_t: int = AHASH_HAMMING_T):
-    """(media_a, media_b, hamming) for image pairs whose aHashes are
-    within ``hamming_t`` bits. media_ds: MEDIA_SCHEMA-shaped Dataset."""
+def hash64_band_pairs(rows_ds, hamming_t: int):
+    """Generic banded near-dup search over a (media_id, ahash:uint64)
+    Dataset: 4×16-bit band blocking (pigeonhole guarantees recall for
+    Hamming ≤ 3; at t=4 a pair with exactly one flipped bit in every
+    band is missed — the same documented banding approximation as
+    SimHash), in-bucket exact Hamming verify, distinct pairs. Shared
+    by the image aHash and audio fingerprint stages."""
     from ..ops.bucketing import bucket_groupby, hash_bucket
 
     def bands(batch: pa.Table) -> pa.Table:
@@ -438,9 +448,80 @@ def media_phash_pairs(media_ds, hamming_t: int = AHASH_HAMMING_T):
                               "hamming"])
         return g.select(["media_a", "media_b", "hamming"])
 
+    banded = rows_ds.map_batches(bands, batch_format="pyarrow",
+                                 batch_size=None)
+    return bucket_groupby(bucket_groupby(banded, pairs), distinct)
+
+
+def media_phash_pairs(media_ds, hamming_t: int = AHASH_HAMMING_T):
+    """(media_a, media_b, hamming) for image pairs whose aHashes are
+    within ``hamming_t`` bits. media_ds: MEDIA_SCHEMA-shaped Dataset;
+    payloads decode once in the actor-pool stage, then only
+    (media_id, ahash) rows cross the band exchanges."""
     rows = media_ds.map_batches(AHashStage, concurrency=2,
                                 batch_size=MEDIA_BATCH_SIZE,
                                 batch_format="pyarrow")
-    banded = rows.map_batches(bands, batch_format="pyarrow",
-                              batch_size=None)
-    return bucket_groupby(bucket_groupby(banded, pairs), distinct)
+    return hash64_band_pairs(rows, hamming_t)
+
+
+# ---------------------------------------------------------------------------
+# Audio near-duplicate fingerprint (the WAV twin of the image aHash):
+# 16 equal frames × 4 FFT band energies -> 64 bits, each bit = that
+# band's energy above its median across frames. Median thresholding
+# makes the fingerprint gain-invariant (scaling the signal scales the
+# medians); small additive noise flips few bits. Same banded pair
+# machinery (hash64_band_pairs) downstream.
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_FRAMES = 16
+AUDIO_FP_BANDS = 4
+
+
+def audio_fingerprint(samples: np.ndarray) -> int:
+    """1-D float PCM -> 64-bit spectral fingerprint."""
+    x = np.asarray(samples, np.float64)
+    if len(x) < AUDIO_FP_FRAMES:
+        x = np.pad(x, (0, AUDIO_FP_FRAMES - len(x)))
+    flen = len(x) // AUDIO_FP_FRAMES
+    frames = x[: flen * AUDIO_FP_FRAMES].reshape(AUDIO_FP_FRAMES, flen)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    nb = spec.shape[1]
+    edges = (np.arange(AUDIO_FP_BANDS + 1) * nb) // AUDIO_FP_BANDS
+    bands = np.add.reduceat(spec, edges[:-1], axis=1)
+    med = np.median(bands, axis=0, keepdims=True)
+    bits = (bands > med).reshape(-1)
+    return int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
+
+
+class AudioFpStage:
+    """Actor-pool stage: decode WAV payloads, emit (media_id, ahash);
+    non-audio/undecodable rows are dropped."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_h = [], []
+        for mid, p in zip(batch.column("media_id").to_pylist(),
+                          batch.column("payload").to_pylist()):
+            p = p or b""
+            if not (p[:4] == b"RIFF" and p[8:12] == b"WAVE"):
+                continue
+            import wave
+            try:
+                _rate, _n, x = _wav_samples(p)
+            except (ValueError, EOFError, struct.error, wave.Error):
+                continue
+            out_id.append(mid)
+            out_h.append(audio_fingerprint(x))
+        return pa.table({
+            "media_id": pa.array(out_id, pa.int64()),
+            "ahash": pa.array(np.array(out_h, dtype=np.uint64),
+                              pa.uint64()),
+        })
+
+
+def media_audio_fp_pairs(media_ds, hamming_t: int = AHASH_HAMMING_T):
+    """(media_a, media_b, hamming) for audio pairs whose spectral
+    fingerprints are within ``hamming_t`` bits."""
+    rows = media_ds.map_batches(AudioFpStage, concurrency=2,
+                                batch_size=MEDIA_BATCH_SIZE,
+                                batch_format="pyarrow")
+    return hash64_band_pairs(rows, hamming_t)

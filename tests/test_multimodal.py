@@ -161,3 +161,59 @@ def test_media_phash_pairs_planted(ray_session):
     assert len(out) == 1
     assert (out.iloc[0]["media_a"], out.iloc[0]["media_b"]) == (0, 6)
     assert out.iloc[0]["hamming"] <= 4
+
+
+def test_audio_fingerprint_invariances():
+    """Spectral fingerprint is gain-invariant and noise-stable, and
+    separates different signals."""
+    import numpy as np
+
+    from casie_ray.stages.multimodal import audio_fingerprint
+
+    rng = np.random.default_rng(11)
+    t = np.arange(16000) / 16000.0
+    # chirpy structured signal: per-frame distinct dominant bands
+    base = np.concatenate([
+        np.sin(2 * np.pi * (200 + 400 * k) * t[:1000])
+        for k in range(16)])
+    noisy = base + rng.normal(0, 0.01, base.shape)
+    other = np.concatenate([
+        np.sin(2 * np.pi * (6000 - 300 * k) * t[:1000])
+        for k in range(16)])
+    h0 = audio_fingerprint(base)
+    assert audio_fingerprint(base * 1.3) == h0  # gain invariance
+    assert bin(h0 ^ audio_fingerprint(noisy)).count("1") <= 3
+    assert bin(h0 ^ audio_fingerprint(other)).count("1") > 8
+
+
+def test_media_audio_fp_pairs_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from casie_ray.stages.multimodal import (MEDIA_SCHEMA, encode_wav,
+                                             media_audio_fp_pairs)
+
+    rng = np.random.default_rng(5)
+    t = np.arange(8000) / 16000.0
+    sigs = []
+    for i in range(5):
+        f = 300 + 170 * i
+        s = np.concatenate([
+            np.sin(2 * np.pi * (f + 80 * k) * t[:500])
+            for k in range(16)])
+        sigs.append((s * 20000).astype(np.int16))
+    noisy = np.clip(sigs[0].astype(np.float64)
+                    + rng.normal(0, 100, sigs[0].shape),
+                    -32768, 32767).astype(np.int16)
+    sigs.append(noisy)  # id 5 ~ id 0
+    tbl = pa.table({
+        "media_id": pa.array(list(range(len(sigs))), pa.int64()),
+        "media_type": pa.array(["audio"] * len(sigs), pa.string()),
+        "payload": pa.array([encode_wav(s) for s in sigs],
+                            pa.binary()),
+        "source": pa.array(["t"] * len(sigs), pa.string()),
+    }).cast(MEDIA_SCHEMA)
+    out = media_audio_fp_pairs(ray.data.from_arrow(tbl)).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["media_a"], out.iloc[0]["media_b"]) == (0, 5)

@@ -9,8 +9,10 @@ Codecs: formats decodable with stdlib + numpy are decoded FOR REAL —
 24-bit uncompressed BMP and binary PPM (P6) images (hand-parsed
 headers, vectorized pixel math) and PCM WAV audio (stdlib ``wave``):
 true width/height/mean-luma for images, sample-rate/duration/RMS for
-audio. Compressed formats (JPEG/PNG/MP3/MP4 — PIL/ffmpeg are NOT in
-this environment) hit the documented seam: ``strict=True`` raises
+audio; video ships in the RAWV raw container (header + concatenated
+RGB frames) with a REAL frame-sample stage, per-frame stats/aHash and
+frame-set near-dup pairs. Compressed formats (JPEG/PNG/MP3/MP4 —
+PIL/ffmpeg are NOT in this environment) hit the documented seam: ``strict=True`` raises
 NotImplementedError exactly where a real codec plugs in; the default
 falls back to a deterministic fake decode (pure function of the
 payload bytes) so the Ray-side plumbing stays testable end-to-end on
@@ -38,7 +40,7 @@ FEATURE_SCHEMA = pa.schema([
     ("media_type", pa.string()),
     ("n_bytes", pa.int64()),
     ("checksum", pa.int64()),
-    ("decoder", pa.string()),             # bmp | ppm | wav | fake
+    ("decoder", pa.string()),             # bmp | ppm | wav | rawv | fake
     ("width", pa.int32()),                # images (0 for audio/fake)
     ("height", pa.int32()),
     ("mean_luma", pa.float32()),          # images; fake path digest luma
@@ -199,6 +201,16 @@ class MediaDecoder:
                 rate, dur, rms = _decode_wav(payload)
                 return {**zero, "decoder": "wav", "sample_rate": rate,
                         "duration_ms": dur, "rms": rms}
+            if payload[:4] == RAWV_MAGIC:
+                frames, fps = _rawv_frames(payload)
+                luma = float((frames.astype(np.float64) @ _LUMA)
+                             .mean() / 255.0)
+                return {**zero, "decoder": "rawv",
+                        "width": frames.shape[2],
+                        "height": frames.shape[1], "mean_luma": luma,
+                        "sample_rate": fps,
+                        "duration_ms": int(round(
+                            1000.0 * len(frames) / fps)) if fps else 0}
         except (ValueError, struct.error, EOFError, IndexError) as e:
             if self.strict:
                 raise NotImplementedError(
@@ -525,3 +537,151 @@ def media_audio_fp_pairs(media_ds, hamming_t: int = AHASH_HAMMING_T):
                                 batch_size=MEDIA_BATCH_SIZE,
                                 batch_format="pyarrow")
     return hash64_band_pairs(rows, hamming_t)
+
+
+# ---------------------------------------------------------------------------
+# Video: a raw container ("RAWV": magic + w/h/n_frames/fps header +
+# concatenated RGB frames) decodable with numpy alone, so the
+# frame-sample stage is REAL end to end — the compressed-codec seam
+# (MP4/H.264, no ffmpeg in this env) stays at the MediaDecoder
+# boundary exactly like JPEG/MP3. Frame sampling emits one row per
+# every-k-th frame with true per-frame stats + aHash; video near-dup
+# pairs videos sharing enough sampled-frame hashes (the shingle-pair
+# machinery keyed by frame hash — only (hash, id) rows shuffle,
+# never pixels).
+# ---------------------------------------------------------------------------
+
+RAWV_MAGIC = b"RAWV"
+FRAME_SAMPLE_EVERY = 5
+
+FRAME_SCHEMA = pa.schema([
+    ("media_id", pa.int64()), ("frame_idx", pa.int64()),
+    ("width", pa.int32()), ("height", pa.int32()),
+    ("mean_luma", pa.float32()), ("ahash", pa.uint64()),
+])
+
+
+def encode_rawv(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 RGB -> RAWV container bytes."""
+    n, h, w, _ = frames.shape
+    hdr = RAWV_MAGIC + struct.pack("<IIII", w, h, n, fps)
+    return hdr + frames.tobytes()
+
+
+def _rawv_frames(payload: bytes) -> tuple[np.ndarray, int]:
+    if payload[:4] != RAWV_MAGIC:
+        raise ValueError("not a RAWV payload")
+    w, h, n, fps = struct.unpack_from("<IIII", payload, 4)
+    data = np.frombuffer(payload, np.uint8, count=n * h * w * 3,
+                         offset=20).reshape(n, h, w, 3)
+    return data, fps
+
+
+class FrameSampleStage:
+    """Actor-pool frame sampler: every ``k``-th frame of each RAWV
+    video -> (media_id, frame_idx, width, height, mean_luma, ahash).
+    A real build swaps the container parser for an ffmpeg/PyAV reader
+    in __init__ — the emitted row contract is the point."""
+
+    def __init__(self, every_k: int = FRAME_SAMPLE_EVERY):
+        self.k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for mid, p in zip(batch.column("media_id").to_pylist(),
+                          batch.column("payload").to_pylist()):
+            p = p or b""
+            if p[:4] != RAWV_MAGIC:
+                continue
+            try:
+                frames, _fps = _rawv_frames(p)
+            except (ValueError, struct.error):
+                continue
+            for fi in range(0, len(frames), self.k):
+                f = frames[fi]
+                rows.append({
+                    "media_id": mid, "frame_idx": fi,
+                    "width": f.shape[1], "height": f.shape[0],
+                    "mean_luma": float(
+                        (f.astype(np.float64) @ _LUMA).mean() / 255.0),
+                    "ahash": average_hash(f),
+                })
+        if not rows:
+            return FRAME_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=FRAME_SCHEMA)
+
+
+def frame_sample(media_ds, every_k: int = FRAME_SAMPLE_EVERY):
+    """Sampled-frame feature table for every RAWV video payload
+    (actor pool; small batches — raw frames are the biggest payloads
+    this module handles)."""
+    return media_ds.map_batches(
+        FrameSampleStage, fn_constructor_args=(every_k,),
+        concurrency=2, batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE)
+
+
+def video_near_dup_pairs(media_ds, every_k: int = FRAME_SAMPLE_EVERY,
+                         min_shared: int = 2):
+    """(media_a, media_b, n_shared) for video pairs sharing >=
+    ``min_shared`` distinct sampled-frame aHashes — frame-set overlap
+    as the near-dup signal (re-encodes and frame noise keep aHashes;
+    different footage does not). Pixels never shuffle: the pair search
+    runs on (ahash, media_id) rows through the same shingle-bucket ->
+    pair-bucket exchanges as the text dedup family."""
+    from ..ops.bucketing import bucket_groupby, hash_bucket
+    from ..ops.dedup import segment_pair_indices
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        h = batch.column("ahash").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        # distinct (video, frame-hash) pairs
+        key = np.stack([ids.astype(np.int64),
+                        h.astype(np.int64)], axis=1)
+        _, first = np.unique(key, axis=0, return_index=True)
+        ids, h = ids[first], h[first]
+        return pa.table({
+            "shingle": pa.array(h, pa.uint64()),
+            "media_id": pa.array(ids, pa.int64()),
+            "bucket": pa.array(hash_bucket([h]), pa.int32()),
+        })
+
+    def pairs(group: pa.Table) -> pa.Table:
+        sh = group.column("shingle").to_numpy(zero_copy_only=False)
+        ids = group.column("media_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sh))
+        sh, ids = sh[order], ids[order]
+        ia, ib = segment_pair_indices([sh])
+        if len(ia) == 0:
+            return pa.table({
+                "media_a": pa.array([], pa.int64()),
+                "media_b": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int32())})
+        a = np.minimum(ids[ia], ids[ib])
+        b = np.maximum(ids[ia], ids[ib])
+        t = pa.table({
+            "media_a": pa.array(a, pa.int64()),
+            "media_b": pa.array(b, pa.int64()),
+            "n_shared": pa.array(np.ones(len(a), np.int64)),
+        })
+        g = t.group_by(["media_a", "media_b"]).aggregate(
+            [("n_shared", "sum")])
+        g = g.rename_columns(["media_a", "media_b", "n_shared"])
+        return g.append_column("bucket", pa.array(
+            hash_bucket([g.column("media_a"), g.column("media_b")]),
+            pa.int32()))
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by(["media_a", "media_b"]).aggregate(
+            [("n_shared", "sum")])
+        g = g.rename_columns(["media_a", "media_b", "n_shared"])
+        import pyarrow.compute as pc
+        return g.filter(pc.greater_equal(g.column("n_shared"),
+                                         min_shared))
+
+    fr = frame_sample(media_ds, every_k)
+    banded = fr.map_batches(rows, batch_format="pyarrow",
+                            batch_size=None)
+    return bucket_groupby(bucket_groupby(banded, pairs), final)

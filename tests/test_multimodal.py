@@ -217,3 +217,57 @@ def test_media_audio_fp_pairs_planted(ray_session):
     out = media_audio_fp_pairs(ray.data.from_arrow(tbl)).to_pandas()
     assert len(out) == 1
     assert (out.iloc[0]["media_a"], out.iloc[0]["media_b"]) == (0, 5)
+
+
+def test_frame_sample_and_video_near_dup(ray_session):
+    """RAWV decode + frame sampling are real: sampled rows carry true
+    per-frame stats, and the frame-hash pair search finds the planted
+    re-encoded/noisy copy only."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from casie_ray.stages.multimodal import (MEDIA_SCHEMA, MediaDecoder,
+                                             encode_rawv, frame_sample,
+                                             video_near_dup_pairs)
+
+    rng = np.random.default_rng(9)
+
+    def clip(n_frames, seed):
+        r = np.random.default_rng(seed)
+        frames = []
+        for _ in range(n_frames):
+            mask = r.integers(0, 2, (8, 8)).astype(np.uint8)
+            f = np.repeat(np.repeat(mask * 255, 3, 0), 4, 1)
+            frames.append(np.stack([f, f, f], axis=2))
+        return np.stack(frames)
+
+    vids = [clip(12, s) for s in (1, 2, 3)]
+    noisy = np.clip(vids[0].astype(np.int16)
+                    + rng.integers(-2, 3, vids[0].shape),
+                    0, 255).astype(np.uint8)
+    vids.append(noisy)  # id 3 ~ id 0
+    tbl = pa.table({
+        "media_id": pa.array(list(range(len(vids))), pa.int64()),
+        "media_type": pa.array(["video"] * len(vids), pa.string()),
+        "payload": pa.array([encode_rawv(v) for v in vids],
+                            pa.binary()),
+        "source": pa.array(["t"] * len(vids), pa.string()),
+    }).cast(MEDIA_SCHEMA)
+    ds = ray.data.from_arrow(tbl)
+
+    fr = frame_sample(ds, every_k=5).to_pandas()
+    assert len(fr) == 4 * 3  # frames 0,5,10 per 12-frame clip
+    assert (fr["width"] == 32).all() and (fr["height"] == 24).all()
+
+    out = video_near_dup_pairs(ds, every_k=5,
+                               min_shared=2).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["media_a"], out.iloc[0]["media_b"]) == (0, 3)
+    assert out.iloc[0]["n_shared"] == 3
+
+    # MediaDecoder routes RAWV for real
+    dec = MediaDecoder(strict=True)(tbl.slice(0, 1)).to_pylist()[0]
+    assert dec["decoder"] == "rawv"
+    assert (dec["width"], dec["height"]) == (32, 24)
+    assert dec["sample_rate"] == 10 and dec["duration_ms"] == 1200

@@ -255,6 +255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # row (or whose code changed this round) come first; everything
     # after slot 50 is hash-green in CORRECTNESS_r03 with unchanged
     # code. Rotate freshly-evidenced entries to the back each round.
+    # r5 note: once CORRECTNESS_r04 lands, rotate the whole "new in
+    # r4"/"never checked" block to the back and pull forward anything
+    # the r4 sample missed or that r5 code changes touch.
     return {
         # --- new in r4 (never driver-checked) ---
         "events_retention": _rel.events_retention,

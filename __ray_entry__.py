@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_substring": _dedup.decontaminate_substring,
         "embedding_pca_gram": _pca.embedding_pca_gram,
         "events_props_extract": _rel.events_props_extract,
+        "bloom_segment_registers": _join.bloom_segment_registers,
         # --- never driver-checked before r4 ---
         "events_funnel": _rel.events_funnel,
         "events_pivot": _rel.events_pivot,
@@ -460,6 +461,57 @@ def _hll_by_type_sql() -> str:
                         ELSE 53 - length(bin({w})) END) AS BIGINT)
                    AS max_rank
         FROM s6 GROUP BY event_type, register"""
+
+
+def _mix64_sql_steps(prefix: str, src: str, col: str) -> tuple[str, str]:
+    """CTE chain computing splitmix64(``col``) (ops.bucketing.mix64,
+    single column: (0^a)*PHI + 1 then the xor/mul finalizer) with
+    ``prefix``-namespaced names; carries all of ``src``'s columns.
+    Returns (cte_sql_fragment, final_cte_name); output column =
+    ``{prefix}hf``."""
+    phi = 0x9E3779B97F4A7C15
+    s1c = 0xBF58476D1CE4E5B9
+    s2c = 0x94D049BB133111EB
+    p = prefix
+    frag = f"""{p}1 AS (SELECT *, {_mulmod64_sql(col, phi)} AS {p}h0
+               FROM {src}),
+        {p}1b AS (SELECT *, CAST((CAST({p}h0 AS HUGEINT) + 1) % {_M64}
+                                 AS UBIGINT) AS {p}ha FROM {p}1),
+        {p}2 AS (SELECT *, xor({p}ha, {p}ha >> 30) AS {p}hb FROM {p}1b),
+        {p}3 AS (SELECT *, {_mulmod64_sql(p + 'hb', s1c)} AS {p}hc
+                 FROM {p}2),
+        {p}4 AS (SELECT *, xor({p}hc, {p}hc >> 27) AS {p}hd FROM {p}3),
+        {p}5 AS (SELECT *, {_mulmod64_sql(p + 'hd', s2c)} AS {p}he
+                 FROM {p}4),
+        {p}6 AS (SELECT *, xor({p}he, {p}he >> 31) AS {p}hf FROM {p}5)"""
+    return frag, f"{p}6"
+
+
+def _bloom_registers_sql(segment: str = "BUILDING",
+                         m_bits: int = 1 << 16, k: int = 4) -> str:
+    """DuckDB twin of ops.join.bloom_segment_registers: double-hashed
+    positions pos_i = (h1 + i*h2) mod 2^64 mod m_bits with
+    h1 = mix64(key), h2 = mix64(h1) | 1; packed uint64 words
+    reconstructed as sums of DISTINCT powers of two per word (exact OR
+    — power(2, b) is double-exact for b <= 63)."""
+    mixa, enda = _mix64_sql_steps("ba", "u", "a")
+    mixb, endb = _mix64_sql_steps("bb", f"{enda}", "bahf")
+    pos = (f"CAST((CAST(bahf AS HUGEINT) + t.i * CAST(h2 AS HUGEINT))"
+           f" % {_M64} AS UBIGINT) % {m_bits}")
+    return f"""
+        WITH u AS (SELECT DISTINCT CAST(c_custkey AS UBIGINT) AS a
+                   FROM customer WHERE c_mktsegment = '{segment}'),
+        {mixa},
+        {mixb},
+        h AS (SELECT bahf, bbhf | CAST(1 AS UBIGINT) AS h2
+              FROM {endb}),
+        pos AS (SELECT DISTINCT
+                       CAST({pos} // 64 AS BIGINT) AS i,
+                       CAST({pos} % 64 AS BIGINT) AS b
+                FROM h, generate_series(0, {k - 1}) AS t(i))
+        SELECT i, CAST(SUM(CAST(power(2, b) AS HUGEINT)) % {_M64}
+                       AS UBIGINT) AS w
+        FROM pos GROUP BY i"""
 
 
 def _kmv_sql(k: int = 64) -> str:
@@ -1078,6 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAM_SQL,
         "decontaminate_substring": _dedup.DECONTAM_SUBSTR_SQL,
         "events_props_extract": _rel.PROPS_EXTRACT_SQL,
+        "bloom_segment_registers": _bloom_registers_sql(),
         # PCA registers: micro-unit quantized sums/Gram mod 2^64; the
         # ((s % M) + M) % M canonicalizes negative HUGEINT sums to the
         # engine's two's-complement uint64 residue

@@ -391,3 +391,31 @@ ORDER_LINEITEM_SQL = """
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderkey, o.o_orderpriority
 """
+
+
+def bloom_segment_registers(sf_dir: str, segment: str = "BUILDING",
+                            m_bits: int = 1 << 16,
+                            k: int = BLOOM_K) -> pa.Table:
+    """The bloom join's FILTER STATE as a driver-checkable contract:
+    sparse nonzero (word_idx, word) rows of the bloom built over the
+    distinct customer keys of one market segment. Exactly the array
+    ``hash_join(bloom_prune=...)`` broadcasts — deterministic integer
+    data, reproduced bit-for-bit by a DuckDB splitmix64 twin, so the
+    pruning structure itself is value-checked, not just the join
+    results it accelerates. Small m_bits keeps the oracle cheap; the
+    production default stays BLOOM_BITS."""
+    import ray.data
+
+    def seg_only(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("c_mktsegment"), segment)
+        return b.filter(keep).select(["c_custkey"])
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(seg_only, batch_format="pyarrow", batch_size=None)
+    words = build_bloom(ds, "c_custkey", m_bits=m_bits, k=k)
+    nz = np.flatnonzero(words)
+    return pa.table({
+        "i": pa.array(nz.astype(np.int64), pa.int64()),
+        "w": pa.array(words[nz], pa.uint64()),
+    })

@@ -73,7 +73,7 @@ SQL_CHECKED = [
     "inverted_index", "doc_length_rank", "kmv_distinct_users",
     "curation_pack", "lineitem_corr", "hll_users_by_type",
     "decontaminate_substring", "embedding_pca_gram",
-    "events_props_extract",
+    "events_props_extract", "bloom_segment_registers",
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events",

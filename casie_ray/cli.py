@@ -50,6 +50,8 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--out", default=None,
                     help="write result parquet here instead of printing")
     rp.add_argument("--num-cpus", type=int, default=None)
+    rp.add_argument("--stats", action="store_true",
+                    help="print Ray Data execution stats after the run")
     ip = sub.add_parser(
         "ingest", help="annotation-JSON dir -> engine corpus layout")
     ip.add_argument("ann_dir")
@@ -113,6 +115,10 @@ def main(argv: list[str] | None = None) -> int:
             df = result.to_pandas()
         else:
             df = result
+        if args.stats and hasattr(result, "stats"):
+            # per-stage wall/CPU/rows after consumption — the tuning
+            # loop: read this, adjust batch/concurrency, re-run
+            print(result.stats(), file=sys.stderr)
         if args.out:
             import pyarrow as pa
             import pyarrow.parquet as pq

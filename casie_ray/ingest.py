@@ -58,6 +58,14 @@ def _doc_id(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
 
+def _int_or(v, default: int = -1) -> int:
+    """Offset coercion that survives JSON null / missing / junk — a
+    single malformed file must degrade to a skipped span, not abort
+    the whole distributed ingest job."""
+    return int(v) if isinstance(v, (int, float)) \
+        and not isinstance(v, bool) else default
+
+
 def parse_annotation(path: str, raw: bytes):
     """One annotation file -> (doc row, event rows, arg rows) as plain
     dict-lists (the scalar kernel; pure, unit-testable)."""
@@ -88,8 +96,8 @@ def parse_annotation(path: str, raw: bytes):
                 "event_type": ev.get("type", ""),
                 "subtype": ev.get("subtype", ""),
                 "realis": ev.get("realis", ""),
-                "nugget_start": int(nug.get("startOffset", -1)),
-                "nugget_end": int(nug.get("endOffset", -1)),
+                "nugget_start": _int_or(nug.get("startOffset")),
+                "nugget_end": _int_or(nug.get("endOffset")),
                 "nugget_text": nug.get("text", ""),
                 "n_args": len(arglist),
             })
@@ -99,8 +107,8 @@ def parse_annotation(path: str, raw: bytes):
                     "arg_index": str(a.get("index", "")),
                     "role": ((a.get("role") or {}).get("type", "")),
                     "arg_type": a.get("type", ""),
-                    "start": int(a.get("startOffset", -1)),
-                    "end": int(a.get("endOffset", -1)),
+                    "start": _int_or(a.get("startOffset")),
+                    "end": _int_or(a.get("endOffset")),
                     "text": a.get("text", ""),
                     "wikidata_id": ((a.get("external_reference") or {})
                                     .get("wikidataid", "")),
@@ -192,49 +200,76 @@ def _turn_spans(content: str) -> list[tuple[str, int]]:
     return spans
 
 
-def _doc_turn_rows(batch: pa.Table) -> pa.Table:
-    out = {k: [] for k in
-           ("conv_id", "turn_idx", "role", "text", "tool")}
-    ts = []
-    for doc_id, date, content in zip(
-            batch.column("doc_id").to_pylist(),
-            batch.column("date").to_pylist(),
-            batch.column("content").to_pylist()):
-        base = _date_us(date)
-        turns = [t for t, _ in _turn_spans(content)]
-        for i, t in enumerate(turns):
-            out["conv_id"].append(doc_id)
-            out["turn_idx"].append(i)
-            out["role"].append("user")
-            out["text"].append(t)
-            out["tool"].append(None)
-            ts.append(base + i * 1_000_000)
-    return pa.table({
-        "conv_id": pa.array(out["conv_id"], pa.string()),
-        "turn_idx": pa.array(out["turn_idx"], pa.int32()),
-        "role": pa.array(out["role"], pa.string()),
-        "text": pa.array(out["text"], pa.string()),
-        "tool": pa.array(out["tool"], pa.string()),
-        "ts": pa.array(ts, pa.timestamp("us")),
-    })
+_BRIDGE_SCHEMA = pa.schema([
+    ("kind", pa.string()), ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()), ("text", pa.string()),
+    ("ts_us", pa.int64()), ("arg_type", pa.string()),
+    ("wikidata_id", pa.string()),
+])
+
+
+def _bridge_rows(batch: pa.Table) -> pa.Table:
+    """ONE parse per file emitting both bridge views as a tagged
+    union: turn rows for the transcript sink plus catalog-typed
+    argument rows for the entity catalog — the JSON is read and
+    parsed exactly once for the whole bridge."""
+    rows: list[dict] = []
+    for path, raw in zip(batch.column("path").to_pylist(),
+                         batch.column("bytes").to_pylist()):
+        doc, _events, args = parse_annotation(path, raw)
+        base = _date_us(doc["date"])
+        for i, (t, _off) in enumerate(_turn_spans(doc["content"])):
+            rows.append({"kind": "turn", "conv_id": doc["doc_id"],
+                         "turn_idx": i, "text": t,
+                         "ts_us": base + i * 1_000_000,
+                         "arg_type": "", "wikidata_id": ""})
+        for a in args:
+            if a["arg_type"] in CATALOG_TYPES:
+                rows.append({"kind": "arg", "conv_id": doc["doc_id"],
+                             "turn_idx": -1, "text": a["text"],
+                             "ts_us": 0, "arg_type": a["arg_type"],
+                             "wikidata_id": a["wikidata_id"]})
+    if not rows:
+        return _BRIDGE_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=_BRIDGE_SCHEMA)
 
 
 def annotations_to_corpus(ann_dir: str, corpus_dir: str) -> dict:
     """Materialize an engine corpus from an annotation-JSON directory.
-    Transcripts stream straight to partitioned parquet; the entity
-    catalog (vocabulary-sized by nature, like the BPE vocab) is
-    reduced through the dataflow and written once."""
+    One parse pass produces a materialized tagged union (parsed rows
+    are far smaller than the raw JSON); transcripts stream from it to
+    partitioned parquet and the entity catalog (vocabulary-sized by
+    nature, like the BPE vocab) is reduced from the same rows — the
+    directory is read and json-parsed exactly once."""
     import numpy as np
+    import pyarrow.compute as pc
 
     from .embed import embed_surfaces
 
+    parsed = _read_raw(ann_dir).map_batches(
+        _bridge_rows, batch_format="pyarrow").materialize()
+
+    def to_turns(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("kind"), "turn"))
+        n = t.num_rows
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "role": pa.array(["user"] * n, pa.string()),
+            "text": t.column("text"),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": t.column("ts_us").cast(pa.timestamp("us")),
+        })
+
     os.makedirs(os.path.join(corpus_dir, "transcripts"), exist_ok=True)
-    casie_documents(ann_dir).map_batches(
-        _doc_turn_rows, batch_format="pyarrow") \
+    parsed.map_batches(to_turns, batch_format="pyarrow",
+                       batch_size=None) \
         .write_parquet(os.path.join(corpus_dir, "transcripts"))
 
-    args = casie_arguments(ann_dir).to_pandas()
-    args = args[args["arg_type"].isin(CATALOG_TYPES)]
+    args = pa.concat_tables(
+        b.filter(pc.equal(b.column("kind"), "arg"))
+        for b in parsed.iter_batches(batch_format="pyarrow")) \
+        .select(["text", "arg_type", "wikidata_id"]).to_pandas()
     cat = args.groupby(["text", "arg_type"], as_index=False) \
         .agg(wikidata_id=("wikidata_id", "max"))
     cat = cat.sort_values(["text", "arg_type"]).reset_index(drop=True)
@@ -273,27 +308,38 @@ MENTION_SCHEMA = pa.schema([
 ])
 
 
+def _rebase_to_turns(doc: dict, spans_src) -> list[dict]:
+    """Shared gold-projection kernel: re-base doc-level (start, end,
+    extra) spans onto the bridge's turn segmentation. Single source of
+    truth for the turn-pick (a <= s < b) and boundary-clipping rules,
+    so nugget and argument gold can never silently diverge."""
+    bounds = [(off, off + len(t))
+              for t, off in _turn_spans(doc["content"])]
+    out = []
+    for s, e, extra in spans_src:
+        if s < 0:
+            continue
+        ti = next((i for i, (a, b) in enumerate(bounds)
+                   if a <= s < b), None)
+        if ti is None:
+            continue
+        a, b = bounds[ti]
+        out.append({
+            "conv_id": doc["doc_id"], "turn_idx": ti,
+            "start": s - a, "end": min(e, b) - a,
+            "clipped": e > b, **extra,
+        })
+    return out
+
+
 def _gold_mention_rows(batch: pa.Table) -> pa.Table:
     out: list[dict] = []
     for path, raw in zip(batch.column("path").to_pylist(),
                          batch.column("bytes").to_pylist()):
         doc, events, _args = parse_annotation(path, raw)
-        spans = _turn_spans(doc["content"])
-        bounds = [(off, off + len(t)) for t, off in spans]
-        for ev in events:
-            s, e = ev["nugget_start"], ev["nugget_end"]
-            if s < 0:
-                continue
-            ti = next((i for i, (a, b) in enumerate(bounds)
-                       if a <= s < b), None)
-            if ti is None:
-                continue
-            a, b = bounds[ti]
-            out.append({
-                "conv_id": doc["doc_id"], "turn_idx": ti,
-                "start": s - a, "end": min(e, b) - a,
-                "label": ev["subtype"], "clipped": e > b,
-            })
+        out.extend(_rebase_to_turns(
+            doc, ((ev["nugget_start"], ev["nugget_end"],
+                   {"label": ev["subtype"]}) for ev in events)))
     if not out:
         return MENTION_SCHEMA.empty_table()
     return pa.Table.from_pylist(out, schema=MENTION_SCHEMA)
@@ -320,23 +366,10 @@ def _gold_arg_rows(batch: pa.Table) -> pa.Table:
     for path, raw in zip(batch.column("path").to_pylist(),
                          batch.column("bytes").to_pylist()):
         doc, _events, args = parse_annotation(path, raw)
-        spans = _turn_spans(doc["content"])
-        bounds = [(off, off + len(t)) for t, off in spans]
-        for a in args:
-            s, e = a["start"], a["end"]
-            if s < 0:
-                continue
-            ti = next((i for i, (lo, hi) in enumerate(bounds)
-                       if lo <= s < hi), None)
-            if ti is None:
-                continue
-            lo, hi = bounds[ti]
-            out.append({
-                "conv_id": doc["doc_id"], "turn_idx": ti,
-                "start": s - lo, "end": min(e, hi) - lo,
-                "label": a["arg_type"], "role": a["role"],
-                "clipped": e > hi,
-            })
+        out.extend(_rebase_to_turns(
+            doc, ((a["start"], a["end"],
+                   {"label": a["arg_type"], "role": a["role"]})
+                  for a in args)))
     if not out:
         return ARG_MENTION_SCHEMA.empty_table()
     return pa.Table.from_pylist(out, schema=ARG_MENTION_SCHEMA)

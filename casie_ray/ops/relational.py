@@ -1206,22 +1206,35 @@ CUBE_SQL = f"""
 # independent full parser, not against itself.
 # ---------------------------------------------------------------------------
 
-_PROPS_K_RE = r'"k":\s*(?P<v>-?\d+)'
+_PROPS_K_RE = r'"k"\s*:\s*(?P<v>-?\d+)(?P<frac>\.\d+)?'
 
 
 def events_props_extract(sf_dir: str):
     """Per-event-type stats of the integer ``k`` field inside the JSON
-    ``props`` column: (event_type, n_with_k, sum_k, min_k, max_k)."""
+    ``props`` column: (event_type, n_with_k, sum_k, min_k, max_k).
+
+    Contract (mirrored exactly by the json_extract oracle): only FLAT
+    objects are considered (exactly one '{' — a nested payload would
+    let the regex match an inner key the oracle's top-level '$.k'
+    does not see), and only integer-valued k counts (a float like 3.5
+    is excluded on both sides rather than rounded differently by
+    regex-truncate vs SQL-cast). Assumes well-formed JSON, as the
+    column contract states."""
     ds = _read(sf_dir, "events", ["event_type", "props"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        ext = pc.extract_regex(
-            pc.fill_null(batch.column("props"), ""), _PROPS_K_RE)
+        props = pc.fill_null(batch.column("props"), "")
+        flat = pc.equal(pc.count_substring(props, "{"), 1)
+        ext = pc.extract_regex(props, _PROPS_K_RE)
         k = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+        integral = pc.equal(
+            pc.fill_null(pc.struct_field(ext, "frac"), ""), "")
+        keep = pc.and_kleene(pc.and_kleene(pc.is_valid(k), flat),
+                             integral)
         t = pa.table({
             "event_type": batch.column("event_type"),
             "k": k,
-        }).filter(pc.is_valid(k))
+        }).filter(pc.fill_null(keep, False))
         g = t.group_by("event_type").aggregate(
             [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")])
         return g.rename_columns(
@@ -1258,7 +1271,9 @@ PROPS_EXTRACT_SQL = """
            CAST(max(k) AS BIGINT) AS max_k
     FROM (SELECT event_type,
                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
-          FROM events)
+          FROM events
+          WHERE length(props) - length(replace(props, '{', '')) = 1
+            AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT'))
     WHERE k IS NOT NULL
     GROUP BY event_type
 """

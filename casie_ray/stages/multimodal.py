@@ -339,8 +339,18 @@ AHASH_HAMMING_T = 4
 
 def average_hash(rgb: np.ndarray) -> int:
     """(h, w, 3) uint8 RGB -> 64-bit aHash via exact block-mean
-    downsample to 8x8 (integral-image sums, any h, w >= 8)."""
+    downsample to 8x8 (integral-image sums). Images narrower than 8px
+    in either dimension are nearest-neighbor upsampled first — without
+    this, zero-area blocks divide to nan and EVERY tiny image hashes
+    to 0, pairing unrelated thumbnails as exact near-dups."""
     g = rgb.astype(np.float64) @ _LUMA
+    h, w = g.shape
+    if h == 0 or w == 0:
+        return 0
+    if h < 8:
+        g = np.repeat(g, -(-8 // h), axis=0)
+    if w < 8:
+        g = np.repeat(g, -(-8 // w), axis=1)
     h, w = g.shape
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
@@ -429,8 +439,7 @@ def hash64_band_pairs(rows_ds, hamming_t: int):
         from ..ops.dedup import segment_pair_indices
         ia, ib = segment_pair_indices([key])
         if len(ia) == 0:
-            return pa.table({"doc_pair": pa.array([], pa.uint64()),
-                             "media_a": pa.array([], pa.int64()),
+            return pa.table({"media_a": pa.array([], pa.int64()),
                              "media_b": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int64()),
                              "bucket": pa.array([], pa.int32())})
@@ -443,22 +452,19 @@ def hash64_band_pairs(rows_ds, hamming_t: int):
         a = np.minimum(ids[ia], ids[ib])[keep]
         b = np.maximum(ids[ia], ids[ib])[keep]
         ham = ham[keep]
-        pair = (a.astype(np.uint64) << np.uint64(32)) | \
-            b.astype(np.uint64)
+        # bucket on BOTH full-width ids (the _sub_pairs_bucket shape);
+        # packing two int64 ids into one uint64 would collide past 2^32
         return pa.table({
-            "doc_pair": pa.array(pair, pa.uint64()),
             "media_a": pa.array(a, pa.int64()),
             "media_b": pa.array(b, pa.int64()),
             "hamming": pa.array(ham, pa.int64()),
-            "bucket": pa.array(hash_bucket([pair]), pa.int32()),
+            "bucket": pa.array(hash_bucket([a, b]), pa.int32()),
         })
 
     def distinct(group: pa.Table) -> pa.Table:
-        g = group.group_by(["doc_pair"]).aggregate(
-            [("media_a", "min"), ("media_b", "min"), ("hamming", "min")])
-        g = g.rename_columns(["doc_pair", "media_a", "media_b",
-                              "hamming"])
-        return g.select(["media_a", "media_b", "hamming"])
+        g = group.group_by(["media_a", "media_b"]).aggregate(
+            [("hamming", "min")])
+        return g.rename_columns(["media_a", "media_b", "hamming"])
 
     banded = rows_ds.map_batches(bands, batch_format="pyarrow",
                                  batch_size=None)

@@ -186,3 +186,19 @@ def test_gold_argument_mentions(ray_session, tmp_path):
     turns = [t for t, _ in _turn_spans(DOC["content"])]
     for _, r in m.iterrows():
         assert turns[r["turn_idx"]][r["start"]:r["end"]] == "POLICE"
+
+
+def test_parse_annotation_null_offsets_skipped():
+    """A JSON null offset degrades to a skipped span, never a crash."""
+    import json as _json
+
+    from casie_ray.ingest import parse_annotation
+
+    doc = _json.loads(_json.dumps(DOC))
+    ev = doc["cyberevent"]["hopper"][0]["events"][0]
+    ev["nugget"]["startOffset"] = None
+    ev["argument"][0]["endOffset"] = None
+    d, events, args = parse_annotation("/x/9.json",
+                                       _json.dumps(doc).encode())
+    assert events[0]["nugget_start"] == -1
+    assert args[0]["end"] == -1

@@ -271,3 +271,41 @@ def test_frame_sample_and_video_near_dup(ray_session):
     assert dec["decoder"] == "rawv"
     assert (dec["width"], dec["height"]) == (32, 24)
     assert dec["sample_rate"] == 10 and dec["duration_ms"] == 1200
+
+
+def test_average_hash_tiny_images_not_degenerate():
+    """Sub-8px images must hash via upsampling, not collapse to 0x0
+    (the nan-block bug would pair every tiny image as an exact dup)."""
+    import numpy as np
+
+    from casie_ray.stages.multimodal import average_hash
+
+    rng = np.random.default_rng(13)
+    a = np.repeat(np.repeat(
+        rng.integers(0, 2, (4, 6)).astype(np.uint8) * 255, 1, 0),
+        2, 1)
+    a = np.stack([a, a, a], axis=2)  # 4x12
+    b = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    ha, hb = average_hash(a), average_hash(b)
+    assert ha != 0 and hb != 0
+    assert ha != hb
+    assert average_hash(np.zeros((0, 3, 3), np.uint8)) == 0
+
+
+def test_band_pairs_wide_media_ids(ray_session):
+    """Pair identity uses both full-width id columns — ids above 2^32
+    must not collide (the packed-uint64 key would)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from casie_ray.stages.multimodal import hash64_band_pairs
+
+    big = 1 << 33
+    t = pa.table({
+        "media_id": pa.array([big + 1, big + 2, 7], pa.int64()),
+        "ahash": pa.array(np.array([5, 5, 5], np.uint64), pa.uint64()),
+    })
+    out = hash64_band_pairs(ray.data.from_arrow(t), 0).to_pandas()
+    got = {(r["media_a"], r["media_b"]) for _, r in out.iterrows()}
+    assert got == {(big + 1, big + 2), (7, big + 1), (7, big + 2)}

@@ -1630,3 +1630,35 @@ def test_kmv_estimate_accuracy(ray_session, ddb):
     exact = ddb.execute(
         "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
     assert abs(est - exact) / exact < 0.3
+
+
+def test_props_extract_edge_payloads(ray_session, tmp_path):
+    """Engine regex fast path and the json_extract oracle agree on the
+    documented contract edges: float values excluded (not rounded
+    differently), whitespace before the colon accepted, nested
+    objects out of scope on both sides."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops.relational import (PROPS_EXTRACT_SQL,
+                                          events_props_extract)
+
+    t = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "event_type": pa.array(["a"] * 6, pa.string()),
+        "props": pa.array(['{"k": 69}', '{"k": 3.5}', '{"k" : 7}',
+                           '{"a": {"k": 5}}', '{}', '{"k": -2}'],
+                          pa.string()),
+    })
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/events.parquet")
+    got = _normalize(events_props_extract(sf).to_pandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = _normalize(con.execute(PROPS_EXTRACT_SQL).fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert got.iloc[0]["n_with_k"] == 3  # 69, 7, -2
+    assert got.iloc[0]["sum_k"] == 74

@@ -26,6 +26,7 @@ from typing import Any
 
 from casie_ray import lexicons as _lx
 from casie_ray.ops import ann as _ann
+from casie_ray.ops import bucketing as _bucketing
 from casie_ray.ops import bpe as _bpe
 from casie_ray.ops import dedup as _dedup
 from casie_ray.ops import clean as _clean
@@ -372,7 +373,7 @@ _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _text.STOPWORDS) + ")"
 # fnv1a_hashes hashes UTF-8 bytes).
 _FNV_OFF = 14695981039346656037
 _FNV_P = 1099511628211
-_M64 = "CAST(18446744073709551616 AS HUGEINT)"
+_M64 = _bucketing.SQL_M64
 
 def _fnv_expr(col: str) -> str:
     """FNV-1a 64-bit of an ASCII string expression, in SQL."""
@@ -400,10 +401,7 @@ def _roll_sql(acc: str, nxt: str) -> str:
 # combine mod 2^64: (h*c) mod 2^64 = ((h*c_hi mod 2^32) << 32 + h*c_lo)
 # mod 2^64 — every intermediate stays under 2^97.
 def _mulmod64_sql(h: str, const: int) -> str:
-    hi, lo = const >> 32, const & 0xFFFFFFFF
-    return (f"CAST((((CAST({h} AS HUGEINT) * {hi}) % 4294967296) "
-            f"* 4294967296 + CAST({h} AS HUGEINT) * {lo}) % {_M64} "
-            "AS UBIGINT)")
+    return _bucketing.sql_mulmod64(h, const)
 
 
 def _hll_sql() -> str:

@@ -198,3 +198,24 @@ def register_reduce(ds, merge_fn, *, batch_format="pyarrow"):
         .repartition(1) \
         .map_batches(merge_fn, batch_format=batch_format,
                      batch_size=None)
+
+
+# ---- SQL-twin helpers for the splitmix64 idiom (single source of
+# truth for every DuckDB oracle that reproduces mix64 bit-for-bit:
+# the HLL/KMV/bloom twins in __ray_entry__ and the inverted-index
+# twin in ops.retrieval) ----
+
+SQL_M64 = "CAST(18446744073709551616 AS HUGEINT)"
+SPLITMIX_PHI = 0x9E3779B97F4A7C15
+SPLITMIX_C1 = 0xBF58476D1CE4E5B9
+SPLITMIX_C2 = 0x94D049BB133111EB
+
+
+def sql_mulmod64(h: str, const: int) -> str:
+    """SQL for (h * const) mod 2^64 without HUGEINT overflow: split
+    the ~2^63 constant into 32-bit halves so every intermediate stays
+    under 2^97. Twin of the numpy uint64 wrap in :func:`mix64`."""
+    hi, lo = const >> 32, const & 0xFFFFFFFF
+    return (f"CAST((((CAST({h} AS HUGEINT) * {hi}) % 4294967296) "
+            f"* 4294967296 + CAST({h} AS HUGEINT) * {lo}) % {SQL_M64} "
+            "AS UBIGINT)")

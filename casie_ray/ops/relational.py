@@ -1056,6 +1056,7 @@ def events_retention(sf_dir: str):
     from .bucketing import bucket_groupby, hash_bucket
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("ts")))
         week = pc.divide(batch.column("ts").cast(pa.int64()),
                          pa.scalar(WEEK_US, pa.int64()))
         t = pa.table({"user_id": batch.column("user_id"), "week": week})
@@ -1105,7 +1106,7 @@ RETENTION_SQL = f"""
     WITH uw AS (
       SELECT DISTINCT user_id,
              CAST(epoch_us(ts) // {WEEK_US} AS BIGINT) AS week
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), c AS (
       SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id
     )
@@ -1133,9 +1134,14 @@ def events_cube(sf_dir: str):
     one distributed combiner pass over raw events, never a rescan."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("ts")))
         ts = batch.column("ts").cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
-        dow = pa.array((ts // DAY_US) % 7, pa.int64())
+        # DuckDB // truncates toward zero and % keeps the dividend's
+        # sign; numpy floors — convert so pre-epoch timestamps agree
+        q = ts // DAY_US
+        q = q + ((ts % DAY_US != 0) & (ts < 0))
+        dow = pa.array(np.fmod(q, 7), pa.int64())
         cents = _cents(batch.column("value"))
         t = pa.table({
             "event_type": batch.column("event_type"),
@@ -1167,11 +1173,13 @@ def events_cube(sf_dir: str):
         tot = pa.table({
             "event_type": pa.nulls(1, pa.string()),
             "dow": pa.nulls(1, pa.int64()),
+            # count() over empty input is 0; sum() over all-null
+            # input is NULL — match SQL exactly, no 'or 0' coercion
             "n_events": pa.array(
                 [pc.sum(base.column("n_events")).as_py() or 0],
                 pa.int64()),
             "value_cents": pa.array(
-                [pc.sum(base.column("value_cents")).as_py() or 0],
+                [pc.sum(base.column("value_cents")).as_py()],
                 pa.int64()),
         })
         cols = ["event_type", "dow", "n_events", "value_cents"]
@@ -1191,7 +1199,8 @@ CUBE_SQL = f"""
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                AS value_cents
-    FROM events GROUP BY CUBE(event_type, dow)
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY CUBE(event_type, dow)
 """
 
 

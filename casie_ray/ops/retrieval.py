@@ -339,20 +339,12 @@ def inverted_index(sf_dir: str):
     return bucket_groupby(ds, final)
 
 
-# splitmix64 constants (shared with ops.bucketing.mix64 / the HLL twin)
-_PHI = 0x9E3779B97F4A7C15
-_SPLIT1 = 0xBF58476D1CE4E5B9
-_SPLIT2 = 0x94D049BB133111EB
-_M64_SQL = "CAST(18446744073709551616 AS HUGEINT)"
-
-
-def _mulmod64(h: str, const: int) -> str:
-    """(h * const) mod 2^64 without HUGEINT overflow: split the
-    constant into 32-bit halves (every intermediate < 2^97)."""
-    hi, lo = const >> 32, const & 0xFFFFFFFF
-    return (f"CAST((((CAST({h} AS HUGEINT) * {hi}) % 4294967296) "
-            f"* 4294967296 + CAST({h} AS HUGEINT) * {lo}) % {_M64_SQL} "
-            "AS UBIGINT)")
+# splitmix64 SQL helpers: single source of truth in ops.bucketing
+from .bucketing import SPLITMIX_C1 as _SPLIT1
+from .bucketing import SPLITMIX_C2 as _SPLIT2
+from .bucketing import SPLITMIX_PHI as _PHI
+from .bucketing import SQL_M64 as _M64_SQL
+from .bucketing import sql_mulmod64 as _mulmod64
 
 
 def inverted_index_sql() -> str:

@@ -600,7 +600,6 @@ def doc_top_terms(sf_dir: str, k: int = DOC_TOP_TERMS_K):
             change = np.concatenate([[True], row_s[1:] != row_s[:-1]])
             start = np.maximum.accumulate(
                 np.where(change, np.arange(n), 0))
-            pos = np.arange(n) - start
             counts = np.bincount(row_s, minlength=batch.num_rows)
             kth_pos = np.minimum(counts[row_s], k) - 1
             thr_idx = start + kth_pos

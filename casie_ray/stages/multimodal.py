@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -74,7 +75,6 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """1-D int16 PCM -> mono WAV bytes via the stdlib codec."""
     import io
-    import wave
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(1)
@@ -125,6 +125,10 @@ def _ppm_header(payload: bytes):
         fields.append(int(payload[pos:end]))
         pos = end
     w, h, maxval = fields
+    if maxval > 255:
+        # 16-bit P6 stores 2 bytes/sample; the 1-byte body parse
+        # below would silently interleave sample halves
+        raise ValueError(f"unsupported PPM maxval {maxval}")
     return w, h, maxval, pos + 1
 
 
@@ -146,7 +150,6 @@ def _decode_ppm(payload: bytes):
 def _wav_samples(payload: bytes):
     """PCM WAV -> (rate, n_frames, float64 samples in [-1, 1])."""
     import io
-    import wave
     with wave.open(io.BytesIO(payload), "rb") as wf:
         rate = wf.getframerate()
         width = wf.getsampwidth()
@@ -154,8 +157,12 @@ def _wav_samples(payload: bytes):
         raw = wf.readframes(n)
     if width == 2:
         x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
-    else:
+    elif width == 1:
         x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128) / 128
+    else:
+        # 24/32-bit PCM would be silently mis-decoded as bytes —
+        # route to the unsupported-format seam instead
+        raise ValueError(f"unsupported WAV sample width {width}")
     return rate, n, x
 
 
@@ -211,7 +218,8 @@ class MediaDecoder:
                         "sample_rate": fps,
                         "duration_ms": int(round(
                             1000.0 * len(frames) / fps)) if fps else 0}
-        except (ValueError, struct.error, EOFError, IndexError) as e:
+        except (ValueError, struct.error, EOFError, IndexError,
+                wave.Error) as e:
             if self.strict:
                 raise NotImplementedError(
                     f"payload sniffed as media but undecodable: {e}") \
@@ -522,7 +530,6 @@ class AudioFpStage:
             p = p or b""
             if not (p[:4] == b"RIFF" and p[8:12] == b"WAVE"):
                 continue
-            import wave
             try:
                 _rate, _n, x = _wav_samples(p)
             except (ValueError, EOFError, struct.error, wave.Error):

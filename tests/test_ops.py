@@ -1662,3 +1662,36 @@ def test_props_extract_edge_payloads(ray_session, tmp_path):
                                   check_exact=True)
     assert got.iloc[0]["n_with_k"] == 3  # 69, 7, -2
     assert got.iloc[0]["sum_k"] == 74
+
+
+def test_cube_retention_edge_timestamps(ray_session, tmp_path):
+    """Planted pre-epoch / null-ts / all-null-value events: the cube
+    and retention engines must match their SQL twins exactly (numpy
+    floor-div vs DuckDB trunc-div, NULL sum vs 0, null-ts drop)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops.relational import (CUBE_SQL, RETENTION_SQL,
+                                          events_cube, events_retention)
+
+    t = pa.table({
+        "event_id": pa.array(range(4), pa.int64()),
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["a", "a", "b", "b"], pa.string()),
+        "ts": pa.array([-1, 86_400_000_001, None, 100],
+                       pa.timestamp("us")),
+        "value": pa.array([None, None, None, None], pa.float64()),
+        "props": pa.array(["{}"] * 4, pa.string()),
+    })
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/events.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    for fn, sql in ((events_cube, CUBE_SQL),
+                    (events_retention, RETENTION_SQL)):
+        got = _normalize(fn(sf).to_pandas())
+        want = _normalize(con.execute(sql).fetchdf())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)

@@ -68,16 +68,28 @@ def _ensure_gold_kg(corpus: str) -> str:
     import pyarrow.parquet as pq
 
     marker = os.path.join(corpus, "_GOLD_KG")
-    if not os.path.exists(marker):
+    version = "v2"  # v2: + gold_kg_components (sequential union-find)
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            have = f.read().strip()
+    if have != version:
         from casie_ray.oracle import extract_triples
+        from casie_ray.ops.graph import components_local
         ev_rows: list[dict] = []
         df = extract_triples(corpus, events_out=ev_rows)
         pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
                        os.path.join(corpus, "gold_triples.parquet"))
         pq.write_table(pa.Table.from_pylist(ev_rows),
                        os.path.join(corpus, "gold_kg_events.parquet"))
+        comp = components_local(list(zip(df["subj"], df["obj"])))
+        pq.write_table(pa.table({
+            "node": pa.array(sorted(comp), pa.string()),
+            "label": pa.array([comp[n] for n in sorted(comp)],
+                              pa.string()),
+        }), os.path.join(corpus, "gold_kg_components.parquet"))
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(version)
     return corpus
 
 
@@ -97,6 +109,25 @@ def _edges_ds(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(
         os.path.join(_kg_out(_sf_of(sf_dir)), "edges"))
+
+
+def _kg_components(sf_dir: str):
+    """Connected components over the materialized KG edge set, FORCED
+    down the distributed label-propagation path (`ops/graph.py` — the
+    same min-label union-find primitive the canonicalizer uses above
+    its 200k-edge size gate, which a small-sf run would otherwise
+    never exercise end-to-end). Oracle: sequential union-find over the
+    persisted gold triples (`gold_kg_components.parquet`)."""
+    import pyarrow as pa
+
+    from casie_ray.ops.graph import connected_components
+
+    def as_edge(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("subj"), "dst": b.column("obj")})
+
+    edges = _edges_ds(sf_dir).select_columns(["subj", "obj"]) \
+        .map_batches(as_edge, batch_format="pyarrow")
+    return connected_components(edges)
 
 
 def _nodes_ds(sf_dir: str):
@@ -274,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_gram": _pca.embedding_pca_gram,
         "events_props_extract": _rel.events_props_extract,
         "bloom_segment_registers": _join.bloom_segment_registers,
+        "kg_components": _kg_components,
         # --- never driver-checked before r4 ---
         "events_funnel": _rel.events_funnel,
         "events_pivot": _rel.events_pivot,
@@ -918,6 +950,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, pred, obj, subj_type, obj_type, conv_id,
                    turn_idx, ev_start, ev_end, weight, count
             FROM read_parquet('{corpus_001}/gold_triples.parquet')""",
+        "kg_components": f"""
+            SELECT node, label
+            FROM read_parquet('{corpus_001}/gold_kg_components.parquet')""",
         "transcripts_roundtrip": (
             "SELECT conv_id, turn_idx, text FROM read_parquet("
             f"'{corpus_001}/transcripts/*.parquet')"),

@@ -76,7 +76,7 @@ SQL_CHECKED = [
     "events_props_extract", "bloom_segment_registers",
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
-    "kg_edges", "kg_nodes", "kg_events",
+    "kg_edges", "kg_nodes", "kg_events", "kg_components",
 ]
 
 

@@ -306,6 +306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": _rel.events_props_extract,
         "bloom_segment_registers": _join.bloom_segment_registers,
         "kg_components": _kg_components,
+        "doc_mixture_sample": _cur.mixture_sample,
+        "doc_ngrams": _text.doc_ngrams,
         # --- never driver-checked before r4 ---
         "events_funnel": _rel.events_funnel,
         "events_pivot": _rel.events_pivot,
@@ -953,6 +955,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": f"""
             SELECT node, label
             FROM read_parquet('{corpus_001}/gold_kg_components.parquet')""",
+        "doc_mixture_sample": _cur.mixture_sample_sql(),
+        "doc_ngrams": _text.doc_ngrams_sql(),
         "transcripts_roundtrip": (
             "SELECT conv_id, turn_idx, text FROM read_parquet("
             f"'{corpus_001}/transcripts/*.parquet')"),

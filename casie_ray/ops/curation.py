@@ -573,3 +573,112 @@ def curation_pack(sf_dir: str, seq_len: int | None = None):
         contam_tag, batch_format="pyarrow", batch_size=None)
     kept = bucket_groupby(w.union(contam), anti)
     return pack_sequences(sf_dir, seq_len=seq_len, docs=kept)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-resampled source mixture (the multilingual/domain
+# alpha-sampling idiom: upweight rare sources, downweight dominant
+# ones, alpha = 0.5 via integer sqrt so the whole computation is
+# integer-exact and SQL-checkable)
+# ---------------------------------------------------------------------------
+
+MIX_TARGET_DIVISOR = 3      # target corpus size = total_docs // 3
+MIX_PPM = 1_000_000
+
+
+def mixture_thresholds(counts: dict[str, int],
+                       target_divisor: int = MIX_TARGET_DIVISOR
+                       ) -> dict[str, int]:
+    """Per-source keep-probability in ppm: weight w_s = floor(sqrt(n_s))
+    (alpha=0.5 temperature), target T = total // target_divisor,
+    ppm_s = min(1e6, T * w_s * 1e6 // (sum(w) * n_s)). Pure integers —
+    float sqrt is correctly rounded for n < 2^52, so floor(sqrt(n))
+    matches DuckDB's bit-for-bit; everything after is int division."""
+    import math
+    sw = sum(int(math.floor(math.sqrt(float(n)))) for n in counts.values())
+    total = sum(counts.values())
+    target = total // target_divisor
+    out = {}
+    for s, n in counts.items():
+        w = int(math.floor(math.sqrt(float(n))))
+        out[s] = min(MIX_PPM, target * w * MIX_PPM // (sw * n)) \
+            if sw and n else 0
+    return out
+
+
+def mixture_sample(sf_dir: str,
+                   target_divisor: int = MIX_TARGET_DIVISOR):
+    """Deterministic temperature-resampled mixture over `source`:
+    keep doc iff splitmix64(doc_id) % 1e6 < ppm(source). Two passes:
+
+    1. per-batch Arrow group_by partial counts -> driver fold (bounded:
+       n_sources x n_blocks tiny rows — the per-shard-stats partial
+       pattern) -> ppm thresholds, closed over by the filter;
+    2. shuffle-free vectorized filter pass (mix64 + per-source
+       threshold take).
+
+    At 100 TB the source-count pass is one streaming aggregate over a
+    2-column pruned read and the thresholds are a handful of ints
+    shipped in the task closure — no exchange moves document mass."""
+    ds = _read_documents(sf_dir, ("doc_id", "source"))
+
+    parts = ds.map_batches(
+        lambda t: t.group_by(["source"]).aggregate([([], "count_all")])
+        .rename_columns(["source", "n"]),
+        batch_format="pyarrow", batch_size=None).take_all()
+    counts: dict[str, int] = {}
+    for row in parts:
+        if row["source"] is not None:
+            counts[row["source"]] = counts.get(row["source"], 0) \
+                + int(row["n"])
+    thr = mixture_thresholds(counts, target_divisor)
+    srcs = sorted(thr)
+    tvec = np.array([thr[s] for s in srcs], np.uint64)
+    src_set = pa.array(srcs, pa.string())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = mix64([ids]) % np.uint64(MIX_PPM)
+        sl = pc.fill_null(pc.index_in(
+            batch.column("source").cast(pa.string()),
+            value_set=src_set), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = (sl >= 0) & (h < tvec[np.maximum(sl, 0)])
+        return batch.filter(pa.array(mask)).select(["doc_id", "source"])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def mixture_sample_sql(target_divisor: int = MIX_TARGET_DIVISOR) -> str:
+    """DuckDB twin: identical integer thresholds + the shared
+    splitmix64 chain on doc_id."""
+    from .bucketing import SPLITMIX_C1, SPLITMIX_C2, SPLITMIX_PHI, \
+        SQL_M64, sql_mulmod64
+    return f"""
+        WITH c AS (SELECT source, count(*) AS n FROM documents
+                   GROUP BY source),
+        wt AS (SELECT source, n,
+                      CAST(floor(sqrt(CAST(n AS DOUBLE))) AS HUGEINT)
+                          AS w FROM c),
+        tot AS (SELECT sum(w) AS sw, sum(n) AS sn FROM wt),
+        thr AS (SELECT source, LEAST({MIX_PPM},
+                       (((SELECT sn FROM tot) // {target_divisor})
+                        * w * {MIX_PPM})
+                       // ((SELECT sw FROM tot) * n)) AS ppm FROM wt),
+        m0 AS (SELECT doc_id, source, CAST(doc_id AS UBIGINT) AS a
+               FROM documents),
+        m1 AS (SELECT doc_id, source,
+                      {sql_mulmod64('a', SPLITMIX_PHI)} AS h0 FROM m0),
+        m2 AS (SELECT doc_id, source,
+                      CAST((CAST(h0 AS HUGEINT) + 1) % {SQL_M64}
+                           AS UBIGINT) AS h FROM m1),
+        m3 AS (SELECT doc_id, source, xor(h, h >> 30) AS h FROM m2),
+        m4 AS (SELECT doc_id, source,
+                      {sql_mulmod64('h', SPLITMIX_C1)} AS h FROM m3),
+        m5 AS (SELECT doc_id, source, xor(h, h >> 27) AS h FROM m4),
+        m6 AS (SELECT doc_id, source,
+                      {sql_mulmod64('h', SPLITMIX_C2)} AS h FROM m5),
+        m7 AS (SELECT doc_id, source, xor(h, h >> 31) AS h FROM m6)
+        SELECT m7.doc_id, m7.source
+        FROM m7 JOIN thr USING (source)
+        WHERE CAST(h % {MIX_PPM} AS HUGEINT) < thr.ppm"""

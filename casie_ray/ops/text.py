@@ -783,3 +783,80 @@ DOC_LENGTH_RANK_SQL = """
                 AS BIGINT) AS rank
     FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Word n-gram counts (the LM-corpus-stats op: top-k trigrams)
+# ---------------------------------------------------------------------------
+
+NGRAM_K = 100
+
+
+def doc_ngrams(sf_dir: str, k: int = NGRAM_K):
+    """Top-k word trigrams by corpus count (space tokenization, ties
+    broken by ngram ascending) — the n-gram LM / contamination-audit
+    statistic. Same shape as vocab_top_words: the token stream never
+    leaves its batch (trigrams are assembled vectorized from the
+    flattened split with a row-boundary mask and reduced to per-batch
+    counts), one hash(ngram)-keyed exchange totals them, per-bucket
+    top-k candidates feed a tiny single-block final merge."""
+    from .bucketing import bucket_groupby, fnv1a_hashes, hash_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        splits = pc.split_pattern(text, " ")
+        lens = pc.list_value_length(splits).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(splits)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        row_of = np.repeat(np.arange(batch.num_rows), lens)
+        if len(flat) < 3:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32())})
+        valid = (row_of[:-2] == row_of[1:-1]) & (row_of[:-2] == row_of[2:])
+        vmask = pa.array(valid)
+        w0 = flat.slice(0, len(flat) - 2).filter(vmask)
+        w1 = flat.slice(1, len(flat) - 2).filter(vmask)
+        w2 = flat.slice(2).filter(vmask)
+        tri = pc.binary_join_element_wise(w0, w1, w2, " ")
+        g = pa.table({"ngram": tri}).group_by(["ngram"]) \
+            .aggregate([([], "count_all")]).rename_columns(["ngram", "n"])
+        bucket = hash_bucket([fnv1a_hashes(g.column("ngram").to_pylist())])
+        return g.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        g = group.group_by(["ngram"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["ngram", "n"])
+        n = g.column("n").to_numpy()
+        w = g.column("ngram").to_pylist()
+        order = sorted(range(len(w)), key=lambda i: (-n[i], w[i]))[:k]
+        return g.take(pa.array(order, pa.int64()))
+
+    def final(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy()
+        w = batch.column("ngram").to_pylist()
+        order = sorted(range(len(w)), key=lambda i: (-n[i], w[i]))[:k]
+        return batch.take(pa.array(order, pa.int64()))
+
+    ds = _read_documents(sf_dir).map_batches(partial,
+                                             batch_format="pyarrow")
+    ds = bucket_groupby(ds, bucket_topk)
+    return ds.repartition(1).map_batches(final, batch_format="pyarrow",
+                                         batch_size=None)
+
+
+def doc_ngrams_sql(k: int = NGRAM_K) -> str:
+    """DuckDB twin: positions from zipped unnest, trigrams by
+    positional self-join, identical (count desc, ngram asc) cut."""
+    return f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents),
+        w AS (SELECT doc_id, unnest(l) AS w,
+                     unnest(range(1, len(l) + 1)) AS pos FROM t),
+        tri AS (SELECT a.w || ' ' || b.w || ' ' || c.w AS ngram
+                FROM w a
+                JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2)
+        SELECT ngram, CAST(count(*) AS BIGINT) AS n
+        FROM tri GROUP BY ngram ORDER BY n DESC, ngram LIMIT {k}"""

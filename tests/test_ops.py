@@ -77,6 +77,7 @@ SQL_CHECKED = [
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events", "kg_components",
+    "doc_mixture_sample", "doc_ngrams",
 ]
 
 
@@ -1695,3 +1696,53 @@ def test_cube_retention_edge_timestamps(ray_session, tmp_path):
         want = _normalize(con.execute(sql).fetchdf())
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_mixture_thresholds_temperature_property():
+    """alpha=0.5 temperature: a rare source's keep-rate must exceed the
+    flat rate (T/total) and a dominant source's must fall below it;
+    expected kept mass stays within integer-rounding of the target."""
+    from casie_ray.ops.curation import MIX_PPM, mixture_thresholds
+
+    counts = {"big": 90_000, "small": 900, "tiny": 9}
+    thr = mixture_thresholds(counts, target_divisor=3)
+    total = sum(counts.values())
+    flat_ppm = (total // 3) * MIX_PPM // total
+    assert thr["big"] < flat_ppm < thr["tiny"]
+    assert thr["small"] > flat_ppm
+    assert thr["tiny"] <= MIX_PPM
+    # the ppm cap (can't keep >100% of a tiny source) only ever LOSES
+    # mass vs the ideal allocation, and not much of it
+    expected_kept = sum(thr[s] * n for s, n in counts.items()) / MIX_PPM
+    assert expected_kept <= total // 3
+    assert expected_kept > 0.9 * (total // 3)
+
+
+def test_doc_ngrams_never_span_documents(ray_session, tmp_path):
+    """Planted corpus: the trigram assembled across a doc boundary must
+    NOT appear; counts match a brute-force python counter."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops.text import doc_ngrams
+
+    docs = ["a b c d", "c d a b", "a b"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+        "source": pa.array(["s"] * len(docs), pa.string()),
+        "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+    })
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/documents.parquet")
+    got = {r["ngram"]: r["n"] for r in doc_ngrams(sf).take_all()}
+    brute = collections.Counter()
+    for d in docs:
+        ws = d.split(" ")
+        for i in range(len(ws) - 2):
+            brute[" ".join(ws[i:i + 3])] += 1
+    assert got == dict(brute)
+    assert "c d c" not in got and "d a b" in got

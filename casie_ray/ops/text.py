@@ -300,17 +300,11 @@ def vocab_top_words(sf_dir: str, k: int = 50):
 
     def bucket_topk(group: pa.Table) -> pa.Table:
         g = group.group_by(["word"]).aggregate([("n", "sum")])
-        g = g.rename_columns(["word", "n"])
-        n = g.column("n").to_numpy()
-        w = g.column("word").to_pylist()
-        order = sorted(range(len(w)), key=lambda i: (-n[i], w[i]))[:k]
-        return g.take(pa.array(order, pa.int64()))
+        return _take_topk_by_count(g.rename_columns(["word", "n"]),
+                                   "word", k)
 
     def final(batch: pa.Table) -> pa.Table:
-        n = batch.column("n").to_numpy()
-        w = batch.column("word").to_pylist()
-        order = sorted(range(len(w)), key=lambda i: (-n[i], w[i]))[:k]
-        return batch.take(pa.array(order, pa.int64()))
+        return _take_topk_by_count(batch, "word", k)
 
     ds = _read_documents(sf_dir).map_batches(partial,
                                              batch_format="pyarrow")
@@ -792,52 +786,62 @@ DOC_LENGTH_RANK_SQL = """
 NGRAM_K = 100
 
 
+def trigram_counts_batch(batch: pa.Table) -> pa.Table:
+    """(ngram, n) counts of the word trigrams in one batch: trigrams
+    are assembled vectorized from the flattened space-split with a
+    row-boundary mask (a trigram never spans documents), then reduced
+    with an Arrow group_by. The kernel doc_ngrams' partial and the
+    property test share."""
+    text = pc.fill_null(batch.column("text"), "")
+    splits = pc.split_pattern(text, " ")
+    lens = pc.list_value_length(splits).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(splits)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    row_of = np.repeat(np.arange(batch.num_rows), lens)
+    if len(flat) < 3:
+        return pa.table({"ngram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    valid = (row_of[:-2] == row_of[1:-1]) & (row_of[:-2] == row_of[2:])
+    vmask = pa.array(valid)
+    w0 = flat.slice(0, len(flat) - 2).filter(vmask)
+    w1 = flat.slice(1, len(flat) - 2).filter(vmask)
+    w2 = flat.slice(2).filter(vmask)
+    tri = pc.binary_join_element_wise(w0, w1, w2, " ")
+    return pa.table({"ngram": tri}).group_by(["ngram"]) \
+        .aggregate([([], "count_all")]).rename_columns(["ngram", "n"])
+
+
+def _take_topk_by_count(t: pa.Table, key_col: str, k: int) -> pa.Table:
+    """Top-k rows by (n desc, key asc) — the deterministic tiebreak cut
+    vocab_top_words and doc_ngrams share."""
+    n = t.column("n").to_numpy()
+    w = t.column(key_col).to_pylist()
+    order = sorted(range(len(w)), key=lambda i: (-n[i], w[i]))[:k]
+    return t.take(pa.array(order, pa.int64()))
+
+
 def doc_ngrams(sf_dir: str, k: int = NGRAM_K):
     """Top-k word trigrams by corpus count (space tokenization, ties
     broken by ngram ascending) — the n-gram LM / contamination-audit
     statistic. Same shape as vocab_top_words: the token stream never
-    leaves its batch (trigrams are assembled vectorized from the
-    flattened split with a row-boundary mask and reduced to per-batch
-    counts), one hash(ngram)-keyed exchange totals them, per-bucket
-    top-k candidates feed a tiny single-block final merge."""
+    leaves its batch (:func:`trigram_counts_batch` reduces it to
+    per-batch counts), one hash(ngram)-keyed exchange totals them,
+    per-bucket top-k candidates feed a tiny single-block final merge."""
     from .bucketing import bucket_groupby, fnv1a_hashes, hash_bucket
 
     def partial(batch: pa.Table) -> pa.Table:
-        text = pc.fill_null(batch.column("text"), "")
-        splits = pc.split_pattern(text, " ")
-        lens = pc.list_value_length(splits).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(splits)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        row_of = np.repeat(np.arange(batch.num_rows), lens)
-        if len(flat) < 3:
-            return pa.table({"ngram": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64()),
-                             "bucket": pa.array([], pa.int32())})
-        valid = (row_of[:-2] == row_of[1:-1]) & (row_of[:-2] == row_of[2:])
-        vmask = pa.array(valid)
-        w0 = flat.slice(0, len(flat) - 2).filter(vmask)
-        w1 = flat.slice(1, len(flat) - 2).filter(vmask)
-        w2 = flat.slice(2).filter(vmask)
-        tri = pc.binary_join_element_wise(w0, w1, w2, " ")
-        g = pa.table({"ngram": tri}).group_by(["ngram"]) \
-            .aggregate([([], "count_all")]).rename_columns(["ngram", "n"])
+        g = trigram_counts_batch(batch)
         bucket = hash_bucket([fnv1a_hashes(g.column("ngram").to_pylist())])
         return g.append_column("bucket", pa.array(bucket, pa.int32()))
 
     def bucket_topk(group: pa.Table) -> pa.Table:
         g = group.group_by(["ngram"]).aggregate([("n", "sum")])
-        g = g.rename_columns(["ngram", "n"])
-        n = g.column("n").to_numpy()
-        w = g.column("ngram").to_pylist()
-        order = sorted(range(len(w)), key=lambda i: (-n[i], w[i]))[:k]
-        return g.take(pa.array(order, pa.int64()))
+        return _take_topk_by_count(g.rename_columns(["ngram", "n"]),
+                                   "ngram", k)
 
     def final(batch: pa.Table) -> pa.Table:
-        n = batch.column("n").to_numpy()
-        w = batch.column("ngram").to_pylist()
-        order = sorted(range(len(w)), key=lambda i: (-n[i], w[i]))[:k]
-        return batch.take(pa.array(order, pa.int64()))
+        return _take_topk_by_count(batch, "ngram", k)
 
     ds = _read_documents(sf_dir).map_batches(partial,
                                              batch_format="pyarrow")

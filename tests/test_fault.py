@@ -49,7 +49,7 @@ class _CrashOnce:
         return batch.append_column("y", doubled)
 
 
-def _run(ray, sentinel: str | None, tmp: str) -> pa.Table:
+def _run(ray, sentinel: str | None) -> pa.Table:
     tbl = pa.table({"x": np.arange(1000, dtype=np.int64)})
     ds = ray.data.from_arrow(tbl).repartition(8)
     if sentinel is None:
@@ -68,8 +68,8 @@ def test_worker_death_mid_stream_is_retried_exactly(ray_session, tmp_path):
     """One worker process dies hard mid-stream; the stage output must
     still be byte-identical to a clean run."""
     sentinel = str(tmp_path / "crash_once")
-    clean = _run(ray_session, None, str(tmp_path))
-    faulted = _run(ray_session, sentinel, str(tmp_path))
+    clean = _run(ray_session, None)
+    faulted = _run(ray_session, sentinel)
     assert os.path.exists(sentinel), "fault was never injected"
     assert faulted.num_rows == 1000
     assert faulted.equals(clean.select(faulted.column_names)) or \

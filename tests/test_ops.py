@@ -1774,3 +1774,43 @@ def test_connected_components_adversarial_shapes(ray_session):
     assert got == want
     # three distinct components, chain+star+island disjoint
     assert len(set(got.values())) == 3
+
+
+def test_mixture_sample_null_sources_parity(ray_session, tmp_path):
+    """Planted NULL sources: both sides must exclude them from the
+    weight totals AND from the output (regression: a NULL group in the
+    SQL tot CTE shifted every threshold); all-NULL input returns empty
+    instead of crashing the filter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops.curation import mixture_sample, mixture_sample_sql
+
+    n = 3000
+    src = ["a"] * 2000 + ["b"] * 900 + [None] * 100
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["x"] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(src, pa.string()),
+        "n_chars": pa.array([1] * n, pa.int64()),
+    })
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/documents.parquet")
+    got = _normalize(mixture_sample(sf).to_pandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = _normalize(con.execute(mixture_sample_sql()).fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert len(got) > 0 and got["source"].notna().all()
+
+    # all-NULL sources: empty result, no crash
+    t2 = t.set_column(t.schema.get_field_index("source"), "source",
+                      pa.array([None] * n, pa.string()))
+    sf2 = str(tmp_path / "allnull")
+    import os
+    os.makedirs(sf2, exist_ok=True)
+    pq.write_table(t2, f"{sf2}/documents.parquet")
+    assert mixture_sample(sf2).count() == 0

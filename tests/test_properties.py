@@ -253,35 +253,22 @@ def test_mixture_thresholds_properties(counts, divisor):
 @given(st.lists(st.lists(st.text(alphabet="xyz", min_size=1, max_size=2),
                          min_size=0, max_size=7), max_size=6))
 def test_trigram_partial_matches_bruteforce(docs_words):
-    """The vectorized boundary-masked trigram partial agrees with a
-    scalar counter on arbitrary word lists (incl. docs shorter than 3
-    words, empty docs, repeated trigrams)."""
+    """The vectorized boundary-masked trigram kernel (the SAME function
+    doc_ngrams' partial calls) agrees with a scalar counter on
+    arbitrary word lists (incl. docs shorter than 3 words, empty docs,
+    repeated trigrams)."""
     import collections
 
     import pyarrow as pa
 
-    from casie_ray.ops.text import doc_ngrams  # noqa: F401 (same kernel)
+    from casie_ray.ops.text import trigram_counts_batch
 
-    # rebuild the partial kernel inline the way doc_ngrams does
-    import pyarrow.compute as pc
     texts = [" ".join(ws) for ws in docs_words]
     batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
                       "text": pa.array(texts, pa.string())})
-    splits = pc.split_pattern(pc.fill_null(batch.column("text"), ""), " ")
-    lens = pc.list_value_length(splits).to_numpy(zero_copy_only=False)
-    flat = pc.list_flatten(splits)
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    row_of = np.repeat(np.arange(batch.num_rows), lens)
-    got = collections.Counter()
-    if len(flat) >= 3:
-        valid = (row_of[:-2] == row_of[1:-1]) & (row_of[:-2] == row_of[2:])
-        vmask = pa.array(valid)
-        w0 = flat.slice(0, len(flat) - 2).filter(vmask)
-        w1 = flat.slice(1, len(flat) - 2).filter(vmask)
-        w2 = flat.slice(2).filter(vmask)
-        tri = pc.binary_join_element_wise(w0, w1, w2, " ")
-        got = collections.Counter(tri.to_pylist())
+    g = trigram_counts_batch(batch)
+    got = collections.Counter(dict(zip(g.column("ngram").to_pylist(),
+                                       g.column("n").to_pylist())))
     want = collections.Counter()
     for t in texts:
         ws = t.split(" ")

@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _kg_components,
         "doc_mixture_sample": _cur.mixture_sample,
         "doc_ngrams": _text.doc_ngrams,
+        "events_hourly_anomaly": _rel.events_hourly_anomaly,
         # --- never driver-checked before r4 ---
         "events_funnel": _rel.events_funnel,
         "events_pivot": _rel.events_pivot,
@@ -957,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{corpus_001}/gold_kg_components.parquet')""",
         "doc_mixture_sample": _cur.mixture_sample_sql(),
         "doc_ngrams": _text.doc_ngrams_sql(),
+        "events_hourly_anomaly": _rel.HOURLY_ANOMALY_SQL,
         "transcripts_roundtrip": (
             "SELECT conv_id, turn_idx, text FROM read_parquet("
             f"'{corpus_001}/transcripts/*.parquet')"),

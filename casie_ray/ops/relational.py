@@ -1286,3 +1286,91 @@ PROPS_EXTRACT_SQL = """
     WHERE k IS NOT NULL
     GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Hourly anomaly flags (integer-exact z-score spike detection)
+# ---------------------------------------------------------------------------
+
+
+def events_hourly_anomaly(sf_dir: str):
+    """Per (event_type, hour window) event count plus an is_anomaly
+    flag: |z| > 2 against the type's own hourly distribution. The test
+    is evaluated WITHOUT floats — |n - mean| > 2*sigma is cross-
+    multiplied to (n*nh - sn)^2 > 4*(sn2*nh - sn^2) over exact integer
+    sums (sn = sum of counts, sn2 = sum of squares, nh = window
+    count), so the SQL twin matches bit-for-bit with HUGEINT.
+
+    Shape: per-batch (type, window) count partials, then ONE exchange
+    keyed by event_type — each group holds its type's complete
+    (window -> count) table (bounded: windows per type, not events),
+    where the stats fold and the flags are computed with Python ints
+    (post-aggregate tiny data; unbounded-width integers make the
+    squared test overflow-proof at any corpus size)."""
+    from .bucketing import bucket_groupby, fnv1a_hashes, hash_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "window_start": hour,
+            "n_events": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("n_events", "sum")])
+        g = g.rename_columns(["event_type", "window_start", "n_events"])
+        bucket = hash_bucket(
+            [fnv1a_hashes(pc.fill_null(g.column("event_type"), "")
+                          .to_pylist())])
+        return g.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def flags(group: pa.Table) -> pa.Table:
+        g = group.group_by(["event_type", "window_start"]).aggregate(
+            [("n_events", "sum")])
+        g = g.rename_columns(["event_type", "window_start", "n_events"])
+        et = g.column("event_type").to_pylist()
+        counts = g.column("n_events").to_pylist()
+        per_type: dict = {}
+        for i, t in enumerate(et):
+            per_type.setdefault(t, []).append(i)
+        flag = [0] * len(et)
+        for t, idxs in per_type.items():
+            ns = [int(counts[i]) for i in idxs]
+            nh, sn = len(ns), sum(ns)
+            sn2 = sum(n * n for n in ns)
+            var_scaled = sn2 * nh - sn * sn       # nh^2 * variance
+            for i, n in zip(idxs, ns):
+                flag[i] = int((n * nh - sn) ** 2 > 4 * var_scaled)
+        return g.append_column("is_anomaly", pa.array(flag, pa.int64()))
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return bucket_groupby(ds, flags)
+
+
+HOURLY_ANOMALY_SQL = """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS window_start,
+             count(*) AS n_events
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    s AS (
+      -- window functions, not a JOIN USING: PARTITION BY groups NULL
+      -- event_type rows together, matching Arrow group_by semantics
+      SELECT event_type, window_start, n_events,
+             sum(CAST(n_events AS HUGEINT))
+                 OVER (PARTITION BY event_type) AS sn,
+             sum(CAST(n_events AS HUGEINT) * n_events)
+                 OVER (PARTITION BY event_type) AS sn2,
+             CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT)
+                 AS nh
+      FROM h
+    )
+    SELECT event_type, window_start,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST((CAST(n_events AS HUGEINT) * nh - sn)
+                * (CAST(n_events AS HUGEINT) * nh - sn)
+                > 4 * (sn2 * nh - sn * sn)
+                AS BIGINT) AS is_anomaly
+    FROM s
+"""

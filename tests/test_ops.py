@@ -77,7 +77,7 @@ SQL_CHECKED = [
     # the KG trio checks the distributed engine against the persisted
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events", "kg_components",
-    "doc_mixture_sample", "doc_ngrams",
+    "doc_mixture_sample", "doc_ngrams", "events_hourly_anomaly",
 ]
 
 
@@ -1814,3 +1814,47 @@ def test_mixture_sample_null_sources_parity(ray_session, tmp_path):
     os.makedirs(sf2, exist_ok=True)
     pq.write_table(t2, f"{sf2}/documents.parquet")
     assert mixture_sample(sf2).count() == 0
+
+
+def test_hourly_anomaly_flags_planted_spike(ray_session, tmp_path):
+    """Planted spike: one hour carries 60 events while 23 quiet hours
+    carry 2 each — only the spike hour may be flagged, and the flag
+    must agree with the SQL twin on the same table (incl. a NULL
+    event_type group, which the window-function twin keeps)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops.relational import (HOURLY_ANOMALY_SQL,
+                                          events_hourly_anomaly)
+
+    rows_ts, rows_ty = [], []
+    hour_us = 3_600_000_000
+    for h in range(24):
+        n = 60 if h == 7 else 2
+        for i in range(n):
+            rows_ts.append(h * hour_us + i)
+            rows_ty.append("click")
+    rows_ts += [0, hour_us]
+    rows_ty += [None, None]
+    n_rows = len(rows_ts)
+    t = pa.table({
+        "event_id": pa.array(range(n_rows), pa.int64()),
+        "ts": pa.array(rows_ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * n_rows, pa.int64()),
+        "event_type": pa.array(rows_ty, pa.string()),
+        "value": pa.array([0.0] * n_rows, pa.float64()),
+        "props": pa.array(["{}"] * n_rows, pa.string()),
+    })
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/events.parquet")
+
+    got = _normalize(events_hourly_anomaly(sf).to_pandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = _normalize(con.execute(HOURLY_ANOMALY_SQL).fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    clicks = got[got["event_type"] == "click"]
+    flagged = clicks[clicks["is_anomaly"] == 1]
+    assert len(flagged) == 1 and flagged["n_events"].iloc[0] == 60

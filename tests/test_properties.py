@@ -275,3 +275,46 @@ def test_trigram_partial_matches_bruteforce(docs_words):
         for i in range(len(ws) - 2):
             want[" ".join(ws[i:i + 3])] += 1
     assert got == want
+
+
+UNI_TEXT = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Lo", "Nd", "Zs", "Po")),
+    max_size=40)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(UNI_TEXT, max_size=6))
+def test_hash_kernels_handle_unicode(texts):
+    """The vectorized byte-level kernels must treat multi-byte UTF-8
+    exactly like the scalar references do (the 100 TB corpus is not
+    ASCII): fnv1a over encoded bytes, shingles and simhash built on
+    top of it."""
+    from casie_ray.ops.bucketing import fnv1a_hashes
+    from casie_ray.ops.dedup import shingle_hash_batch, simhash64_batch
+
+    got = fnv1a_hashes(texts)
+    for w, g in zip(texts, got.tolist()):
+        h = 14695981039346656037
+        for b in w.encode():
+            h = ((h ^ b) * 1099511628211) % (1 << 64)
+        assert g == h, repr(w)
+
+    rows, hashes = shingle_hash_batch(texts)
+    per_row: dict[int, set] = {}
+    for r, h in zip(rows.tolist(), hashes.tolist()):
+        per_row.setdefault(r, set()).add(h)
+    for i, t in enumerate(texts):
+        want = set(shingle_hash_batch([t])[1].tolist())
+        assert per_row.get(i, set()) == want, repr(t)
+
+    sims = simhash64_batch(texts)
+    for t, g in zip(texts, sims.tolist()):
+        words = sorted(set((t or "").split(" ")))
+        hs = fnv1a_hashes(words).tolist()
+        want = 0
+        for i in range(64):
+            ones = sum((h >> i) & 1 for h in hs)
+            if 2 * ones > len(hs):
+                want |= 1 << i
+        assert g == want, repr(t)

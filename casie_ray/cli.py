@@ -10,13 +10,17 @@ script-per-task entry points, without writing Python:
     python -m casie_ray.cli run kg_triangles --out /tmp/tri.parquet
     python -m casie_ray.cli ingest /path/to/annotation /tmp/corpus
     python -m casie_ray.cli gold /path/to/annotation --out gold.parquet
+    python -m casie_ray.cli learn /path/to/annotation
 
 ``run`` executes the named pipeline over the given table directory and
 either writes the result to parquet (--out) or prints row count + head.
 ``ingest`` bridges a reference-format annotation-JSON directory to the
 engine corpus layout (then ``python -m casie_ray.pipelines.kg`` runs
 over it); ``gold`` projects the annotation nuggets to the scorer's
-mention table (``python -m casie_ray.score --gold ...``).
+mention table (``python -m casie_ray.score --gold ...``); ``learn``
+trains the weak-supervision lexicon seat on an 80/20 doc-id split and
+prints held-out span/labeled P/R/F1 (the reference's -trainfile /
+-testfile protocol, casie_ray/learned.py).
 Owns the Ray session (guarded init, shutdown on exit) — library code
 never does (driver contract).
 """
@@ -62,9 +66,15 @@ def main(argv: list[str] | None = None) -> int:
     gp.add_argument("--out", required=True)
     gp.add_argument("--what", choices=["nugget", "argument"],
                     default="nugget")
+    lp = sub.add_parser(
+        "learn", help="train + evaluate the learned lexicon seat")
+    lp.add_argument("ann_dir")
+    lp.add_argument("--min-prob", type=float, default=0.3,
+                    help="trigger-probability precision filter")
+    lp.add_argument("--min-count", type=int, default=1)
     args = ap.parse_args(argv)
 
-    if args.cmd in ("ingest", "gold"):
+    if args.cmd in ("ingest", "gold", "learn"):
         import ray
         owns = not ray.is_initialized()
         if owns:
@@ -74,6 +84,14 @@ def main(argv: list[str] | None = None) -> int:
                 from .ingest import annotations_to_corpus
                 print(annotations_to_corpus(args.ann_dir,
                                             args.corpus_dir))
+            elif args.cmd == "learn":
+                import json as _json
+
+                from .learned import evaluate_learned_seat
+                res = evaluate_learned_seat(
+                    args.ann_dir, min_count=args.min_count,
+                    min_prob=args.min_prob)
+                print(_json.dumps(res, indent=1))
             else:
                 import pyarrow as pa
 

@@ -1,0 +1,354 @@
+"""Learned (weak-supervision) tagger seat over the annotation corpus.
+
+The reference's taggers are TRAINED on the annotation corpus — its
+``nug_arg_detection.py`` / ``role_phrase.py`` take ``-trainfile`` /
+``-testfile`` lists of annotation documents (reference
+code/nug_arg_detection.py:212-214). The engine's deterministic rule
+seats are tuned to the synthetic contract corpus, so their zero-shot
+quality on the real out-of-domain text is documented but low
+(BASELINE.md "Real-corpus ingest bridge"). This module is the honest
+engine analogue of the reference's protocol with no neural weights:
+
+- LEARN per-label surface lexicons (nugget surface -> event subtype,
+  argument surface -> argument type) from a TRAIN split of the
+  annotation JSONs,
+- PREDICT on the held-out split with the same longest-match scan the
+  synthetic seat uses,
+- SCORE against the projected gold with the reference's own metrics
+  (span-only raw-overlap matching, score.py:106-151; labeled dice
+  matching, score.py:181-217).
+
+Split protocol: deterministic FNV-1a hash on doc_id (the engine's
+``split_assignment`` idiom, ops/mlprep.py) — train/test are disjoint
+by construction and the lexicon is reduced from train-split rows only
+(no-leakage is pinned by a test with a planted test-only trigger).
+
+Ray-Data-first shape: learning is one ``map_batches`` pass over the
+raw files (parse once, filter split, partial surface counts per
+block) followed by a driver-side combine of the vocabulary-sized
+partials — the same bounded-broadcast class as the BPE vocab and the
+entity catalog. Prediction is one actor-pool ``map_batches`` over the
+test files with the lexicon broadcast via ``ray.put`` and the matcher
+index built once per actor in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .ingest import MENTION_SCHEMA, _read_raw, _turn_spans, parse_annotation
+from .ops.bucketing import fnv1a_hashes
+from .tokenize import tokenize
+
+TEST_PCT = 20  # FNV-1a(doc_id) % 100 < TEST_PCT -> held-out test doc
+
+
+def doc_is_test(doc_ids, test_pct: int = TEST_PCT) -> np.ndarray:
+    """Boolean test-split mask, re-derivable anywhere (incl. SQL — the
+    identical formula split_assignment registers for transcripts)."""
+    h = fnv1a_hashes(list(doc_ids)) % np.uint64(100)
+    return h < np.uint64(test_pct)
+
+
+_PARTIAL_SCHEMA = pa.schema([
+    ("surface", pa.string()), ("label", pa.string()), ("n", pa.int64()),
+])
+
+
+def _span_source(which: str, events: list[dict], args: list[dict]):
+    """(surface text, label) rows for one parsed doc: nugget text ->
+    event subtype, or argument text -> argument entity type — exactly
+    the label sets the reference's two tagger families learn."""
+    if which == "nugget":
+        return ((ev["nugget_text"], ev["subtype"]) for ev in events)
+    return ((a["text"], a["arg_type"]) for a in args)
+
+
+def learn_surface_lexicon(ann_dir: str, what: str = "nugget",
+                          test_pct: int = TEST_PCT,
+                          min_count: int = 1) -> dict[str, str]:
+    """surface_lower -> label, learned from TRAIN-split docs only.
+
+    Each surface maps to its most frequent train-split label
+    (count argmax, ties -> lexicographically smallest label — fully
+    deterministic). Surfaces seen fewer than ``min_count`` times are
+    dropped. The distinct-surface partials are vocabulary-sized, so
+    the driver-side combine is a bounded broadcast (BPE-vocab class),
+    not a dataset materialization.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        paths = batch.column("path").to_pylist()
+        raws = batch.column("bytes").to_pylist()
+        is_test = doc_is_test(
+            [_doc_of(p) for p in paths], test_pct)
+        for path, raw, t in zip(paths, raws, is_test):
+            if t:
+                continue  # train-split only: held-out docs never counted
+            _doc, events, args = parse_annotation(path, raw)
+            for text, label in _span_source(what, events, args):
+                key = ((text or "").lower().strip(), label or "")
+                if key[0] and key[1]:
+                    counts[key] = counts.get(key, 0) + 1
+        if not counts:
+            return _PARTIAL_SCHEMA.empty_table()
+        ks = sorted(counts)
+        return pa.table({
+            "surface": pa.array([k[0] for k in ks], pa.string()),
+            "label": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([counts[k] for k in ks], pa.int64()),
+        })
+
+    parts = _read_raw(ann_dir).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return {}
+    tot = parts.groupby(["surface", "label"], as_index=False)["n"].sum()
+    # argmax count per surface, ties -> smallest label (sort then head)
+    tot = tot.sort_values(["surface", "n", "label"],
+                          ascending=[True, False, True])
+    best = tot.groupby("surface", as_index=False).head(1)
+    best = best[best["n"] >= min_count]
+    return dict(zip(best["surface"], best["label"]))
+
+
+_OCC_SCHEMA = pa.schema([("surface", pa.string()), ("n", pa.int64())])
+
+
+def surface_occurrence_counts(ann_dir: str, lexicon: dict[str, str],
+                              test_pct: int = TEST_PCT) -> dict[str, int]:
+    """How often each lexicon surface occurs in TRAIN-split turn text
+    (gold or not), via the same longest-match scan prediction uses —
+    the denominator of a distant-supervision trigger probability.
+    One actor-pool pass with the matcher broadcast; partials are
+    lexicon-sized, so the combine is a bounded broadcast."""
+    import ray
+    ref = ray.put(lexicon)
+
+    class Counter:
+        def __init__(self):
+            self.matcher = build_surface_matcher(ray.get(ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            counts: dict[str, int] = {}
+            paths = batch.column("path").to_pylist()
+            raws = batch.column("bytes").to_pylist()
+            is_test = doc_is_test([_doc_of(p) for p in paths], test_pct)
+            for _path, raw, t in zip(paths, raws, is_test):
+                if t:
+                    continue
+                doc, _e, _a = parse_annotation(_path, raw)
+                for text, _off in _turn_spans(doc["content"]):
+                    for s, e, _label in scan_turn(text, self.matcher):
+                        k = text[s:e].lower().strip()
+                        counts[k] = counts.get(k, 0) + 1
+            if not counts:
+                return _OCC_SCHEMA.empty_table()
+            ks = sorted(counts)
+            return pa.table({
+                "surface": pa.array(ks, pa.string()),
+                "n": pa.array([counts[k] for k in ks], pa.int64()),
+            })
+
+    parts = _read_raw(ann_dir).map_batches(
+        Counter, batch_format="pyarrow", concurrency=2).to_pandas()
+    if parts.empty:
+        return {}
+    tot = parts.groupby("surface", as_index=False)["n"].sum()
+    return dict(zip(tot["surface"], tot["n"]))
+
+
+def filter_by_trigger_prob(ann_dir: str, lexicon: dict[str, str],
+                           gold_counts: dict[str, int],
+                           min_prob: float = 0.5,
+                           test_pct: int = TEST_PCT) -> dict[str, str]:
+    """Distant-supervision precision filter: keep surfaces whose
+    train-split trigger probability gold_n / occurrence_n >= min_prob
+    (occurrence_n counted by the SAME scan used at prediction time, so
+    the probability estimates the matcher's own precision). Ambiguous
+    everyday words ('attack' as a noun in prose) fall below the bar;
+    reliable triggers ('ransomware infected') stay."""
+    occ = surface_occurrence_counts(ann_dir, lexicon, test_pct)
+    return {s: lab for s, lab in lexicon.items()
+            if gold_counts.get(s, 0) >= min_prob * max(occ.get(s, 0), 1)}
+
+
+def learn_filtered_lexicon(ann_dir: str, what: str = "nugget",
+                           test_pct: int = TEST_PCT, min_count: int = 1,
+                           min_prob: float = 0.3) -> dict[str, str]:
+    """learn_surface_lexicon + trigger-probability filter in one call
+    (the seat's default high-precision operating point)."""
+    lex = learn_surface_lexicon(ann_dir, what, test_pct, min_count)
+    gold = surface_gold_counts(ann_dir, what, test_pct)
+    return filter_by_trigger_prob(ann_dir, lex, gold, min_prob, test_pct)
+
+
+def surface_gold_counts(ann_dir: str, what: str = "nugget",
+                        test_pct: int = TEST_PCT) -> dict[str, int]:
+    """Train-split gold span count per surface (numerator of the
+    trigger probability) — same partial pass as the lexicon, label
+    ignored."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        paths = batch.column("path").to_pylist()
+        raws = batch.column("bytes").to_pylist()
+        is_test = doc_is_test([_doc_of(p) for p in paths], test_pct)
+        for path, raw, t in zip(paths, raws, is_test):
+            if t:
+                continue
+            _doc, events, args = parse_annotation(path, raw)
+            for text, _label in _span_source(what, events, args):
+                k = (text or "").lower().strip()
+                if k:
+                    counts[k] = counts.get(k, 0) + 1
+        if not counts:
+            return _OCC_SCHEMA.empty_table()
+        ks = sorted(counts)
+        return pa.table({
+            "surface": pa.array(ks, pa.string()),
+            "n": pa.array([counts[k] for k in ks], pa.int64()),
+        })
+
+    parts = _read_raw(ann_dir).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return {}
+    tot = parts.groupby("surface", as_index=False)["n"].sum()
+    return dict(zip(tot["surface"], tot["n"]))
+
+
+def _doc_of(path: str) -> str:
+    import os
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def build_surface_matcher(lexicon: dict[str, str]) -> dict:
+    """first_token_lower -> [(token_tuple, n_tokens, label)] sorted
+    longest-first then label (the catalog matcher's deterministic
+    longest-match layout, semantics.build_catalog_matcher)."""
+    index: dict[str, list] = {}
+    for surface, label in lexicon.items():
+        toks = tuple(t[0].lower() for t in tokenize(surface))
+        if not toks:
+            continue
+        index.setdefault(toks[0], []).append((toks, len(toks), label))
+    for k in index:
+        index[k].sort(key=lambda r: (-r[1], r[2], r[0]))
+    return index
+
+
+def scan_turn(text: str, matcher: dict) -> list[tuple[int, int, str]]:
+    """Longest-match left-to-right scan of one turn: [(start_char,
+    end_char, label)] with end exclusive — the same claim discipline
+    as detect_turn's catalog channel."""
+    toks = tokenize(text)
+    lowers = [t[0].lower() for t in toks]
+    out: list[tuple[int, int, str]] = []
+    i = 0
+    while i < len(toks):
+        hit = None
+        for cand, n, label in matcher.get(lowers[i], ()):
+            if i + n <= len(toks) and tuple(lowers[i:i + n]) == cand:
+                hit = (toks[i][1], toks[i + n - 1][2], label, n)
+                break
+        if hit is None:
+            i += 1
+        else:
+            out.append(hit[:3])
+            i += hit[3]
+    return out
+
+
+class LearnedSeatPredictor:
+    """Actor-pool stage: matcher built ONCE per actor from the
+    broadcast lexicon; each batch of raw annotation files becomes
+    predicted mention rows for its split."""
+
+    def __init__(self, lexicon_ref, split: str = "test",
+                 test_pct: int = TEST_PCT):
+        import ray
+        lex = ray.get(lexicon_ref) if not isinstance(lexicon_ref, dict) \
+            else lexicon_ref
+        self.matcher = build_surface_matcher(lex)
+        self.want_test = split == "test"
+        self.test_pct = test_pct
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        paths = batch.column("path").to_pylist()
+        raws = batch.column("bytes").to_pylist()
+        is_test = doc_is_test([_doc_of(p) for p in paths], self.test_pct)
+        for path, raw, t in zip(paths, raws, is_test):
+            if bool(t) != self.want_test:
+                continue
+            doc, _events, _args = parse_annotation(path, raw)
+            for ti, (text, _off) in enumerate(_turn_spans(doc["content"])):
+                for s, e, label in scan_turn(text, self.matcher):
+                    rows.append({
+                        "conv_id": doc["doc_id"], "turn_idx": ti,
+                        "start": s, "end": e, "label": label,
+                        "clipped": False,
+                    })
+        if not rows:
+            return MENTION_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=MENTION_SCHEMA)
+
+
+def predict_mentions(ann_dir: str, lexicon: dict[str, str],
+                     split: str = "test", test_pct: int = TEST_PCT,
+                     concurrency: int = 2):
+    """Dataset of predicted mentions (scorer format) over one split."""
+    import ray
+    ref = ray.put(lexicon)
+    return _read_raw(ann_dir).map_batches(
+        LearnedSeatPredictor, fn_constructor_args=(ref, split, test_pct),
+        batch_format="pyarrow", concurrency=concurrency)
+
+
+def _filter_split(mentions_ds, test_pct: int, want_test: bool):
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = doc_is_test(batch.column("conv_id").to_pylist(), test_pct)
+        if not want_test:
+            mask = ~mask
+        return batch.filter(pa.array(mask))
+    return mentions_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def evaluate_learned_seat(ann_dir: str, test_pct: int = TEST_PCT,
+                          min_count: int = 1,
+                          min_prob: float = 0.3) -> dict:
+    """Train-on-train / score-on-held-out evaluation of the learned
+    seat, for nuggets AND arguments. Returns per-task span-only and
+    labeled P/R/F1 plus split sizes — the engine twin of running the
+    reference's taggers with its -trainfile/-testfile protocol.
+    Measured on the real reference corpus (1000 docs, 20% held out):
+    nugget span F1 0.587 / labeled 0.584, argument span F1 0.408 /
+    labeled 0.373, at the default operating
+    point (vs 0.277 zero-shot for the synthetic-tuned rule seat —
+    BASELINE.md 'Real-corpus ingest bridge')."""
+    from .ingest import gold_argument_mentions, gold_nugget_mentions
+    from .scoring import mention_prf, span_prf
+
+    out: dict[str, dict] = {}
+    for what, gold_fn in (("nugget", gold_nugget_mentions),
+                          ("argument", gold_argument_mentions)):
+        lex = learn_filtered_lexicon(ann_dir, what, test_pct,
+                                     min_count, min_prob)
+        pred = predict_mentions(ann_dir, lex, "test", test_pct) \
+            .to_pandas().to_dict("records")
+        gold = _filter_split(gold_fn(ann_dir), test_pct, True) \
+            .to_pandas()
+        cols = ["conv_id", "turn_idx", "start", "end", "label"]
+        gold = (gold[cols].to_dict("records")
+                if not gold.empty else [])  # empty ds drops its schema
+        out[what] = {
+            "lexicon_size": len(lex),
+            "gold_mentions": len(gold),
+            "pred_mentions": len(pred),
+            "span": span_prf(gold, pred),
+            "labeled": mention_prf(gold, pred, match_label=True),
+        }
+    return out

@@ -1,0 +1,147 @@
+"""Learned (weak-supervision) tagger seat: train-split lexicon
+learning, trigger-probability filtering, no-leakage, and held-out
+prediction — the engine analogue of the reference's -trainfile /
+-testfile protocol (reference code/nug_arg_detection.py:212-214)."""
+
+from __future__ import annotations
+
+import json
+
+
+def _ann_doc(doc_id: str, content: str, nuggets, args=()):
+    """One annotation JSON in the reference format. ``nuggets`` is
+    [(start, end, text, subtype)], ``args`` is [(start, end, text,
+    arg_type, role)] — all attached to one hopper/event each."""
+    hoppers = []
+    for i, (s, e, text, sub) in enumerate(nuggets):
+        ev = {
+            "nugget": {"startOffset": s, "endOffset": e,
+                       "index": f"T{i}", "text": text},
+            "subtype": sub, "index": f"E{i}", "realis": "Actual",
+            "type": "Attack", "argument": [],
+        }
+        hoppers.append({"relation": "Same", "index": i, "events": [ev]})
+    if args and hoppers:
+        hoppers[0]["events"][0]["argument"] = [
+            {"startOffset": s, "endOffset": e, "index": f"A{j}",
+             "role": {"type": role}, "type": at, "text": text}
+            for j, (s, e, text, at, role) in enumerate(args)]
+    return {
+        "sourcefile": f"{doc_id}.txt",
+        "info": {"title": "t", "date": "2018_01_01", "type": "text",
+                 "link": ""},
+        "content": content,
+        "cyberevent": {"hopper": hoppers},
+    }
+
+
+# Split membership under doc_is_test (FNV-1a % 100 < 20):
+TRAIN_IDS = ["80000", "80001", "80002", "80004", "80005"]
+TEST_IDS = ["80003", "80008"]
+
+
+def _span(content: str, word: str):
+    s = content.index(word)
+    return (s, s + len(word), word)
+
+
+def _write(tmp_path):
+    d = tmp_path / "ann"
+    d.mkdir()
+    # TRAIN docs: "ransomware" is a reliable trigger (always gold);
+    # "attack" occurs twice per doc in text but is gold only once
+    # across the split (trigger prob 1/10 -> filtered at 0.3).
+    train_text = ("The ransomware spread fast. An attack was feared "
+                  "but no attack came.")
+    for k, did in enumerate(TRAIN_IDS):
+        nugs = [(*_span(train_text, "ransomware"), "Ransom")]
+        if k == 0:
+            nugs.append((*_span(train_text, "attack"), "Databreach"))
+        doc = _ann_doc(did, train_text, nugs,
+                       args=[(*_span(train_text, "ransomware"),
+                              "Malware", "Tool")])
+        (d / f"{did}.json").write_text(json.dumps(doc))
+    # TEST docs: same reliable trigger, plus a TEST-ONLY gold trigger
+    # "cryptolocked" that must never enter the train-learned lexicon.
+    test_text = "Files cryptolocked by ransomware after an attack."
+    for did in TEST_IDS:
+        doc = _ann_doc(did, test_text, [
+            (*_span(test_text, "cryptolocked"), "Ransom"),
+            (*_span(test_text, "ransomware"), "Ransom"),
+        ])
+        (d / f"{did}.json").write_text(json.dumps(doc))
+    return str(d)
+
+
+def test_lexicon_learned_from_train_split_only(ray_session, tmp_path):
+    from casie_ray.learned import learn_surface_lexicon
+
+    d = _write(tmp_path)
+    lex = learn_surface_lexicon(d, "nugget")
+    assert lex["ransomware"] == "Ransom"
+    assert lex["attack"] == "Databreach"
+    # no leakage: the held-out-only trigger is absent
+    assert "cryptolocked" not in lex
+    # argument task learns its own label set
+    arg_lex = learn_surface_lexicon(d, "argument")
+    assert arg_lex == {"ransomware": "Malware"}
+
+
+def test_trigger_probability_filter(ray_session, tmp_path):
+    from casie_ray.learned import learn_filtered_lexicon
+
+    d = _write(tmp_path)
+    # "attack" occurs 10x in train text, gold 1x -> prob 0.1 < 0.3;
+    # "ransomware" occurs 5x, gold 5x -> prob 1.0.
+    lex = learn_filtered_lexicon(d, "nugget", min_prob=0.3)
+    assert lex == {"ransomware": "Ransom"}
+    # at a permissive threshold the noisy trigger survives
+    lex_all = learn_filtered_lexicon(d, "nugget", min_prob=0.05)
+    assert set(lex_all) == {"ransomware", "attack"}
+
+
+def test_predict_on_held_out_split(ray_session, tmp_path):
+    from casie_ray.learned import (learn_filtered_lexicon,
+                                   predict_mentions)
+
+    d = _write(tmp_path)
+    lex = learn_filtered_lexicon(d, "nugget", min_prob=0.3)
+    pred = predict_mentions(d, lex, "test").to_pandas()
+    # only held-out docs, only the reliable trigger
+    assert set(pred["conv_id"]) == set(TEST_IDS)
+    assert len(pred) == len(TEST_IDS)
+    assert (pred["label"] == "Ransom").all()
+    test_text = "Files cryptolocked by ransomware after an attack."
+    for _, r in pred.iterrows():
+        assert test_text[r["start"]:r["end"]] == "ransomware"
+    # train-split prediction never emits held-out docs
+    tr = predict_mentions(d, lex, "train").to_pandas()
+    assert set(tr["conv_id"]) == set(TRAIN_IDS)
+
+
+def test_evaluate_learned_seat_end_to_end(ray_session, tmp_path):
+    from casie_ray.learned import evaluate_learned_seat
+
+    d = _write(tmp_path)
+    res = evaluate_learned_seat(d)
+    nug = res["nugget"]
+    # gold on test split: 2 docs x 2 nuggets
+    assert nug["gold_mentions"] == 4
+    assert nug["pred_mentions"] >= 2
+    assert 0 < nug["span"]["f1"] <= 1
+    assert nug["labeled"]["f1"] <= nug["span"]["f1"] + 1e-9
+    assert res["argument"]["lexicon_size"] == 1
+
+
+def test_longest_match_scan_is_deterministic():
+    from casie_ray.learned import build_surface_matcher, scan_turn
+
+    m = build_surface_matcher({
+        "data breach": "Databreach", "breach": "Ransom",
+        "data": "Phishing"})
+    # longest match wins and consumes its tokens
+    spans = scan_turn("A data breach hit; breach again.", m)
+    texts = [("A data breach hit; breach again."[s:e], lab)
+             for s, e, lab in spans]
+    assert texts == [("data breach", "Databreach"),
+                     ("breach", "Ransom")]

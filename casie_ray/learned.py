@@ -58,10 +58,14 @@ _PARTIAL_SCHEMA = pa.schema([
 
 def _span_source(which: str, events: list[dict], args: list[dict]):
     """(surface text, label) rows for one parsed doc: nugget text ->
-    event subtype, or argument text -> argument entity type — exactly
-    the label sets the reference's two tagger families learn."""
+    event subtype, argument text -> argument entity type, or argument
+    text -> semantic role — the three label families the reference's
+    tagger/role classifiers learn (its -options nugget/argument/role
+    scorer modes)."""
     if which == "nugget":
         return ((ev["nugget_text"], ev["subtype"]) for ev in events)
+    if which == "role":
+        return ((a["text"], a["role"]) for a in args)
     return ((a["text"], a["arg_type"]) for a in args)
 
 
@@ -326,7 +330,7 @@ def evaluate_learned_seat(ann_dir: str, test_pct: int = TEST_PCT,
     reference's taggers with its -trainfile/-testfile protocol.
     Measured on the real reference corpus (1000 docs, 20% held out):
     nugget span F1 0.587 / labeled 0.584, argument span F1 0.408 /
-    labeled 0.373, at the default operating
+    labeled 0.373, role labeled F1 0.348, at the default operating
     point (vs 0.277 zero-shot for the synthetic-tuned rule seat —
     BASELINE.md 'Real-corpus ingest bridge')."""
     from .ingest import gold_argument_mentions, gold_nugget_mentions
@@ -334,13 +338,16 @@ def evaluate_learned_seat(ann_dir: str, test_pct: int = TEST_PCT,
 
     out: dict[str, dict] = {}
     for what, gold_fn in (("nugget", gold_nugget_mentions),
-                          ("argument", gold_argument_mentions)):
+                          ("argument", gold_argument_mentions),
+                          ("role", gold_argument_mentions)):
         lex = learn_filtered_lexicon(ann_dir, what, test_pct,
                                      min_count, min_prob)
         pred = predict_mentions(ann_dir, lex, "test", test_pct) \
             .to_pandas().to_dict("records")
         gold = _filter_split(gold_fn(ann_dir), test_pct, True) \
             .to_pandas()
+        if what == "role" and not gold.empty:
+            gold = gold.assign(label=gold["role"])  # -options role mode
         cols = ["conv_id", "turn_idx", "start", "end", "label"]
         gold = (gold[cols].to_dict("records")
                 if not gold.empty else [])  # empty ds drops its schema

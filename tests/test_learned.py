@@ -131,6 +131,14 @@ def test_evaluate_learned_seat_end_to_end(ray_session, tmp_path):
     assert 0 < nug["span"]["f1"] <= 1
     assert nug["labeled"]["f1"] <= nug["span"]["f1"] + 1e-9
     assert res["argument"]["lexicon_size"] == 1
+    assert res["role"]["lexicon_size"] == 1  # ransomware -> Tool
+
+
+def test_role_mode_learns_role_labels(ray_session, tmp_path):
+    from casie_ray.learned import learn_surface_lexicon
+
+    d = _write(tmp_path)
+    assert learn_surface_lexicon(d, "role") == {"ransomware": "Tool"}
 
 
 def test_longest_match_scan_is_deterministic():

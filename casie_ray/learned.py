@@ -69,18 +69,23 @@ def _span_source(which: str, events: list[dict], args: list[dict]):
     return ((a["text"], a["arg_type"]) for a in args)
 
 
-def learn_surface_lexicon(ann_dir: str, what: str = "nugget",
-                          test_pct: int = TEST_PCT,
-                          min_count: int = 1) -> dict[str, str]:
-    """surface_lower -> label, learned from TRAIN-split docs only.
+def canon_surface(text: str) -> str:
+    """Canonical surface key: the token tuple joined by single spaces,
+    lowercased. EVERY count table (gold labels, gold totals, matcher
+    occurrences) is keyed by this, so whitespace/newline variants of
+    the same phrase ('denial of\\nservice' vs 'denial of service')
+    collapse to one key and the trigger-probability numerator and
+    denominator always talk about the same surface."""
+    return " ".join(t[0].lower() for t in tokenize(text or ""))
 
-    Each surface maps to its most frequent train-split label
-    (count argmax, ties -> lexicographically smallest label — fully
-    deterministic). Surfaces seen fewer than ``min_count`` times are
-    dropped. The distinct-surface partials are vocabulary-sized, so
-    the driver-side combine is a bounded broadcast (BPE-vocab class),
-    not a dataset materialization.
-    """
+
+def _surface_label_totals(ann_dir: str, what: str,
+                          test_pct: int = TEST_PCT):
+    """(surface, label, n) totals over TRAIN-split gold spans — the
+    single corpus pass the lexicon, its min_count filter, AND the
+    trigger-probability numerator are all derived from. Partials are
+    vocabulary-sized, so the driver-side combine is a bounded
+    broadcast (BPE-vocab class), not a dataset materialization."""
 
     def partial(batch: pa.Table) -> pa.Table:
         counts: dict[tuple[str, str], int] = {}
@@ -93,7 +98,7 @@ def learn_surface_lexicon(ann_dir: str, what: str = "nugget",
                 continue  # train-split only: held-out docs never counted
             _doc, events, args = parse_annotation(path, raw)
             for text, label in _span_source(what, events, args):
-                key = ((text or "").lower().strip(), label or "")
+                key = (canon_surface(text), label or "")
                 if key[0] and key[1]:
                     counts[key] = counts.get(key, 0) + 1
         if not counts:
@@ -108,13 +113,32 @@ def learn_surface_lexicon(ann_dir: str, what: str = "nugget",
     parts = _read_raw(ann_dir).map_batches(
         partial, batch_format="pyarrow").to_pandas()
     if parts.empty:
+        return parts
+    return parts.groupby(["surface", "label"], as_index=False)["n"].sum()
+
+
+def learn_surface_lexicon(ann_dir: str, what: str = "nugget",
+                          test_pct: int = TEST_PCT,
+                          min_count: int = 1,
+                          totals=None) -> dict[str, str]:
+    """surface -> label, learned from TRAIN-split docs only.
+
+    Each canonical surface (see ``canon_surface``) maps to its most
+    frequent train-split label (count argmax, ties -> smallest label —
+    fully deterministic). Surfaces whose TOTAL gold count across all
+    labels is below ``min_count`` are dropped. Pass ``totals`` to
+    reuse an existing ``_surface_label_totals`` frame (skips the
+    corpus pass)."""
+    tot = (_surface_label_totals(ann_dir, what, test_pct)
+           if totals is None else totals)
+    if tot.empty:
         return {}
-    tot = parts.groupby(["surface", "label"], as_index=False)["n"].sum()
+    surf_n = tot.groupby("surface")["n"].transform("sum")
+    tot = tot[surf_n >= min_count]
     # argmax count per surface, ties -> smallest label (sort then head)
     tot = tot.sort_values(["surface", "n", "label"],
                           ascending=[True, False, True])
     best = tot.groupby("surface", as_index=False).head(1)
-    best = best[best["n"] >= min_count]
     return dict(zip(best["surface"], best["label"]))
 
 
@@ -145,9 +169,9 @@ def surface_occurrence_counts(ann_dir: str, lexicon: dict[str, str],
                     continue
                 doc, _e, _a = parse_annotation(_path, raw)
                 for text, _off in _turn_spans(doc["content"]):
-                    for s, e, _label in scan_turn(text, self.matcher):
-                        k = text[s:e].lower().strip()
-                        counts[k] = counts.get(k, 0) + 1
+                    for _s, _e2, _label, key in scan_turn(
+                            text, self.matcher):
+                        counts[key] = counts.get(key, 0) + 1
             if not counts:
                 return _OCC_SCHEMA.empty_table()
             ks = sorted(counts)
@@ -157,7 +181,8 @@ def surface_occurrence_counts(ann_dir: str, lexicon: dict[str, str],
             })
 
     parts = _read_raw(ann_dir).map_batches(
-        Counter, batch_format="pyarrow", concurrency=2).to_pandas()
+        Counter, batch_format="pyarrow",
+        concurrency=(1, _pool_width())).to_pandas()
     if parts.empty:
         return {}
     tot = parts.groupby("surface", as_index=False)["n"].sum()
@@ -183,45 +208,28 @@ def learn_filtered_lexicon(ann_dir: str, what: str = "nugget",
                            test_pct: int = TEST_PCT, min_count: int = 1,
                            min_prob: float = 0.3) -> dict[str, str]:
     """learn_surface_lexicon + trigger-probability filter in one call
-    (the seat's default high-precision operating point)."""
-    lex = learn_surface_lexicon(ann_dir, what, test_pct, min_count)
-    gold = surface_gold_counts(ann_dir, what, test_pct)
+    (the seat's default high-precision operating point). ONE gold
+    corpus pass: lexicon, min_count filter and the probability
+    numerator all derive from the same totals frame."""
+    tot = _surface_label_totals(ann_dir, what, test_pct)
+    lex = learn_surface_lexicon(ann_dir, what, test_pct, min_count,
+                                totals=tot)
+    gold = surface_gold_counts(ann_dir, what, test_pct, totals=tot)
     return filter_by_trigger_prob(ann_dir, lex, gold, min_prob, test_pct)
 
 
 def surface_gold_counts(ann_dir: str, what: str = "nugget",
-                        test_pct: int = TEST_PCT) -> dict[str, int]:
+                        test_pct: int = TEST_PCT,
+                        totals=None) -> dict[str, int]:
     """Train-split gold span count per surface (numerator of the
-    trigger probability) — same partial pass as the lexicon, label
-    ignored."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        paths = batch.column("path").to_pylist()
-        raws = batch.column("bytes").to_pylist()
-        is_test = doc_is_test([_doc_of(p) for p in paths], test_pct)
-        for path, raw, t in zip(paths, raws, is_test):
-            if t:
-                continue
-            _doc, events, args = parse_annotation(path, raw)
-            for text, _label in _span_source(what, events, args):
-                k = (text or "").lower().strip()
-                if k:
-                    counts[k] = counts.get(k, 0) + 1
-        if not counts:
-            return _OCC_SCHEMA.empty_table()
-        ks = sorted(counts)
-        return pa.table({
-            "surface": pa.array(ks, pa.string()),
-            "n": pa.array([counts[k] for k in ks], pa.int64()),
-        })
-
-    parts = _read_raw(ann_dir).map_batches(
-        partial, batch_format="pyarrow").to_pandas()
-    if parts.empty:
+    trigger probability), label-summed from the same totals frame the
+    lexicon is learned from (pass ``totals`` to skip the pass)."""
+    tot = (_surface_label_totals(ann_dir, what, test_pct)
+           if totals is None else totals)
+    if tot.empty:
         return {}
-    tot = parts.groupby("surface", as_index=False)["n"].sum()
-    return dict(zip(tot["surface"], tot["n"]))
+    s = tot.groupby("surface")["n"].sum()
+    return dict(zip(s.index, s))
 
 
 def _doc_of(path: str) -> str:
@@ -229,40 +237,46 @@ def _doc_of(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
 
+def _pool_width() -> int:
+    """Actor-pool max width: available CPUs (the bucket_groupby
+    sizing idiom), floor 2 so tiny sessions still overlap IO."""
+    import ray
+    return max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+
 def build_surface_matcher(lexicon: dict[str, str]) -> dict:
-    """first_token_lower -> [(token_tuple, n_tokens, label)] sorted
-    longest-first then label (the catalog matcher's deterministic
-    longest-match layout, semantics.build_catalog_matcher)."""
-    index: dict[str, list] = {}
-    for surface, label in lexicon.items():
-        toks = tuple(t[0].lower() for t in tokenize(surface))
-        if not toks:
-            continue
-        index.setdefault(toks[0], []).append((toks, len(toks), label))
-    for k in index:
-        index[k].sort(key=lambda r: (-r[1], r[2], r[0]))
-    return index
+    """first_token_lower -> [(token_tuple, n_tokens, label)] via the
+    shared phrase-index kernel (semantics.build_phrase_index — one
+    source of truth with the entity-catalog matcher), ties broken by
+    label then token tuple."""
+    from .semantics import build_phrase_index
+    return build_phrase_index(
+        (surface, label, (label,)) for surface, label in lexicon.items())
 
 
-def scan_turn(text: str, matcher: dict) -> list[tuple[int, int, str]]:
+def scan_turn(text: str,
+              matcher: dict) -> list[tuple[int, int, str, str]]:
     """Longest-match left-to-right scan of one turn: [(start_char,
-    end_char, label)] with end exclusive — the same claim discipline
-    as detect_turn's catalog channel."""
+    end_char, label, canonical_surface)] with end exclusive — the same
+    claim discipline as detect_turn's catalog channel. The 4th element
+    is the matched lexicon key (token join), NOT the raw slice, so
+    occurrence counts always land under the lexicon surface."""
     toks = tokenize(text)
     lowers = [t[0].lower() for t in toks]
-    out: list[tuple[int, int, str]] = []
+    out: list[tuple[int, int, str, str]] = []
     i = 0
     while i < len(toks):
         hit = None
         for cand, n, label in matcher.get(lowers[i], ()):
             if i + n <= len(toks) and tuple(lowers[i:i + n]) == cand:
-                hit = (toks[i][1], toks[i + n - 1][2], label, n)
+                hit = (toks[i][1], toks[i + n - 1][2], label,
+                       " ".join(cand), n)
                 break
         if hit is None:
             i += 1
         else:
-            out.append(hit[:3])
-            i += hit[3]
+            out.append(hit[:4])
+            i += hit[4]
     return out
 
 
@@ -290,7 +304,7 @@ class LearnedSeatPredictor:
                 continue
             doc, _events, _args = parse_annotation(path, raw)
             for ti, (text, _off) in enumerate(_turn_spans(doc["content"])):
-                for s, e, label in scan_turn(text, self.matcher):
+                for s, e, label, _key in scan_turn(text, self.matcher):
                     rows.append({
                         "conv_id": doc["doc_id"], "turn_idx": ti,
                         "start": s, "end": e, "label": label,
@@ -303,13 +317,14 @@ class LearnedSeatPredictor:
 
 def predict_mentions(ann_dir: str, lexicon: dict[str, str],
                      split: str = "test", test_pct: int = TEST_PCT,
-                     concurrency: int = 2):
+                     concurrency=None):
     """Dataset of predicted mentions (scorer format) over one split."""
     import ray
     ref = ray.put(lexicon)
     return _read_raw(ann_dir).map_batches(
         LearnedSeatPredictor, fn_constructor_args=(ref, split, test_pct),
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, _pool_width()))
 
 
 def _filter_split(mentions_ds, test_pct: int, want_test: bool):
@@ -329,8 +344,8 @@ def evaluate_learned_seat(ann_dir: str, test_pct: int = TEST_PCT,
     labeled P/R/F1 plus split sizes — the engine twin of running the
     reference's taggers with its -trainfile/-testfile protocol.
     Measured on the real reference corpus (1000 docs, 20% held out):
-    nugget span F1 0.587 / labeled 0.584, argument span F1 0.408 /
-    labeled 0.373, role labeled F1 0.348, at the default operating
+    nugget span F1 0.587 / labeled 0.583, argument span F1 0.409 /
+    labeled 0.374, role labeled F1 0.348, at the default operating
     point (vs 0.277 zero-shot for the synthetic-tuned rule seat —
     BASELINE.md 'Real-corpus ingest bridge')."""
     from .ingest import gold_argument_mentions, gold_nugget_mentions

@@ -1295,11 +1295,17 @@ PROPS_EXTRACT_SQL = """
 
 def events_hourly_anomaly(sf_dir: str):
     """Per (event_type, hour window) event count plus an is_anomaly
-    flag: |z| > 2 against the type's own hourly distribution. The test
-    is evaluated WITHOUT floats — |n - mean| > 2*sigma is cross-
-    multiplied to (n*nh - sn)^2 > 4*(sn2*nh - sn^2) over exact integer
-    sums (sn = sum of counts, sn2 = sum of squares, nh = window
-    count), so the SQL twin matches bit-for-bit with HUGEINT.
+    flag: |z| > 2 against the type's own hourly distribution over its
+    DENSE active range — every hour from the type's first to its last
+    window counts toward the baseline, zero-event hours included (a
+    type bursting against a mostly-silent span is flagged; with
+    observed-hours-only stats it never would be). Output rows are the
+    observed windows only. The test is evaluated WITHOUT floats —
+    |n - mean| > 2*sigma is cross-multiplied to
+    (n*nh - sn)^2 > 4*(sn2*nh - sn^2) over exact integer sums
+    (sn = sum of counts, sn2 = sum of squares, nh = hours in the
+    dense range; zero hours add nothing to sn/sn2), so the SQL twin
+    matches bit-for-bit with HUGEINT.
 
     Shape: per-batch (type, window) count partials, then ONE exchange
     keyed by event_type — each group holds its type's complete
@@ -1330,13 +1336,19 @@ def events_hourly_anomaly(sf_dir: str):
         g = g.rename_columns(["event_type", "window_start", "n_events"])
         et = g.column("event_type").to_pylist()
         counts = g.column("n_events").to_pylist()
+        # hour index: window_start is floor_temporal'd, so epoch us is
+        # an exact multiple of the hour — division is sign-safe
+        hrs = (pc.cast(g.column("window_start"), pa.int64())
+               .to_numpy(zero_copy_only=False) // 3_600_000_000)
         per_type: dict = {}
         for i, t in enumerate(et):
             per_type.setdefault(t, []).append(i)
         flag = [0] * len(et)
         for t, idxs in per_type.items():
             ns = [int(counts[i]) for i in idxs]
-            nh, sn = len(ns), sum(ns)
+            hh = [int(hrs[i]) for i in idxs]
+            nh = max(hh) - min(hh) + 1  # dense range incl. zero hours
+            sn = sum(ns)
             sn2 = sum(n * n for n in ns)
             var_scaled = sn2 * nh - sn * sn       # nh^2 * variance
             for i, n in zip(idxs, ns):
@@ -1362,8 +1374,14 @@ HOURLY_ANOMALY_SQL = """
                  OVER (PARTITION BY event_type) AS sn,
              sum(CAST(n_events AS HUGEINT) * n_events)
                  OVER (PARTITION BY event_type) AS sn2,
-             CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT)
-                 AS nh
+             -- DENSE hour range first..last (zero-event hours count
+             -- toward the baseline; they add nothing to sn/sn2)
+             CAST(date_diff('hour',
+                            min(window_start)
+                                OVER (PARTITION BY event_type),
+                            max(window_start)
+                                OVER (PARTITION BY event_type)) + 1
+                  AS HUGEINT) AS nh
       FROM h
     )
     SELECT event_type, window_start,

@@ -96,6 +96,24 @@ class Event:
 # ---------------------------------------------------------------------------
 
 
+def build_phrase_index(entries) -> dict:
+    """Shared longest-match phrase-index kernel: ``entries`` is an
+    iterable of (surface_text, tiebreak, payload_tuple). Returns
+    first_token_lower -> [(phrase_tokens_lower, n_tokens, *payload)]
+    sorted longest-first, then by tiebreak, then by token tuple —
+    fully deterministic. Single source of truth for the matcher
+    layout used by the entity catalog and the learned lexicon seat."""
+    keyed: dict[str, list] = {}
+    for surface, tiebreak, payload in entries:
+        toks = tuple(t[0].lower() for t in tokenize(surface))
+        if not toks:
+            continue
+        keyed.setdefault(toks[0], []).append(
+            ((-len(toks), tiebreak, toks), (toks, len(toks), *payload)))
+    return {k: [e for _, e in sorted(v, key=lambda r: r[0])]
+            for k, v in keyed.items()}
+
+
 def build_catalog_matcher(entities) -> dict:
     """entities: list of dicts or pyarrow Table with
     (entity_id, canonical, aliases, type). Returns
@@ -103,18 +121,10 @@ def build_catalog_matcher(entities) -> dict:
     sorted longest-first then by entity_id (deterministic alias ties)."""
     if hasattr(entities, "to_pylist"):
         entities = entities.to_pylist()
-    index: dict[str, list] = {}
-    for e in entities:
-        surfaces = [e["canonical"]] + list(e["aliases"] or [])
-        for s in surfaces:
-            toks = tuple(t[0].lower() for t in tokenize(s))
-            if not toks:
-                continue
-            index.setdefault(toks[0], []).append(
-                (toks, len(toks), e["type"], e["entity_id"]))
-    for k in index:
-        index[k].sort(key=lambda r: (-r[1], r[3]))
-    return index
+    return build_phrase_index(
+        (s, e["entity_id"], (e["type"], e["entity_id"]))
+        for e in entities
+        for s in [e["canonical"]] + list(e["aliases"] or []))
 
 
 def build_fuzzy_index(entities, whitelist=None, blacklist=None) -> dict:

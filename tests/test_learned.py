@@ -150,6 +150,63 @@ def test_longest_match_scan_is_deterministic():
     # longest match wins and consumes its tokens
     spans = scan_turn("A data breach hit; breach again.", m)
     texts = [("A data breach hit; breach again."[s:e], lab)
-             for s, e, lab in spans]
+             for s, e, lab, _k in spans]
     assert texts == [("data breach", "Databreach"),
                      ("breach", "Ransom")]
+
+
+def test_whitespace_variant_surfaces_share_one_key(ray_session,
+                                                   tmp_path):
+    """A gold span crossing a line break ('denial of\\nservice') and
+    its single-space prose form are ONE canonical surface: the lexicon
+    holds one entry, the matcher fires on the prose form, and the
+    occurrence scan credits the lexicon key (so the trigger-prob
+    denominator sees the matches — the review's bypass is closed)."""
+    import json as _json
+
+    from casie_ray.learned import (canon_surface, learn_filtered_lexicon,
+                                   learn_surface_lexicon,
+                                   surface_occurrence_counts)
+
+    assert canon_surface("denial of\nservice") == "denial of service"
+    d = tmp_path / "ann"
+    d.mkdir()
+    # train docs: gold with embedded newline, prose mentions without
+    text = ("A denial of\nservice hit. More denial of service talk; "
+            "denial of service again.")
+    s = text.index("denial")
+    for did in TRAIN_IDS:
+        doc = _ann_doc(did, text,
+                       [(s, s + len("denial of\nservice"),
+                         "denial of\nservice", "Ransom")])
+        (d / f"{did}.json").write_text(_json.dumps(doc))
+    lex = learn_surface_lexicon(str(d))
+    assert lex == {"denial of service": "Ransom"}
+    occ = surface_occurrence_counts(str(d), lex)
+    # all 3 mentions per doc land under the canonical lexicon key
+    assert occ == {"denial of service": 3 * len(TRAIN_IDS)}
+    # trigger prob = 5/15 = 1/3: kept at 0.3, dropped at 0.5
+    assert learn_filtered_lexicon(str(d), min_prob=0.3) == lex
+    assert learn_filtered_lexicon(str(d), min_prob=0.5) == {}
+
+
+def test_min_count_filters_on_surface_total(ray_session, tmp_path):
+    """min_count drops surfaces by TOTAL gold count across labels
+    (the documented semantics), not by the winning label's count."""
+    import json as _json
+
+    from casie_ray.learned import learn_surface_lexicon
+
+    d = tmp_path / "ann"
+    d.mkdir()
+    text = "The breach spread."
+    s = text.index("breach")
+    # 4 train docs alternate the label 2/2 -> argmax count is 2, but
+    # the surface total is 4
+    for k, did in enumerate(TRAIN_IDS[:4]):
+        lab = "Ransom" if k % 2 else "Databreach"
+        doc = _ann_doc(did, text, [(s, s + 6, "breach", lab)])
+        (d / f"{did}.json").write_text(_json.dumps(doc))
+    lex = learn_surface_lexicon(str(d), min_count=3)
+    assert lex == {"breach": "Databreach"}  # total 4 >= 3; tie -> min
+    assert learn_surface_lexicon(str(d), min_count=5) == {}

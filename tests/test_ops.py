@@ -1858,3 +1858,41 @@ def test_hourly_anomaly_flags_planted_spike(ray_session, tmp_path):
     clicks = got[got["event_type"] == "click"]
     flagged = clicks[clicks["is_anomaly"] == 1]
     assert len(flagged) == 1 and flagged["n_events"].iloc[0] == 60
+
+
+def test_hourly_anomaly_dense_range_catches_sparse_burst(ray_session,
+                                                         tmp_path):
+    """A type active in only 2 of 101 hours (50 events each, 99 silent
+    hours between) IS anomalous against its dense active range — the
+    observed-hours-only baseline would see two identical hours and
+    flag nothing. Engine and SQL twin must agree on the dense nh."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops.relational import (HOURLY_ANOMALY_SQL,
+                                          events_hourly_anomaly)
+
+    hour_us = 3_600_000_000
+    rows_ts = [0 * hour_us + i for i in range(50)] + \
+              [100 * hour_us + i for i in range(50)]
+    n_rows = len(rows_ts)
+    t = pa.table({
+        "event_id": pa.array(range(n_rows), pa.int64()),
+        "ts": pa.array(rows_ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * n_rows, pa.int64()),
+        "event_type": pa.array(["burst"] * n_rows, pa.string()),
+        "value": pa.array([0.0] * n_rows, pa.float64()),
+        "props": pa.array(["{}"] * n_rows, pa.string()),
+    })
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/events.parquet")
+
+    got = _normalize(events_hourly_anomaly(sf).to_pandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = _normalize(con.execute(HOURLY_ANOMALY_SQL).fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    # both observed hours are bursts vs the 101-hour dense baseline
+    assert got["is_anomaly"].tolist() == [1, 1]

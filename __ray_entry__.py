@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mixture_sample": _cur.mixture_sample,
         "doc_ngrams": _text.doc_ngrams,
         "events_hourly_anomaly": _rel.events_hourly_anomaly,
+        "kg_walks": lambda d: _graphx.random_walks(_edges_ds(d)),
         # --- never driver-checked before r4 ---
         "events_funnel": _rel.events_funnel,
         "events_pivot": _rel.events_pivot,
@@ -411,15 +412,9 @@ _FNV_P = 1099511628211
 _M64 = _bucketing.SQL_M64
 
 def _fnv_expr(col: str) -> str:
-    """FNV-1a 64-bit of an ASCII string expression, in SQL."""
-    return (
-        "list_reduce(list_prepend("
-        f"CAST({_FNV_OFF} AS UBIGINT), "
-        f"[CAST(unicode(substring({col}, i, 1)) AS UBIGINT) "
-        f"FOR i IN generate_series(1, length({col}))]), "
-        f"(a, b) -> CAST((CAST(xor(a, b) AS HUGEINT) * {_FNV_P}) % {_M64} "
-        "AS UBIGINT))"
-    )
+    """FNV-1a 64-bit of an ASCII string expression, in SQL (single
+    source of truth: ops.bucketing.sql_fnv1a)."""
+    return _bucketing.sql_fnv1a(col)
 
 
 _FNV_WORD = _fnv_expr("w")
@@ -1316,6 +1311,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_reach": _graphx.bfs_reach_sql(
             f"{corpus_001}/gold_triples.parquet"),
         "kg_clustering": _graphx.clustering_sql(
+            f"{corpus_001}/gold_triples.parquet"),
+        "kg_walks": _graphx.random_walks_sql(
             f"{corpus_001}/gold_triples.parquet"),
         "transcripts_redact": _redact_sql(corpus_001),
         "doc_normalize": _clean.NORMALIZE_SQL,

@@ -219,3 +219,18 @@ def sql_mulmod64(h: str, const: int) -> str:
     return (f"CAST((((CAST({h} AS HUGEINT) * {hi}) % 4294967296) "
             f"* 4294967296 + CAST({h} AS HUGEINT) * {lo}) % {SQL_M64} "
             "AS UBIGINT)")
+
+
+def sql_fnv1a(col: str) -> str:
+    """FNV-1a 64-bit of an ASCII string expression, in SQL — twin of
+    :func:`fnv1a_hashes` (unicode() code points equal UTF-8 bytes for
+    ASCII input). Single source of truth for every DuckDB oracle that
+    hashes strings."""
+    return (
+        "list_reduce(list_prepend("
+        f"CAST({FNV_OFF} AS UBIGINT), "
+        f"[CAST(unicode(substring({col}, i, 1)) AS UBIGINT) "
+        f"FOR i IN generate_series(1, length({col}))]), "
+        f"(a, b) -> CAST((CAST(xor(a, b) AS HUGEINT) * {FNV_BASE}) "
+        f"% {SQL_M64} AS UBIGINT))"
+    )

@@ -861,3 +861,225 @@ def pagerank_sql(triples_glob: str, iters: int = 3) -> str:
             GROUP BY e.dst) s ON n.node = s.node)""")
     sql.append(f"\nSELECT node, pr FROM r{iters}")
     return "".join(sql)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks (node2vec/DeepWalk corpus generation)
+# ---------------------------------------------------------------------------
+
+_RW_FRONTIER_SCHEMA = pa.schema([
+    ("start_node", pa.string()), ("walk", pa.int64()),
+    ("node", pa.string()), ("bucket", pa.int32()),
+])
+
+_RW_MIX_SCHEMA = pa.schema([
+    ("src", pa.string()), ("dst", pa.string()),
+    ("start_node", pa.string()), ("walk", pa.int64()),
+    ("bucket", pa.int32()),
+])
+
+
+def _rw_edge_partial(batch: pa.Table) -> pa.Table:
+    """Per-block combiner: distinct directed (src, dst), bucketed by
+    src so each walk step is a src-keyed exchange."""
+    t = pa.table({"src": batch.column("subj"),
+                  "dst": batch.column("obj")})
+    t = t.group_by(["src", "dst"]).aggregate([])
+    t = t.rename_columns(["src", "dst"])
+    return t.append_column("bucket", _str_bucket(t.column("src")))
+
+
+def _rw_edge_dedup(group: pa.Table) -> pa.Table:
+    g = group.group_by(["src", "dst", "bucket"]).aggregate([])
+    return g.rename_columns(["src", "dst", "bucket"])
+
+
+def _rw_starts(n_walks: int):
+    """Bucket kernel: one step-0 frontier row per (distinct src,
+    walk_idx) — every node with out-degree >= 1 starts n_walks walks."""
+
+    def kern(group: pa.Table) -> pa.Table:
+        srcs = np.asarray(pc.unique(group.column("src")).to_pylist())
+        srcs = np.sort(srcs)
+        rep = np.repeat(srcs, n_walks)
+        walks = np.tile(np.arange(n_walks, dtype=np.int64), len(srcs))
+        nodes = pa.array(rep, pa.string())
+        return pa.table({
+            "start_node": nodes, "walk": pa.array(walks),
+            "node": nodes,
+            "bucket": _str_bucket(pa.chunked_array([nodes])),
+        })
+
+    return kern
+
+
+def _rw_edge_row(batch: pa.Table) -> pa.Table:
+    return pa.table({
+        "src": batch.column("src"), "dst": batch.column("dst"),
+        "start_node": pa.nulls(batch.num_rows, pa.string()),
+        "walk": pa.nulls(batch.num_rows, pa.int64()),
+        "bucket": batch.column("bucket"),
+    })
+
+
+def _rw_frontier_row(batch: pa.Table) -> pa.Table:
+    return pa.table({
+        "src": batch.column("node"),
+        "dst": pa.nulls(batch.num_rows, pa.string()),
+        "start_node": batch.column("start_node"),
+        "walk": batch.column("walk"),
+        "bucket": batch.column("bucket"),
+    })
+
+
+def _rw_step_bucket(step: int):
+    """Bucket kernel for one walk step: per frontier row standing on
+    node u, the next hop is u's sorted-neighbor list indexed by
+    mix64([fnv1a(u), walk << 32 | step]) % outdeg(u) — the choice is a
+    pure function of (node, walk, step), so any execution order (and
+    the SQL twin) reproduces it bit-for-bit. Dead ends (outdeg 0)
+    terminate the walk."""
+    from .bucketing import fnv1a_hashes as _fnv
+    from .bucketing import mix64
+
+    def kern(group: pa.Table) -> pa.Table:
+        is_edge = pc.is_valid(group.column("dst"))
+        edges = group.filter(is_edge)
+        fr = group.filter(pc.invert(is_edge))
+        if fr.num_rows == 0 or edges.num_rows == 0:
+            return _RW_FRONTIER_SCHEMA.empty_table()
+        esrc = np.asarray(edges.column("src").to_pylist())
+        edst = np.asarray(edges.column("dst").to_pylist())
+        order = np.lexsort((edst, esrc))
+        esrc, edst = esrc[order], edst[order]
+        fsrc = np.asarray(fr.column("src").to_pylist())
+        lo = np.searchsorted(esrc, fsrc, side="left")
+        hi = np.searchsorted(esrc, fsrc, side="right")
+        deg = (hi - lo).astype(np.uint64)
+        alive = deg > 0
+        if not alive.any():
+            return _RW_FRONTIER_SCHEMA.empty_table()
+        lo, deg, fsrc = lo[alive], deg[alive], fsrc[alive]
+        walks = fr.column("walk").to_numpy(zero_copy_only=False)[alive]
+        starts = np.asarray(
+            fr.column("start_node").to_pylist())[alive]
+        a2 = (walks.astype(np.uint64) * np.uint64(1 << 32)
+              + np.uint64(step))
+        r = mix64([_fnv(list(fsrc)), a2])
+        nxt = pa.array(edst[lo + (r % deg).astype(np.int64)],
+                       pa.string())
+        return pa.table({
+            "start_node": pa.array(starts, pa.string()),
+            "walk": pa.array(walks.astype(np.int64)),
+            "node": nxt,
+            "bucket": _str_bucket(pa.chunked_array([nxt])),
+        })
+
+    return kern
+
+
+def _rw_stamp(step: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "start_node": batch.column("start_node"),
+            "walk": batch.column("walk"),
+            "step": pa.array(
+                np.full(batch.num_rows, step, dtype=np.int64)),
+            "node": batch.column("node"),
+        })
+
+    return fn
+
+
+def random_walks(edges_ds, n_walks: int = 2, walk_len: int = 3):
+    """Deterministic random-walk corpus over the directed KG edge set
+    (node2vec/DeepWalk training input): ``n_walks`` walks of up to
+    ``walk_len`` hops from every node with out-degree >= 1, emitted as
+    (start_node, walk, step, node) rows (step 0 = the start itself; a
+    dead end stops the walk early). Each hop's pseudo-randomness is
+    mix64([fnv1a(current), walk << 32 | step]) over the current node's
+    dst-sorted distinct neighbors — no RNG state, so the walk corpus
+    is reproducible on any cluster shape and bit-exact vs the
+    :func:`random_walks_sql` DuckDB twin.
+
+    Shape: one src-keyed exchange to dedup/partition edges, then ONE
+    bucketed exchange per hop (the BFS/pagerank iteration class) whose
+    exchanged mass is the frontier (nodes x n_walks rows, shrinking
+    with dead ends) plus the edge table; inter-level state is the
+    frontier, never the walks-so-far (steps are emitted as they
+    happen, so walk payload never crosses the wire twice)."""
+    sp = edges_ds.map_batches(_rw_edge_partial, batch_format="pyarrow",
+                              batch_size=None)
+    edges = bucket_groupby(sp, _rw_edge_dedup).materialize()
+    frontier = bucket_groupby(
+        edges, _rw_starts(n_walks), pre_repartition=False).materialize()
+    levels = [frontier.map_batches(_rw_stamp(0),
+                                   batch_format="pyarrow")]
+    for k in range(walk_len):
+        mixed = edges.map_batches(
+            _rw_edge_row, batch_format="pyarrow").union(
+            frontier.map_batches(_rw_frontier_row,
+                                 batch_format="pyarrow"))
+        frontier = bucket_groupby(
+            mixed, _rw_step_bucket(k)).materialize()
+        levels.append(frontier.map_batches(_rw_stamp(k + 1),
+                                           batch_format="pyarrow"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def random_walks_sql(triples_glob: str, n_walks: int = 2,
+                     walk_len: int = 3) -> str:
+    """Unrolled DuckDB oracle for :func:`random_walks`: the identical
+    fnv1a + two-absorb mix64 chain per hop (ops.bucketing single
+    sources), neighbor rank via row_number over dst order."""
+    from .bucketing import (SPLITMIX_C1, SPLITMIX_C2, SPLITMIX_PHI,
+                            SQL_M64, sql_fnv1a, sql_mulmod64)
+
+    def plus1(expr: str) -> str:
+        return (f"CAST((CAST({expr} AS HUGEINT) + 1) % {SQL_M64} "
+                "AS UBIGINT)")
+
+    sql = [f"""WITH e AS (
+  SELECT DISTINCT CAST(subj AS VARCHAR) AS src,
+         CAST(obj AS VARCHAR) AS dst
+  FROM read_parquet('{triples_glob}')),
+nbr AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM e),
+w0 AS (
+  SELECT s.src AS start_node, CAST(g.range AS BIGINT) AS walk,
+         s.src AS node
+  FROM (SELECT DISTINCT src FROM e) s, range(0, {n_walks}) g)"""]
+    for k in range(walk_len):
+        sql.append(f""",
+h{k}a AS (SELECT start_node, walk, node,
+  {plus1(sql_mulmod64(sql_fnv1a('node'), SPLITMIX_PHI))} AS h
+  FROM w{k}),
+h{k}b AS (SELECT start_node, walk, node,
+  xor(h, CAST(walk AS UBIGINT) * 4294967296
+         + CAST({k} AS UBIGINT)) AS h FROM h{k}a),
+h{k}c AS (SELECT start_node, walk, node,
+  {plus1(sql_mulmod64('h', SPLITMIX_PHI))} AS h FROM h{k}b),
+h{k}d AS (SELECT start_node, walk, node, xor(h, h >> 30) AS h
+  FROM h{k}c),
+h{k}e AS (SELECT start_node, walk, node,
+  {sql_mulmod64('h', SPLITMIX_C1)} AS h FROM h{k}d),
+h{k}f AS (SELECT start_node, walk, node, xor(h, h >> 27) AS h
+  FROM h{k}e),
+h{k}g AS (SELECT start_node, walk, node,
+  {sql_mulmod64('h', SPLITMIX_C2)} AS h FROM h{k}f),
+h{k}h AS (SELECT start_node, walk, node, xor(h, h >> 31) AS h
+  FROM h{k}g),
+w{k + 1} AS (
+  SELECT f.start_node, f.walk, n.dst AS node
+  FROM h{k}h f JOIN nbr n ON n.src = f.node
+   AND CAST(f.h % CAST(n.deg AS UBIGINT) AS BIGINT) = n.idx)""")
+    parts = [f"SELECT start_node, walk, CAST({k} AS BIGINT) AS step, "
+             f"node FROM w{k}" for k in range(walk_len + 1)]
+    sql.append("\n" + "\nUNION ALL\n".join(parts))
+    return "".join(sql)

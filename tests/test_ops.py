@@ -78,6 +78,7 @@ SQL_CHECKED = [
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events", "kg_components",
     "doc_mixture_sample", "doc_ngrams", "events_hourly_anomaly",
+    "kg_walks",
 ]
 
 
@@ -1073,6 +1074,52 @@ def test_triangle_counts_vs_local_bruteforce(ray_session):
     got = dict(zip(got_df["node"], got_df["n_triangles"]))
     assert got == want
     assert got["c0"] == 11  # C(5,2) within the clique + (hub, c1)
+
+
+def test_random_walks_planted_graph(ray_session, tmp_path):
+    """Deterministic random walks on a planted graph: bit-exact vs
+    the DuckDB twin, every consecutive (node, next) pair is a real
+    edge, dead ends stop early, and every src node starts exactly
+    n_walks walks at step 0."""
+    import duckdb as _duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from casie_ray.ops.graphx import random_walks, random_walks_sql
+
+    edges = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"),
+             ("C", "D"), ("C", "E"), ("D", "A"), ("B", "C")]  # dup
+    # E is a dead end: any walk reaching it stops
+    t = pa.table({"subj": [a for a, _ in edges],
+                  "obj": [b for _, b in edges]})
+    pq.write_table(t, f"{tmp_path}/edges.parquet")
+    ds = ray.data.read_parquet(f"{tmp_path}/edges.parquet") \
+        .repartition(3)
+    got = random_walks(ds, n_walks=3, walk_len=4).to_pandas() \
+        .sort_values(["start_node", "walk", "step"]) \
+        .reset_index(drop=True)
+    want = _duckdb.sql(
+        random_walks_sql(f"{tmp_path}/edges.parquet", 3, 4)).df() \
+        .sort_values(["start_node", "walk", "step"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    eset = set(edges)
+    starts = {a for a, _ in edges}
+    for (s, w), g in got.groupby(["start_node", "walk"]):
+        steps = g["step"].tolist()
+        assert steps == list(range(len(steps)))  # contiguous from 0
+        nodes = g["node"].tolist()
+        assert nodes[0] == s
+        for u, v in zip(nodes, nodes[1:]):
+            assert (u, v) in eset
+        # early stop only at the dead end
+        if len(nodes) < 5:
+            assert nodes[-1] == "E"
+    assert set(got[got["step"] == 0]["start_node"]) == starts
+    step0 = got[got["step"] == 0]
+    assert all(step0.groupby("start_node")["walk"].count() == 3)
 
 
 def test_bfs_reach_random_graphs_vs_local(ray_session):

@@ -310,6 +310,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngrams": _text.doc_ngrams,
         "events_hourly_anomaly": _rel.events_hourly_anomaly,
         "kg_walks": lambda d: _graphx.random_walks(_edges_ds(d)),
+        "similar_docs": _retr.similar_docs,
+        "kg_neighbor_jaccard": lambda d: _graphx.neighbor_jaccard(
+            _edges_ds(d)),
         # --- never driver-checked before r4 ---
         "events_funnel": _rel.events_funnel,
         "events_pivot": _rel.events_pivot,
@@ -1314,6 +1317,9 @@ def oracle_sql() -> dict[str, str]:
             f"{corpus_001}/gold_triples.parquet"),
         "kg_walks": _graphx.random_walks_sql(
             f"{corpus_001}/gold_triples.parquet"),
+        "kg_neighbor_jaccard": _graphx.neighbor_jaccard_sql(
+            f"{corpus_001}/gold_triples.parquet"),
+        "similar_docs": _retr.similar_docs_sql(),
         "transcripts_redact": _redact_sql(corpus_001),
         "doc_normalize": _clean.NORMALIZE_SQL,
         "doc_export_partitioned": """

@@ -484,16 +484,25 @@ def _tri_final_bucket(group: pa.Table) -> pa.Table:
     return g.rename_columns(["node", "n_triangles"])
 
 
-def _triangle_core(edges_ds):
-    """Shared pipeline: returns (deg_ds, tri_ds) — the simple-graph
-    degree table and the per-node triangle counts, both keyed by node
-    with a consistent ``bucket`` column for downstream joins."""
+def _simple_graph(edges_ds):
+    """Distinct canonical (a < b) edge set and its degree table, both
+    materialized with a consistent ``bucket`` column — the base every
+    undirected analytic (triangles, clustering, neighbor Jaccard)
+    shares."""
     canon = edges_ds.map_batches(_tri_canon_partial,
                                  batch_format="pyarrow", batch_size=None)
     e = bucket_groupby(canon, _tri_distinct_bucket).materialize()
     dp = e.map_batches(_tri_deg_partial, batch_format="pyarrow",
                        batch_size=None)
     deg = bucket_groupby(dp, _tri_deg_bucket).materialize()
+    return e, deg
+
+
+def _triangle_core(edges_ds):
+    """Shared pipeline: returns (deg_ds, tri_ds) — the simple-graph
+    degree table and the per-node triangle counts, both keyed by node
+    with a consistent ``bucket`` column for downstream joins."""
+    e, deg = _simple_graph(edges_ds)
 
     def deg_as_join_row(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -1083,3 +1092,210 @@ w{k + 1} AS (
              f"node FROM w{k}" for k in range(walk_len + 1)]
     sql.append("\n" + "\nUNION ALL\n".join(parts))
     return "".join(sql)
+
+
+# ---------------------------------------------------------------------------
+# Neighbor Jaccard (link-prediction similarity)
+# ---------------------------------------------------------------------------
+# For every node pair sharing >= NJ_MIN_COMMON neighbors in the simple
+# undirected graph: |N(a) & N(b)| and the Jaccard coefficient
+# floor(1e6 * common / (deg_a + deg_b - common)) — the classic
+# common-neighbors / Jaccard link-prediction and entity-blocking score.
+# Integer-exact, so the DuckDB twin compares bit-for-bit.
+#
+# Dataflow (all bucketed exchanges, wedge-mass inter-stage state):
+# distinct canonical edges + degree table (_simple_graph, shared with
+# triangles) -> per-CENTER neighbor lists (one node-keyed exchange);
+# centers with deg > hub_cap are excluded from common-neighbor
+# generation IN BOTH the engine and the SQL twin (the co_mention
+# obj_cap semantics — a hub's wedge mass is deg^2 and its shared-hub
+# signal is near-zero information) -> pair-keyed count exchange ->
+# two tagged-union node-keyed exchanges attach deg_a / deg_b (the
+# _triangle_core join idiom; no broadcast of the node-sized degree
+# table).
+
+NJ_HUB_CAP = 32
+NJ_MIN_COMMON = 2
+NJ_SCALE = 1_000_000
+
+_NJ_MIX_SCHEMA = pa.schema([
+    ("key", pa.string()), ("other", pa.string()),
+    ("n_common", pa.int64()), ("deg_a", pa.int64()),
+    ("deg", pa.int64()), ("bucket", pa.int32()),
+])
+
+_NJ_PAIR_SCHEMA = pa.schema([
+    ("na", pa.string()), ("nb", pa.string()), ("bucket", pa.int32()),
+])
+
+
+def _nj_center_partial(batch: pa.Table) -> pa.Table:
+    """Route each distinct edge in both directions, keyed by center."""
+    a = batch.column("a").combine_chunks()
+    b = batch.column("b").combine_chunks()
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    if isinstance(b, pa.ChunkedArray):
+        b = b.combine_chunks()
+    c = pa.concat_arrays([a, b])
+    nbr = pa.concat_arrays([b, a])
+    return pa.table({"c": c, "nbr": nbr,
+                     "bucket": _str_bucket(pa.chunked_array([c]))})
+
+
+def _nj_wedges_bucket(hub_cap: int):
+    def fn(group: pa.Table) -> pa.Table:
+        from .bucketing import segment_pair_indices
+        g = group.sort_by([("c", "ascending"), ("nbr", "ascending")])
+        c = np.asarray(g.column("c").to_pylist(), dtype=object)
+        if len(c) == 0:
+            return _NJ_PAIR_SCHEMA.empty_table()
+        # segment sizes = center degree (edges are globally distinct);
+        # drop hub centers BEFORE pair generation
+        change = np.concatenate([[True], c[1:] != c[:-1]])
+        starts = np.nonzero(change)[0]
+        sizes = np.diff(np.append(starts, len(c)))
+        keep = np.repeat(sizes <= hub_cap, sizes)
+        if not keep.any():
+            return _NJ_PAIR_SCHEMA.empty_table()
+        seg = np.cumsum(change).astype(np.int64)[keep]
+        nbr = np.asarray(g.column("nbr").to_pylist(), dtype=object)[keep]
+        ia, ib = segment_pair_indices([seg])
+        if len(ia) == 0:
+            return _NJ_PAIR_SCHEMA.empty_table()
+        na = pa.array(list(nbr[ia]), pa.string())   # nbr-sorted: na < nb
+        nb_ = pa.array(list(nbr[ib]), pa.string())
+        return pa.table({
+            "na": na, "nb": nb_,
+            "bucket": _pair_bucket(pa.chunked_array([na]),
+                                   pa.chunked_array([nb_])),
+        })
+    return fn
+
+
+def _nj_common_bucket(min_common: int):
+    def fn(group: pa.Table) -> pa.Table:
+        g = group.select(["na", "nb"]).group_by(["na", "nb"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["na", "nb", "n_common"])
+        g = g.filter(pc.greater_equal(
+            g.column("n_common").cast(pa.int64()),
+            pa.scalar(min_common, pa.int64())))
+        n = g.num_rows
+        return pa.table({
+            "key": g.column("na"),
+            "other": g.column("nb"),
+            "n_common": g.column("n_common").cast(pa.int64()),
+            "deg_a": pa.nulls(n, pa.int64()),
+            "deg": pa.nulls(n, pa.int64()),
+            "bucket": _str_bucket(g.column("na")),
+        })
+    return fn
+
+
+def _nj_deg_row(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table({
+        "key": batch.column("node"),
+        "other": pa.nulls(n, pa.string()),
+        "n_common": pa.nulls(n, pa.int64()),
+        "deg_a": pa.nulls(n, pa.int64()),
+        "deg": batch.column("deg").cast(pa.int64()),
+        "bucket": batch.column("bucket"),
+    })
+
+
+def _nj_attach_a_bucket(group: pa.Table) -> pa.Table:
+    """Attach deg of node_a, rekey by node_b for the second join."""
+    is_deg = pc.is_valid(group.column("deg"))
+    degs = pa.table({"key": group.filter(is_deg).column("key"),
+                     "dg": group.filter(is_deg).column("deg")})
+    pairs = group.filter(pc.invert(is_deg)) \
+        .select(["key", "other", "n_common"])
+    j = pairs.join(degs, keys="key", join_type="inner")
+    return pa.table({
+        "key": j.column("other"),
+        "other": j.column("key"),
+        "n_common": j.column("n_common"),
+        "deg_a": j.column("dg"),
+        "deg": pa.nulls(j.num_rows, pa.int64()),
+        "bucket": _str_bucket(j.column("other")),
+    })
+
+
+def _nj_final_bucket(group: pa.Table) -> pa.Table:
+    is_deg = pc.is_valid(group.column("deg"))
+    degs = pa.table({"key": group.filter(is_deg).column("key"),
+                     "dg": group.filter(is_deg).column("deg")})
+    pairs = group.filter(pc.invert(is_deg)) \
+        .select(["key", "other", "n_common", "deg_a"])
+    j = pairs.join(degs, keys="key", join_type="inner")
+    com = j.column("n_common").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    da = j.column("deg_a").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    db = j.column("dg").to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "node_a": j.column("other"),
+        "node_b": j.column("key"),
+        "n_common": pa.array(com, pa.int64()),
+        "jaccard_ppm": pa.array(NJ_SCALE * com // (da + db - com),
+                                pa.int64()),
+    })
+
+
+def neighbor_jaccard(edges_ds, hub_cap: int = NJ_HUB_CAP,
+                     min_common: int = NJ_MIN_COMMON):
+    """(node_a, node_b, n_common, jaccard_ppm) for every node pair
+    with >= min_common shared neighbors through non-hub centers; see
+    the section comment for the exact contract and hub-cap
+    semantics."""
+    e, deg = _simple_graph(edges_ds)
+    centers = e.map_batches(_nj_center_partial, batch_format="pyarrow",
+                            batch_size=None)
+    wedges = bucket_groupby(centers, _nj_wedges_bucket(hub_cap))
+    common = bucket_groupby(wedges, _nj_common_bucket(min_common),
+                            pre_repartition=False)
+    mixed1 = common.union(
+        deg.map_batches(_nj_deg_row, batch_format="pyarrow"))
+    keyed_b = bucket_groupby(mixed1, _nj_attach_a_bucket)
+    mixed2 = keyed_b.union(
+        deg.map_batches(_nj_deg_row, batch_format="pyarrow"))
+    return bucket_groupby(mixed2, _nj_final_bucket)
+
+
+def neighbor_jaccard_sql(gold_path: str, hub_cap: int = NJ_HUB_CAP,
+                         min_common: int = NJ_MIN_COMMON) -> str:
+    """DuckDB twin over the persisted gold triples: identical simple
+    graph, hub cap, and integer Jaccard arithmetic."""
+    return f"""
+        WITH so AS (
+          SELECT DISTINCT
+            least(CAST(subj AS VARCHAR), CAST(obj AS VARCHAR)) AS a,
+            greatest(CAST(subj AS VARCHAR), CAST(obj AS VARCHAR)) AS b
+          FROM read_parquet('{gold_path}')
+          WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)
+        ), adj AS (
+          SELECT a AS c, b AS n FROM so
+          UNION ALL SELECT b, a FROM so
+        ), deg AS (
+          SELECT c AS node, CAST(count(*) AS BIGINT) AS deg
+          FROM adj GROUP BY c
+        ), ok AS (
+          SELECT node FROM deg WHERE deg <= {hub_cap}
+        ), pairs AS (
+          SELECT x.n AS na, y.n AS nb
+          FROM adj x JOIN adj y ON x.c = y.c AND x.n < y.n
+          JOIN ok ON x.c = ok.node
+        ), com AS (
+          SELECT na, nb, CAST(count(*) AS BIGINT) AS n_common
+          FROM pairs GROUP BY na, nb
+          HAVING count(*) >= {min_common}
+        )
+        SELECT com.na AS node_a, com.nb AS node_b, com.n_common,
+               CAST({NJ_SCALE} * com.n_common //
+                    (da.deg + db.deg - com.n_common) AS BIGINT)
+                   AS jaccard_ppm
+        FROM com
+        JOIN deg da ON da.node = com.na
+        JOIN deg db ON db.node = com.nb"""

@@ -383,3 +383,158 @@ def inverted_index_sql() -> str:
                      % CAST(9223372036854775808 AS HUGEINT)) AS BIGINT)
                    AS postings_sig
         FROM s6 GROUP BY word"""
+
+
+# ---------------------------------------------------------------------
+# All-pairs lexical similarity (TF-IDF over word shingles)
+# ---------------------------------------------------------------------
+# The exact counterpart of the MinHash/SimHash near-dup family: pairwise
+# doc similarity scored on shared word TRIGRAMS weighted by inverse
+# document frequency — the "find the lexically-close pairs and rank
+# them" primitive (near-dup triage, paraphrase mining, template
+# detection) where the hash families only answer yes/no.
+#
+# Exact-integer contract: weight(gram) = floor(1e6 / df) and
+# score(a, b) = SUM over shared grams of tf_a * tf_b * weight — integer
+# sums, so reduction order can never change a score and the DuckDB twin
+# compares bit-for-bit.
+#
+# Scale shape (the inverted-index / co_mention discipline):
+#   * token mass never crosses the wire — the per-block partial reduces
+#     each document to its (gram, doc_id, tf) rows;
+#   * ONE gram-keyed exchange co-locates each gram's posting list; df
+#     IS the group size, so no separate df pass or broadcast exists;
+#   * grams with df < df_min contribute nothing and grams with
+#     df > df_cap (boilerplate shingles) are dropped IN BOTH the engine
+#     and the SQL twin — per-gram pair mass is bounded by df_cap^2, so
+#     candidate volume is O(eligible_vocab * df_cap^2), linear in
+#     corpus size for a fixed cap (the df_cap/band_cap guard family);
+#   * ONE pair-keyed exchange sums contributions and applies the score
+#     threshold; only above-threshold pairs survive.
+
+SIM_DF_MIN = 2
+SIM_DF_CAP = 64
+SIM_MIN_SCORE = 1_000_000
+
+_PAIR_SCHEMA = pa.schema([
+    ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+    ("contrib", pa.int64()), ("bucket", pa.int32()),
+])
+
+
+def _doc_trigram_tf(batch: pa.Table) -> pa.Table:
+    """(gram, doc_id, tf) for one batch of documents — the per-doc
+    twin of text.trigram_counts_batch, sharing its assembly kernel."""
+    from .text import trigram_rows_batch
+
+    rows, tri = trigram_rows_batch(batch)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    t = pa.table({"row": pa.array(rows), "gram": tri}) \
+        .group_by(["row", "gram"]).aggregate([([], "count_all")]) \
+        .rename_columns(["row", "gram", "tf"])
+    return pa.table({
+        "gram": t.column("gram"),
+        "doc_id": pa.array(ids[t.column("row").to_numpy()], pa.int64()),
+        "tf": t.column("tf").cast(pa.int64()),
+    })
+
+
+def similar_docs(sf_dir: str, df_min: int = SIM_DF_MIN,
+                 df_cap: int = SIM_DF_CAP,
+                 min_score: int = SIM_MIN_SCORE):
+    """(doc_a, doc_b, score_micro) for every document pair whose
+    trigram-TF-IDF similarity score reaches ``min_score``; doc_a <
+    doc_b. See the module comment above for the exact-integer scoring
+    contract and the df_cap scale guard."""
+    import ray.data
+
+    from .bucketing import (bucket_groupby, fnv1a_hashes, hash_bucket,
+                            segment_pair_indices)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _doc_trigram_tf(batch)
+        h = fnv1a_hashes(t.column("gram").to_pylist())
+        return t.append_column("bucket",
+                               pa.array(hash_bucket([h]), pa.int32()))
+
+    def gram_pairs(group: pa.Table) -> pa.Table:
+        # every row of one gram is in this group (gram-keyed exchange),
+        # so the segment size IS the gram's df
+        g = group.sort_by([("gram", "ascending"),
+                           ("doc_id", "ascending")])
+        n = g.num_rows
+        if n == 0:
+            return _PAIR_SCHEMA.empty_table()
+        w = g.column("gram").combine_chunks()
+        if n > 1:
+            change = np.concatenate(
+                [[True], pc.not_equal(w.slice(1), w.slice(0, n - 1))
+                 .to_numpy(zero_copy_only=False)])
+        else:
+            change = np.array([True])
+        seg = np.cumsum(change).astype(np.int64)   # 1..n_grams per row
+        starts = np.nonzero(change)[0]
+        sizes = np.diff(np.append(starts, n))
+        df_of_row = np.repeat(sizes, sizes)
+        keep = (df_of_row >= df_min) & (df_of_row <= df_cap)
+        if not keep.any():
+            return _PAIR_SCHEMA.empty_table()
+        seg = seg[keep]
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+        tf = g.column("tf").to_numpy(zero_copy_only=False)[keep]
+        wt = SCORE_SCALE // df_of_row[keep]        # same within a seg
+        ia, ib = segment_pair_indices([seg])
+        if len(ia) == 0:
+            return _PAIR_SCHEMA.empty_table()
+        da, db = doc[ia], doc[ib]                  # sorted: da < db
+        contrib = tf[ia] * tf[ib] * wt[ia]
+        return pa.table({
+            "doc_a": pa.array(da, pa.int64()),
+            "doc_b": pa.array(db, pa.int64()),
+            "contrib": pa.array(contrib, pa.int64()),
+            "bucket": pa.array(hash_bucket([da, db]), pa.int32()),
+        })
+
+    def pair_sum(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["bucket"]) \
+            .group_by(["doc_a", "doc_b"]).aggregate([("contrib", "sum")]) \
+            .rename_columns(["doc_a", "doc_b", "score_micro"])
+        return g.filter(pc.greater_equal(
+            g.column("score_micro"), pa.scalar(min_score, pa.int64())))
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    ds = docs.map_batches(partial, batch_format="pyarrow")
+    pairs = bucket_groupby(ds, gram_pairs, coarse_per_cpu=4)
+    return bucket_groupby(pairs, pair_sum, pre_repartition=False,
+                          coarse_per_cpu=4)
+
+
+def similar_docs_sql(df_min: int = SIM_DF_MIN, df_cap: int = SIM_DF_CAP,
+                     min_score: int = SIM_MIN_SCORE) -> str:
+    """DuckDB twin: positional self-join trigrams (the doc_ngrams_sql
+    idiom), identical integer weight/score arithmetic and caps."""
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          string_split(coalesce(text, ''), ' ') AS l
+                   FROM documents),
+        w AS (SELECT doc_id, unnest(l) AS w,
+                     unnest(range(1, len(l) + 1)) AS pos FROM t),
+        tri AS (SELECT a.doc_id,
+                       a.w || ' ' || b.w || ' ' || c.w AS gram
+                FROM w a
+                JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        tfd AS (SELECT gram, doc_id, CAST(count(*) AS BIGINT) AS tf
+                FROM tri GROUP BY gram, doc_id),
+        wt AS (SELECT gram,
+                      CAST({SCORE_SCALE} // count(*) AS BIGINT) AS wt
+               FROM tfd GROUP BY gram
+               HAVING count(*) BETWEEN {df_min} AND {df_cap})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(sum(a.tf * b.tf * wt.wt) AS BIGINT) AS score_micro
+        FROM tfd a
+        JOIN tfd b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        JOIN wt ON wt.gram = a.gram
+        GROUP BY doc_a, doc_b
+        HAVING sum(a.tf * b.tf * wt.wt) >= {min_score}"""

@@ -786,12 +786,12 @@ DOC_LENGTH_RANK_SQL = """
 NGRAM_K = 100
 
 
-def trigram_counts_batch(batch: pa.Table) -> pa.Table:
-    """(ngram, n) counts of the word trigrams in one batch: trigrams
-    are assembled vectorized from the flattened space-split with a
-    row-boundary mask (a trigram never spans documents), then reduced
-    with an Arrow group_by. The kernel doc_ngrams' partial and the
-    property test share."""
+def trigram_rows_batch(batch: pa.Table):
+    """Vectorized word-trigram assembly for one batch: returns
+    (row_idx int64 ndarray, trigram StringArray) where trigrams are
+    built from the flattened space-split with a row-boundary mask (a
+    trigram never spans documents). Shared by doc_ngrams' corpus
+    counts and similar_docs' per-doc tf."""
     text = pc.fill_null(batch.column("text"), "")
     splits = pc.split_pattern(text, " ")
     lens = pc.list_value_length(splits).to_numpy(zero_copy_only=False)
@@ -800,14 +800,22 @@ def trigram_counts_batch(batch: pa.Table) -> pa.Table:
         flat = flat.combine_chunks()
     row_of = np.repeat(np.arange(batch.num_rows), lens)
     if len(flat) < 3:
-        return pa.table({"ngram": pa.array([], pa.string()),
-                         "n": pa.array([], pa.int64())})
+        return (np.empty(0, np.int64),
+                pa.array([], pa.string()))
     valid = (row_of[:-2] == row_of[1:-1]) & (row_of[:-2] == row_of[2:])
     vmask = pa.array(valid)
     w0 = flat.slice(0, len(flat) - 2).filter(vmask)
     w1 = flat.slice(1, len(flat) - 2).filter(vmask)
     w2 = flat.slice(2).filter(vmask)
     tri = pc.binary_join_element_wise(w0, w1, w2, " ")
+    return row_of[:-2][valid].astype(np.int64), tri
+
+
+def trigram_counts_batch(batch: pa.Table) -> pa.Table:
+    """(ngram, n) counts of the word trigrams in one batch (see
+    :func:`trigram_rows_batch`), reduced with an Arrow group_by. The
+    kernel doc_ngrams' partial and the property test share."""
+    _, tri = trigram_rows_batch(batch)
     return pa.table({"ngram": tri}).group_by(["ngram"]) \
         .aggregate([([], "count_all")]).rename_columns(["ngram", "n"])
 

@@ -78,7 +78,7 @@ SQL_CHECKED = [
     # sequential-oracle extraction (driver-style, at sf0.01)
     "kg_edges", "kg_nodes", "kg_events", "kg_components",
     "doc_mixture_sample", "doc_ngrams", "events_hourly_anomaly",
-    "kg_walks",
+    "kg_walks", "similar_docs", "kg_neighbor_jaccard",
 ]
 
 
@@ -1943,3 +1943,70 @@ def test_hourly_anomaly_dense_range_catches_sparse_burst(ray_session,
                                   check_exact=True)
     # both observed hours are bursts vs the 101-hour dense baseline
     assert got["is_anomaly"].tolist() == [1, 1]
+
+
+def test_similar_docs_planted(ray_session, tmp_path):
+    """Trigram-TF-IDF pairs: a near-copied doc pair scores highest; a
+    doc sharing no eligible trigram never pairs; raising df past
+    df_cap removes a boilerplate-only pair in both engine and
+    arithmetic (hand-checked weight/score values)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from casie_ray.ops.retrieval import similar_docs
+
+    shared = "alpha beta gamma delta epsilon zeta"   # 4 trigrams, df=2
+    rows = [(1, f"{shared} one two"),
+            (2, f"{shared} three four"),
+            (3, "totally different words with no common shingles here")]
+    # a trigram shared by 6 docs: eligible at df_cap=64, dropped at 4
+    boiler = "omega psi chi"
+    rows += [(10 + i, f"filler{i} pad{i} {boiler}") for i in range(6)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows])}),
+        str(tmp_path / "documents.parquet"))
+
+    got = similar_docs(str(tmp_path), min_score=1).to_pandas()
+    assert not ((got.doc_a == 3) | (got.doc_b == 3)).any()
+    top = got.sort_values("score_micro", ascending=False).iloc[0]
+    assert (top.doc_a, top.doc_b) == (1, 2)
+    # 4 shared trigrams, each tf=1, df=2 -> weight 500000 each
+    assert top.score_micro == 4 * 500_000
+
+    capped = similar_docs(str(tmp_path), df_cap=4,
+                          min_score=1).to_pandas()
+    # the boiler trigram (df=6) is now ineligible: filler docs unpair
+    assert set(zip(capped.doc_a, capped.doc_b)) == {(1, 2)}
+
+
+def test_neighbor_jaccard_planted(ray_session):
+    """Hand-built graph: star a-{b,c,d} plus edge b-c. Through centers:
+    b,c share neighbor a (and each other as neighbors of a). Hub cap
+    below a's degree removes a-centered wedges in both dataflows."""
+    import pyarrow as pa
+    import ray.data
+    from casie_ray.ops.graphx import neighbor_jaccard
+
+    edges = pa.table({
+        "subj": pa.array(["a", "a", "a", "b"]),
+        "obj": pa.array(["b", "c", "d", "c"]),
+    })
+    ds = ray.data.from_arrow(edges)
+    got = neighbor_jaccard(ds, min_common=1).to_pandas()
+    got = got.set_index(["node_a", "node_b"])
+    # deg: a=3, b=2, c=2, d=1. N(b)={a,c}, N(c)={a,b}: common {a}? b in
+    # N(c) and c in N(b) are pair ENDPOINTS, not shared neighbors ->
+    # common(b,c)=1 (a), union=|{a,c}|+|{a,b}|-1=3
+    assert got.loc[("b", "c")].n_common == 1
+    assert got.loc[("b", "c")].jaccard_ppm == 1_000_000 // 3
+    # common(b,d)={a}, union = 2+1-1 = 2 -> 1/2
+    assert got.loc[("b", "d")].jaccard_ppm == 500_000
+    # common(c,d)={a} likewise
+    assert got.loc[("c", "d")].jaccard_ppm == 500_000
+
+    capped = neighbor_jaccard(ds, hub_cap=2, min_common=1).to_pandas()
+    # a (deg 3) no longer generates wedges; only centers b,c (deg 2)
+    # remain, each linking their two neighbors
+    pairs = set(zip(capped.node_a, capped.node_b))
+    assert ("b", "d") not in pairs and ("c", "d") not in pairs
+    assert ("a", "c") in pairs and ("a", "b") in pairs

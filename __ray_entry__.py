@@ -351,6 +351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- code changed in r4 (bm25 eligibility, ANN quantizer
         # sampling, SemDeDup cluster-mass bound) ---
         "doc_bm25_topk": _retr.bm25_topk,
+        # slot 51+ from here (sampled-out this round; in-repo oracle
+        # tests carry the evidence until the r5 rotation)
+        "kg_pred_bigrams": lambda d: _graphx.pred_bigrams(_edges_ds(d)),
         "ann_topk_ivf": _ann.ann_topk_ivf,
         # semantic clustering / SemDeDup (rows-only: float argmax
         # assignment is not SQL-reproducible; determinism + recall
@@ -1318,6 +1321,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_walks": _graphx.random_walks_sql(
             f"{corpus_001}/gold_triples.parquet"),
         "kg_neighbor_jaccard": _graphx.neighbor_jaccard_sql(
+            f"{corpus_001}/gold_triples.parquet"),
+        "kg_pred_bigrams": _graphx.pred_bigrams_sql(
             f"{corpus_001}/gold_triples.parquet"),
         "similar_docs": _retr.similar_docs_sql(),
         "transcripts_redact": _redact_sql(corpus_001),

@@ -1299,3 +1299,144 @@ def neighbor_jaccard_sql(gold_path: str, hub_cap: int = NJ_HUB_CAP,
         FROM com
         JOIN deg da ON da.node = com.na
         JOIN deg db ON db.node = com.nb"""
+
+
+# ---------------------------------------------------------------------------
+# Predicate bigrams (2-hop path pattern counts — KG schema mining)
+# ---------------------------------------------------------------------------
+# For every ordered predicate pair (p_in, p_out): the number of 2-hop
+# directed paths s -p_in-> m -p_out-> o through any middle node — the
+# schema/motif statistic behind relation-composition mining ("targets
+# followed by patches", "discovers followed by fixes") and join-order
+# stats for KG query planning. Round-trip paths (s == o) count, as in
+# the plain relational self-join definition the twin uses.
+#
+# Skew-proof by construction: per middle node the engine never expands
+# paths — it counts distinct-in-pred × distinct-out-pred products, so
+# per-node work is O(|pred vocab|²) regardless of degree (a hub with
+# 10^6 in/out edges contributes the same handful of partial rows).
+# ONE node-keyed exchange over edge mass + one pred-pair-keyed exchange
+# over vocabulary-sized partials.
+
+_PB_PART_SCHEMA = pa.schema([
+    ("m", pa.string()), ("pred", pa.string()),
+    ("c_in", pa.int64()), ("c_out", pa.int64()), ("bucket", pa.int32()),
+])
+
+
+def _pb_partial(batch: pa.Table) -> pa.Table:
+    """Per-block: distinct-triple halves keyed by the middle node."""
+    t = pa.table({"subj": batch.column("subj").cast(pa.string()),
+                  "pred": batch.column("pred").cast(pa.string()),
+                  "obj": batch.column("obj").cast(pa.string())})
+    t = t.group_by(["subj", "pred", "obj"]).aggregate([])
+    inc = t.group_by(["obj", "pred"]).aggregate([([], "count_all")]) \
+        .rename_columns(["m", "pred", "c_in"])
+    out = t.group_by(["subj", "pred"]).aggregate([([], "count_all")]) \
+        .rename_columns(["m", "pred", "c_out"])
+    z_in = pa.nulls(out.num_rows, pa.int64())
+    z_out = pa.nulls(inc.num_rows, pa.int64())
+    merged = pa.table({
+        "m": pa.concat_arrays([inc.column("m").combine_chunks(),
+                               out.column("m").combine_chunks()]),
+        "pred": pa.concat_arrays([inc.column("pred").combine_chunks(),
+                                  out.column("pred").combine_chunks()]),
+        "c_in": pa.concat_arrays([
+            inc.column("c_in").cast(pa.int64()).combine_chunks(), z_in]),
+        "c_out": pa.concat_arrays([
+            z_out, out.column("c_out").cast(pa.int64()).combine_chunks()]),
+    })
+    return merged.append_column("bucket", _str_bucket(merged.column("m")))
+
+
+def _pb_paths_bucket(group: pa.Table) -> pa.Table:
+    """One node bucket: per-m final in/out pred counts (edges may
+    repeat across blocks — triples are re-distinct-counted globally by
+    summing block-distinct halves ONLY when upstream is globally
+    distinct; see pred_bigrams), then the per-m cross product of pred
+    count vectors, emitted as (p1, p2, n) partials."""
+    g = group.group_by(["m", "pred"]) \
+        .aggregate([("c_in", "sum"), ("c_out", "sum")])
+    m = np.asarray(g.column("m").to_pylist(), dtype=object)
+    order = np.argsort(m, kind="stable")
+    m = m[order]
+    pred = np.asarray(g.column("pred").to_pylist(), dtype=object)[order]
+    ci = pc.fill_null(g.column("c_in_sum"), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)[order]
+    co = pc.fill_null(g.column("c_out_sum"), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)[order]
+    if len(m) == 0:
+        return pa.table({"p1": pa.array([], pa.string()),
+                         "p2": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "bucket": pa.array([], pa.int32())})
+    from .bucketing import segment_pair_indices
+    # all ordered (row_i, row_j) pairs within one m, including i == j
+    change = np.concatenate([[True], m[1:] != m[:-1]])
+    seg = np.cumsum(change).astype(np.int64)
+    ia, ib = segment_pair_indices([seg])
+    ia, ib = (np.concatenate([ia, ib, np.arange(len(m))]),
+              np.concatenate([ib, ia, np.arange(len(m))]))
+    n = ci[ia] * co[ib]
+    live = n > 0
+    p1 = pred[ia[live]]
+    p2 = pred[ib[live]]
+    t = pa.table({"p1": pa.array(list(p1), pa.string()),
+                  "p2": pa.array(list(p2), pa.string()),
+                  "n": pa.array(n[live], pa.int64())}) \
+        .group_by(["p1", "p2"]).aggregate([("n", "sum")]) \
+        .rename_columns(["p1", "p2", "n"])
+    return t.append_column("bucket", _pair_bucket(t.column("p1"),
+                                                  t.column("p2")))
+
+
+def _pb_final_bucket(group: pa.Table) -> pa.Table:
+    g = group.select(["p1", "p2", "n"]).group_by(["p1", "p2"]) \
+        .aggregate([("n", "sum")])
+    return g.rename_columns(["p1", "p2", "n_paths"])
+
+
+def pred_bigrams(edges_ds):
+    """(p1, p2, n_paths): directed 2-hop path pattern counts over the
+    distinct-triple graph. Requires globally distinct triples before
+    the count halves, so the first exchange distincts (subj, pred,
+    obj) exactly like the co_mention family."""
+    t = edges_ds.map_batches(_pb_distinct_partial,
+                             batch_format="pyarrow", batch_size=None)
+    triples = bucket_groupby(t, _pb_distinct_bucket)
+    halves = triples.map_batches(_pb_partial, batch_format="pyarrow",
+                                 batch_size=None)
+    paths = bucket_groupby(halves, _pb_paths_bucket)
+    return bucket_groupby(paths, _pb_final_bucket,
+                          pre_repartition=False)
+
+
+def _pb_distinct_partial(batch: pa.Table) -> pa.Table:
+    t = pa.table({"subj": batch.column("subj").cast(pa.string()),
+                  "pred": batch.column("pred").cast(pa.string()),
+                  "obj": batch.column("obj").cast(pa.string())})
+    g = t.group_by(["subj", "pred", "obj"]).aggregate([])
+    h = (fnv1a_hashes(g.column("subj").to_pylist())
+         ^ fnv1a_hashes(g.column("pred").to_pylist())
+         ^ fnv1a_hashes(g.column("obj").to_pylist()))
+    return g.append_column("bucket", pa.array(
+        (h % np.uint64(N_GRAPH_BUCKETS)).astype(np.int32)))
+
+
+def _pb_distinct_bucket(group: pa.Table) -> pa.Table:
+    return group.group_by(["subj", "pred", "obj"]).aggregate([])
+
+
+def pred_bigrams_sql(gold_path: str) -> str:
+    """DuckDB twin: distinct triples, relational 2-hop self-join."""
+    return f"""
+        WITH e AS (
+          SELECT DISTINCT CAST(subj AS VARCHAR) AS subj,
+                          CAST(pred AS VARCHAR) AS pred,
+                          CAST(obj AS VARCHAR) AS obj
+          FROM read_parquet('{gold_path}')
+        )
+        SELECT a.pred AS p1, b.pred AS p2,
+               CAST(count(*) AS BIGINT) AS n_paths
+        FROM e a JOIN e b ON a.obj = b.subj
+        GROUP BY p1, p2"""

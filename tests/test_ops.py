@@ -79,6 +79,7 @@ SQL_CHECKED = [
     "kg_edges", "kg_nodes", "kg_events", "kg_components",
     "doc_mixture_sample", "doc_ngrams", "events_hourly_anomaly",
     "kg_walks", "similar_docs", "kg_neighbor_jaccard",
+    "kg_pred_bigrams",
 ]
 
 
@@ -2010,3 +2011,24 @@ def test_neighbor_jaccard_planted(ray_session):
     pairs = set(zip(capped.node_a, capped.node_b))
     assert ("b", "d") not in pairs and ("c", "d") not in pairs
     assert ("a", "c") in pairs and ("a", "b") in pairs
+
+
+def test_pred_bigrams_planted(ray_session):
+    """Hand-built path graph: s1 -p-> m -q-> o (one pq path), plus
+    m -q-> o2 (second pq path through the same middle), plus a
+    self-composable r: x -r-> y -r-> z. Duplicate edge rows collapse
+    before counting."""
+    import pyarrow as pa
+    import ray.data
+    from casie_ray.ops.graphx import pred_bigrams
+
+    edges = pa.table({
+        "subj": pa.array(["s1", "m", "m", "x", "y", "s1"]),
+        "pred": pa.array(["p", "q", "q", "r", "r", "p"]),
+        "obj": pa.array(["m", "o", "o2", "y", "z", "m"]),  # last = dup
+    })
+    got = pred_bigrams(ray.data.from_arrow(edges)).to_pandas()
+    got = got.set_index(["p1", "p2"])["n_paths"]
+    assert got.loc[("p", "q")] == 2       # s1->m->{o,o2}, dup ignored
+    assert got.loc[("r", "r")] == 1       # x->y->z
+    assert ("q", "p") not in got.index    # direction matters

@@ -354,6 +354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # slot 51+ from here (sampled-out this round; in-repo oracle
         # tests carry the evidence until the r5 rotation)
         "kg_pred_bigrams": lambda d: _graphx.pred_bigrams(_edges_ds(d)),
+        "conv_profiles": lambda d: _rel.conv_profiles(
+            os.path.join(_corpus_dir(_sf_of(d)), "transcripts")),
         "ann_topk_ivf": _ann.ann_topk_ivf,
         # semantic clustering / SemDeDup (rows-only: float argmax
         # assignment is not SQL-reproducible; determinism + recall
@@ -1324,6 +1326,8 @@ def oracle_sql() -> dict[str, str]:
             f"{corpus_001}/gold_triples.parquet"),
         "kg_pred_bigrams": _graphx.pred_bigrams_sql(
             f"{corpus_001}/gold_triples.parquet"),
+        "conv_profiles": _rel.conv_profiles_sql(
+            f"{corpus_001}/transcripts/*.parquet"),
         "similar_docs": _retr.similar_docs_sql(),
         "transcripts_redact": _redact_sql(corpus_001),
         "doc_normalize": _clean.NORMALIZE_SQL,

@@ -1392,3 +1392,92 @@ HOURLY_ANOMALY_SQL = """
                 AS BIGINT) AS is_anomaly
     FROM s
 """
+
+
+# ---------------------------------------------------------------------
+# Conversation profiles (per-conv stats over the transcripts table)
+# ---------------------------------------------------------------------
+# The first question anyone asks of a 10^12-turn transcript corpus:
+# what do the conversations LOOK like — turn counts, role mix,
+# tool-call rate, text mass, wall-clock span. One combiner pass + one
+# conv-keyed exchange; the per-block partial reduces turn mass to
+# (conv, role) rows, so only conv-cardinality data crosses the wire.
+# All columns integer-exact (span in microseconds, Arrow timestamp[us]
+# cast == DuckDB epoch_us), so the twin compares bit-for-bit.
+
+
+def conv_profiles(transcripts_glob: str):
+    """(conv_id, n_turns, n_roles, n_tool_turns, total_chars, span_us)
+    per conversation."""
+    import ray.data
+
+    from .bucketing import bucket_groupby, fnv1a_hashes, hash_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64())
+        chars = pc.utf8_length(
+            pc.fill_null(batch.column("text"), "")).cast(pa.int64())
+        t = pa.table({
+            "conv_id": batch.column("conv_id"),
+            "role": batch.column("role"),
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            "n_tool": pc.is_valid(batch.column("tool")).cast(pa.int64()),
+            "chars": chars,
+            "min_us": us, "max_us": us,
+        })
+        g = t.group_by(["conv_id", "role"]).aggregate([
+            ("n", "sum"), ("n_tool", "sum"), ("chars", "sum"),
+            ("min_us", "min"), ("max_us", "max")])
+        h = fnv1a_hashes(g.column("conv_id").to_pylist())
+        return g.append_column(
+            "bucket", pa.array(hash_bucket([h]), pa.int32()))
+
+    def final(group: pa.Table) -> pa.Table:
+        # same (conv, role) may arrive once per upstream block: fold to
+        # one row per (conv, role), then per conv — the row count per
+        # conv IS the distinct-role count
+        g1 = group.group_by(["conv_id", "role"]).aggregate([
+            ("n_sum", "sum"), ("n_tool_sum", "sum"),
+            ("chars_sum", "sum"),
+            ("min_us_min", "min"), ("max_us_max", "max")])
+        g2 = g1.group_by(["conv_id"]).aggregate([
+            ("n_sum_sum", "sum"), ("n_tool_sum_sum", "sum"),
+            ("chars_sum_sum", "sum"),
+            ("min_us_min_min", "min"), ("max_us_max_max", "max"),
+            ([], "count_all")])
+        span = pc.subtract(
+            g2.column("max_us_max_max_max"),
+            g2.column("min_us_min_min_min")).cast(pa.int64())
+        return pa.table({
+            "conv_id": g2.column("conv_id"),
+            "n_turns": g2.column("n_sum_sum_sum").cast(pa.int64()),
+            "n_roles": g2.column("count_all").cast(pa.int64()),
+            "n_tool_turns":
+                g2.column("n_tool_sum_sum_sum").cast(pa.int64()),
+            "total_chars":
+                g2.column("chars_sum_sum_sum").cast(pa.int64()),
+            "span_us": span,
+        })
+
+    ds = ray.data.read_parquet(
+        transcripts_glob,
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    return bucket_groupby(parts, final, coarse_per_cpu=4)
+
+
+def conv_profiles_sql(transcripts_glob: str) -> str:
+    """DuckDB twin over the same transcript shards."""
+    return f"""
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+               CAST(count(*) FILTER (WHERE tool IS NOT NULL) AS BIGINT)
+                   AS n_tool_turns,
+               CAST(sum(length(coalesce(text, ''))) AS BIGINT)
+                   AS total_chars,
+               CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                   AS span_us
+        FROM read_parquet('{transcripts_glob}')
+        GROUP BY conv_id"""

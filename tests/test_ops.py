@@ -79,7 +79,7 @@ SQL_CHECKED = [
     "kg_edges", "kg_nodes", "kg_events", "kg_components",
     "doc_mixture_sample", "doc_ngrams", "events_hourly_anomaly",
     "kg_walks", "similar_docs", "kg_neighbor_jaccard",
-    "kg_pred_bigrams",
+    "kg_pred_bigrams", "conv_profiles",
 ]
 
 

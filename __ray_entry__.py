@@ -289,7 +289,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # code. Rotate freshly-evidenced entries to the back each round.
     # r5 note: once CORRECTNESS_r04 lands, rotate the whole "new in
     # r4"/"never checked" block to the back and pull forward anything
-    # the r4 sample missed or that r5 code changes touch.
+    # the r4 sample missed or that r5 code changes touch — starting
+    # with the three late-r4 post-prefix entries (kg_pred_bigrams,
+    # conv_profiles and the slot-51+ rows-only variants), which have
+    # in-repo oracle tests but no driver row yet.
     return {
         # --- new in r4 (never driver-checked) ---
         "events_retention": _rel.events_retention,

@@ -1133,10 +1133,6 @@ def _nj_center_partial(batch: pa.Table) -> pa.Table:
     """Route each distinct edge in both directions, keyed by center."""
     a = batch.column("a").combine_chunks()
     b = batch.column("b").combine_chunks()
-    if isinstance(a, pa.ChunkedArray):
-        a = a.combine_chunks()
-    if isinstance(b, pa.ChunkedArray):
-        b = b.combine_chunks()
     c = pa.concat_arrays([a, b])
     nbr = pa.concat_arrays([b, a])
     return pa.table({"c": c, "nbr": nbr,
@@ -1325,11 +1321,10 @@ _PB_PART_SCHEMA = pa.schema([
 
 
 def _pb_partial(batch: pa.Table) -> pa.Table:
-    """Per-block: distinct-triple halves keyed by the middle node."""
-    t = pa.table({"subj": batch.column("subj").cast(pa.string()),
-                  "pred": batch.column("pred").cast(pa.string()),
-                  "obj": batch.column("obj").cast(pa.string())})
-    t = t.group_by(["subj", "pred", "obj"]).aggregate([])
+    """Per-block in/out pred-count halves keyed by the middle node.
+    Input must already be GLOBALLY distinct triples (pred_bigrams runs
+    the distinct exchange first), so no per-block re-distinct here."""
+    t = batch.select(["subj", "pred", "obj"])
     inc = t.group_by(["obj", "pred"]).aggregate([([], "count_all")]) \
         .rename_columns(["m", "pred", "c_in"])
     out = t.group_by(["subj", "pred"]).aggregate([([], "count_all")]) \
@@ -1412,15 +1407,19 @@ def pred_bigrams(edges_ds):
 
 
 def _pb_distinct_partial(batch: pa.Table) -> pa.Table:
+    from .bucketing import hash_bucket
     t = pa.table({"subj": batch.column("subj").cast(pa.string()),
                   "pred": batch.column("pred").cast(pa.string()),
                   "obj": batch.column("obj").cast(pa.string())})
     g = t.group_by(["subj", "pred", "obj"]).aggregate([])
-    h = (fnv1a_hashes(g.column("subj").to_pylist())
-         ^ fnv1a_hashes(g.column("pred").to_pylist())
-         ^ fnv1a_hashes(g.column("obj").to_pylist()))
-    return g.append_column("bucket", pa.array(
-        (h % np.uint64(N_GRAPH_BUCKETS)).astype(np.int32)))
+    # order-sensitive mixer, NOT xor: xor would collapse symmetric
+    # triples (a,p,b)/(b,p,a) into one bucket and cancel self-loops
+    # down to hash(pred), defeating the 64-way skew spread
+    b = hash_bucket([fnv1a_hashes(g.column("subj").to_pylist()),
+                     fnv1a_hashes(g.column("pred").to_pylist()),
+                     fnv1a_hashes(g.column("obj").to_pylist())],
+                    N_GRAPH_BUCKETS)
+    return g.append_column("bucket", pa.array(b))
 
 
 def _pb_distinct_bucket(group: pa.Table) -> pa.Table:

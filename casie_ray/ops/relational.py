@@ -1428,30 +1428,36 @@ def conv_profiles(transcripts_glob: str):
         g = t.group_by(["conv_id", "role"]).aggregate([
             ("n", "sum"), ("n_tool", "sum"), ("chars", "sum"),
             ("min_us", "min"), ("max_us", "max")])
-        h = fnv1a_hashes(g.column("conv_id").to_pylist())
+        # NULL conv_id is a legal group (the twin's GROUP BY keeps it);
+        # fill only for hashing, like events_hourly_anomaly
+        h = fnv1a_hashes(
+            pc.fill_null(g.column("conv_id"), "").to_pylist())
         return g.append_column(
             "bucket", pa.array(hash_bucket([h]), pa.int32()))
 
     def final(group: pa.Table) -> pa.Table:
         # same (conv, role) may arrive once per upstream block: fold to
-        # one row per (conv, role), then per conv — the row count per
-        # conv IS the distinct-role count
+        # one row per (conv, role), then per conv — non-null (conv,
+        # role) rows per conv = the distinct-role count (NULL role is
+        # excluded exactly like the twin's count(DISTINCT role))
         g1 = group.group_by(["conv_id", "role"]).aggregate([
             ("n_sum", "sum"), ("n_tool_sum", "sum"),
             ("chars_sum", "sum"),
             ("min_us_min", "min"), ("max_us_max", "max")])
+        g1 = g1.append_column(
+            "role_live", pc.is_valid(g1.column("role")).cast(pa.int64()))
         g2 = g1.group_by(["conv_id"]).aggregate([
             ("n_sum_sum", "sum"), ("n_tool_sum_sum", "sum"),
             ("chars_sum_sum", "sum"),
             ("min_us_min_min", "min"), ("max_us_max_max", "max"),
-            ([], "count_all")])
+            ("role_live", "sum")])
         span = pc.subtract(
             g2.column("max_us_max_max_max"),
             g2.column("min_us_min_min_min")).cast(pa.int64())
         return pa.table({
             "conv_id": g2.column("conv_id"),
             "n_turns": g2.column("n_sum_sum_sum").cast(pa.int64()),
-            "n_roles": g2.column("count_all").cast(pa.int64()),
+            "n_roles": g2.column("role_live_sum").cast(pa.int64()),
             "n_tool_turns":
                 g2.column("n_tool_sum_sum_sum").cast(pa.int64()),
             "total_chars":
@@ -1461,7 +1467,7 @@ def conv_profiles(transcripts_glob: str):
 
     ds = ray.data.read_parquet(
         transcripts_glob,
-        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+        columns=["conv_id", "role", "text", "tool", "ts"])
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=None)
     return bucket_groupby(parts, final, coarse_per_cpu=4)

@@ -504,7 +504,8 @@ def similar_docs(sf_dir: str, df_min: int = SIM_DF_MIN,
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-    ds = docs.map_batches(partial, batch_format="pyarrow")
+    ds = docs.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
     pairs = bucket_groupby(ds, gram_pairs, coarse_per_cpu=4)
     return bucket_groupby(pairs, pair_sum, pre_repartition=False,
                           coarse_per_cpu=4)

@@ -2032,3 +2032,34 @@ def test_pred_bigrams_planted(ray_session):
     assert got.loc[("p", "q")] == 2       # s1->m->{o,o2}, dup ignored
     assert got.loc[("r", "r")] == 1       # x->y->z
     assert ("q", "p") not in got.index    # direction matters
+
+
+def test_conv_profiles_null_faithful(ray_session, tmp_path, ddb):
+    """NULL role and NULL conv_id behave exactly like the DuckDB twin:
+    count(DISTINCT role) ignores the NULL role; the NULL conv_id group
+    survives (no crash in the hash path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from casie_ray.ops.relational import conv_profiles, conv_profiles_sql
+
+    ts = pa.array([1_000_000, 2_000_000, 3_000_000, 4_000_000],
+                  pa.timestamp("us"))
+    pq.write_table(pa.table({
+        "conv_id": pa.array(["c1", "c1", "c1", None]),
+        "turn_idx": pa.array([0, 1, 2, 0], pa.int32()),
+        "role": pa.array(["user", None, "assistant", "user"]),
+        "text": pa.array(["hello there", None, "hi", "solo"]),
+        "tool": pa.array([None, "grep", None, None]),
+        "ts": ts,
+    }), str(tmp_path / "part.parquet"))
+
+    got = _normalize(conv_profiles(str(tmp_path)).to_pandas())
+    want = _normalize(ddb.execute(
+        conv_profiles_sql(f"{tmp_path}/*.parquet")).df())
+    pd.testing.assert_frame_equal(
+        got.astype({c: want[c].dtype for c in want.columns
+                    if c != "conv_id"} | {"conv_id": object}),
+        want, check_dtype=False)
+    row = got[got.conv_id == "c1"].iloc[0]
+    assert row.n_roles == 2        # NULL role not counted
+    assert row.n_turns == 3

@@ -2063,3 +2063,38 @@ def test_conv_profiles_null_faithful(ray_session, tmp_path, ddb):
     row = got[got.conv_id == "c1"].iloc[0]
     assert row.n_roles == 2        # NULL role not counted
     assert row.n_turns == 3
+
+
+def test_similar_docs_random_parity(ray_session, tmp_path, ddb):
+    """Seeded random corpus with adversarial shapes — empty texts,
+    NULL text, single-word docs, exact duplicates, high-df boilerplate
+    — engine == DuckDB twin bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from casie_ray.ops.retrieval import similar_docs, similar_docs_sql
+
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(12)]   # tiny vocab -> heavy overlap
+    texts = []
+    for i in range(120):
+        k = int(rng.integers(0, 9))
+        texts.append(" ".join(rng.choice(vocab, k)) if k else "")
+    texts[3] = None
+    texts[10] = texts[11] = "t0 t1 t2 t3 t4"        # exact dup pair
+    d = tmp_path / "rand"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(120, dtype=np.int64)),
+        "text": pa.array(texts, pa.string())}),
+        str(d / "documents.parquet"))
+
+    got = _normalize(similar_docs(str(d), min_score=1).to_pandas())
+    con = ddb.cursor()
+    con.execute(f"CREATE OR REPLACE VIEW rand_docs AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    sql = similar_docs_sql(min_score=1).replace("FROM documents",
+                                                "FROM rand_docs")
+    want = _normalize(con.execute(sql).df())
+    assert len(got) == len(want) and len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

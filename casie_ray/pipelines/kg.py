@@ -518,9 +518,17 @@ def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
     raw = _read_path_chunks(rd, raw_files, n_blocks)
     timings["canonicalize"] = round(time.time() - t1, 2)
     t1 = time.time()
-    if mapping:
-        raw = raw.map_batches(rewrite_triples(ray.put(mapping)),
-                              batch_format="pyarrow", batch_size=None)
+    if isinstance(mapping, dict):
+        n_merged = len(mapping)
+        if mapping:
+            raw = raw.map_batches(rewrite_triples(ray.put(mapping)),
+                                  batch_format="pyarrow", batch_size=None)
+    else:
+        # mapping too large to broadcast: bloom-pruned join rewrite
+        # (stages.triples.rewrite_triples_ds) — no driver collect
+        from ..stages.triples import rewrite_triples_ds
+        n_merged = mapping.count()
+        raw = rewrite_triples_ds(raw, mapping)
     # ONE fused execution for edges + nodes: the (subj,pred,obj)-keyed
     # exchange co-locates equal triples (4096 hash buckets coarsened to
     # ~4 groups per task slot), each group task runs the vectorized
@@ -570,19 +578,33 @@ def _finalize(out_dir, raw_root, groups, skipped, timings, t0) -> dict:
 
     timings["dedup_materialize"] = round(time.time() - t1, 2)
     return {"groups": len(groups), "groups_skipped": skipped,
-            "edges": n_edges, "canon_merged": len(mapping),
+            "edges": n_edges, "canon_merged": n_merged,
             "out_dir": out_dir, "timings": timings,
             "wall_sec": round(time.time() - t0, 2)}
 
 
-def compute_canonical_mapping(surf_ds) -> dict[str, str]:
+# merge-edge count below which the union-find solves on the driver
+DRIVER_UNIONFIND_MAX = 200_000
+# mapping-row count above which the canonical mapping stays a Dataset
+# and the rewrite runs as bloom-pruned bucketed joins instead of a
+# take_all -> dict -> ray.put broadcast (the r4 verdict's one
+# whole-table driver collect). ~1M short-string pairs is tens of MB —
+# comfortably broadcastable; past that, variant mass tracks web-scale
+# entity cardinality and must not land on the driver.
+CANON_BROADCAST_MAX = 1_000_000
+
+
+def compute_canonical_mapping(surf_ds) -> "dict[str, str] | object":
     """Cross-conversation canonicalization over (surface node, entity
     block) rows: groupby(entity_block) cosine merge edges ->
-    distributed union-find -> {variant node: canonical node}. The result
-    is variant-mass-sized (small), so it is collected and broadcast."""
-    from ..ops.graph import connected_components
+    distributed union-find -> variant node -> canonical node mapping.
+    Returns a dict (collected + broadcast) while the mapping is at most
+    CANON_BROADCAST_MAX rows; above that returns the (node, label)
+    mapping as a materialized Ray Dataset for the join-based rewrite —
+    driver memory stays bounded at any entity cardinality."""
+    import pyarrow.compute as _pc
 
-    import ray
+    from ..ops.graph import connected_components
 
     # the input rows are per-shard distinct and the per-block merge
     # kernel dedupes again — no per-node shuffle; the entity_block
@@ -593,7 +615,7 @@ def compute_canonical_mapping(surf_ds) -> dict[str, str]:
     n_edges = medges.count()
     if n_edges == 0:
         return {}
-    if n_edges <= 200_000:
+    if n_edges <= DRIVER_UNIONFIND_MAX:
         # the merge graph is variant-mass-sized; below this cutoff the
         # iterative distributed rounds cost more than collecting the
         # edge list, so solve the union-find on the driver
@@ -602,8 +624,16 @@ def compute_canonical_mapping(surf_ds) -> dict[str, str]:
         comp = components_local(pairs)
         return {n: r for n, r in comp.items() if n != r}
     labels = connected_components(medges)
-    return {r["node"]: r["label"] for r in labels.take_all()
-            if r["node"] != r["label"]}
+
+    def variants_only(t: "pa.Table") -> "pa.Table":
+        return t.filter(_pc.not_equal(t.column("node"),
+                                      t.column("label")))
+
+    mapping_ds = labels.map_batches(variants_only, batch_format="pyarrow",
+                                    batch_size=None).materialize()
+    if mapping_ds.count() <= CANON_BROADCAST_MAX:
+        return {r["node"]: r["label"] for r in mapping_ds.take_all()}
+    return mapping_ds
 
 
 def read_triples(out_dir: str):

@@ -265,6 +265,94 @@ def rewrite_triples(mapping_ref):
     return fn
 
 
+def rewrite_triples_ds(raw_ds, mapping_ds):
+    """Distributed canonical rewrite: apply a (node -> label) mapping
+    DATASET to subj/obj via bucketed left-outer joins — the scale path
+    for mappings too large to broadcast as a driver dict (the r4
+    verdict's one whole-table driver collect). A bloom filter over the
+    mapping keys (512 KB, broadcast once) splits the triples first:
+    rows whose subj AND obj both miss the bloom cannot be variants and
+    bypass the join exchanges entirely with their bucket intact, so
+    the two join exchanges move only the (bloom-positive) variant-ish
+    mass, never the corpus. The upstream read executes twice (once per
+    split side) — a linear re-scan, cheaper at scale than shuffling
+    every triple through two joins.
+
+    Output rows are bit-identical to ``rewrite_triples`` with the
+    collected dict (tested byte-equal through the full pipeline); row
+    ORDER differs, which the downstream (subj,pred,obj) dedup exchange
+    erases."""
+    import ray
+
+    from ..ops.join import bloom_may_contain, build_bloom, hash_join
+
+    bloom_ref = ray.put(build_bloom(mapping_ds, "node",
+                                    key_type=pa.string()))
+
+    def _dirty_mask(batch: pa.Table) -> np.ndarray:
+        words = ray.get(bloom_ref)
+        s = bloom_may_contain(words, batch.column("subj"))
+        o = bloom_may_contain(words, batch.column("obj"))
+        return s | o
+
+    def clean_part(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(~_dirty_mask(batch)))
+
+    def dirty_part(batch: pa.Table) -> pa.Table:
+        # bucket is dropped (the key may change; hash_join appends its
+        # own co-partition bucket) and recomputed after the folds
+        return batch.filter(pa.array(_dirty_mask(batch))) \
+            .drop_columns(["bucket"])
+
+    clean = raw_ds.map_batches(clean_part, batch_format="pyarrow",
+                               batch_size=None)
+    dirty = raw_ds.map_batches(dirty_part, batch_format="pyarrow",
+                               batch_size=None)
+
+    def _as_canon(name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column("node").cast(pa.string()),
+                             name: t.column("label").cast(pa.string())})
+        return fn
+
+    def fold(key: str, canon: str, last: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            canon_arr = batch.column(canon).combine_chunks()
+            folded = pc.if_else(pc.is_valid(canon_arr), canon_arr,
+                                batch.column(key).combine_chunks())
+            cols = {c: batch.column(c) for c in batch.column_names
+                    if c not in (key, canon, "bucket")}
+            cols[key] = folded
+            if last:
+                s_l = cols["subj"].to_pylist() if key != "subj" \
+                    else folded.to_pylist()
+                o_l = cols["obj"].to_pylist() if key != "obj" \
+                    else folded.to_pylist()
+                p_l = cols["pred"].to_pylist()
+                cols["bucket"] = pa.array(triple_buckets(s_l, p_l, o_l),
+                                          pa.int32())
+            t = pa.table(cols)
+            return t.select(RAW_TRIPLE_SCHEMA.names).cast(
+                RAW_TRIPLE_SCHEMA) if last else t
+        return fn
+
+    m_subj = mapping_ds.map_batches(_as_canon("canon_subj"),
+                                    batch_format="pyarrow",
+                                    batch_size=None)
+    m_obj = mapping_ds.map_batches(_as_canon("canon_obj"),
+                                   batch_format="pyarrow",
+                                   batch_size=None)
+    j1 = hash_join(dirty, m_subj, on="subj", right_on="node",
+                   how="left outer") \
+        .map_batches(fold("subj", "canon_subj", last=False),
+                     batch_format="pyarrow", batch_size=None)
+    j2 = hash_join(j1, m_obj, on="obj", right_on="node",
+                   how="left outer") \
+        .map_batches(fold("obj", "canon_obj", last=True),
+                     batch_format="pyarrow", batch_size=None)
+    return clean.union(j2)
+
+
 def merge_edges_multi(batch: pa.Table) -> pa.Table:
     """Whole hash-partitioned block -> merge edges for every complete
     entity block it contains (vectorized per block)."""

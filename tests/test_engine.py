@@ -278,6 +278,55 @@ def test_local_and_distributed_finalize_identical(kg_out, tmp_path):
         load(la, "nodes", ["node_id"]), load(da, "nodes", ["node_id"]))
 
 
+def test_join_rewrite_path_identical_to_broadcast(kg_out, tmp_path):
+    """Force every scale gate at once — distributed finalize,
+    distributed union-find AND the Dataset-mapping join rewrite
+    (CANON_BROADCAST_MAX = -1, i.e. a 'mega variant mass' that must
+    never land on the driver) — and require byte-identical edges and
+    nodes vs the broadcast-dict path on the same raw triples."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from casie_ray.pipelines import kg as kgmod
+
+    raw_files = sorted(glob.glob(os.path.join(kg_out, "raw_triples",
+                                              "group-*", "*.parquet")))
+    assert raw_files
+    la = str(tmp_path / "local")
+    da = str(tmp_path / "dist")
+    os.makedirs(la), os.makedirs(da)
+    kgmod._finalize_local(la, raw_files, [[]], 0, {}, 0.0)
+    saved = {k: getattr(kgmod, k) for k in
+             ("SMALL_FINALIZE_BYTES", "SMALL_CANON_BYTES",
+              "DRIVER_UNIONFIND_MAX", "CANON_BROADCAST_MAX")}
+    for k in saved:
+        setattr(kgmod, k, -1)
+    try:
+        rr = str(tmp_path / "raw_root")
+        for f in raw_files:
+            gdir = os.path.join(rr, os.path.basename(os.path.dirname(f)))
+            os.makedirs(gdir, exist_ok=True)
+            shutil.copy(f, gdir)
+        info = kgmod._finalize(da, rr, [[]], 0, {}, 0.0)
+        # the forced path must actually have merged variants (otherwise
+        # this test exercises nothing)
+        assert info["canon_merged"] > 0
+    finally:
+        for k, v in saved.items():
+            setattr(kgmod, k, v)
+
+    def load(d, sub, keys):
+        files = sorted(glob.glob(os.path.join(d, sub, "*.parquet")))
+        return pd.concat([pq.read_table(f).to_pandas() for f in files]) \
+            .sort_values(keys).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        load(la, "edges", ["subj", "pred", "obj"]),
+        load(da, "edges", ["subj", "pred", "obj"]))
+    pd.testing.assert_frame_equal(
+        load(la, "nodes", ["node_id"]), load(da, "nodes", ["node_id"]))
+
+
 @pytest.mark.parametrize("as_uri", [False, True],
                          ids=["plain-path", "file-uri"])
 def test_fused_sink_uri_clean(ray_session, smoke_corpus, tmp_path, as_uri):

@@ -268,6 +268,21 @@ def _media_dedup(sf_dir: str):
     return media_dedup(sf_dir)
 
 
+def _media_phash_pairs(sf_dir: str):
+    from casie_ray.stages.multimodal import media_phash_pairs_q
+    return media_phash_pairs_q(sf_dir)
+
+
+def _media_audio_fp_pairs(sf_dir: str):
+    from casie_ray.stages.multimodal import media_audio_fp_pairs_q
+    return media_audio_fp_pairs_q(sf_dir)
+
+
+def _media_video_near_dup(sf_dir: str):
+    from casie_ray.stages.multimodal import media_video_near_dup_q
+    return media_video_near_dup_q(sf_dir)
+
+
 def _media_features(sf_dir: str):
     from casie_ray.stages.multimodal import media_features
     # driver compares row-count only; drop the float columns
@@ -294,6 +309,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # conv_profiles and the slot-51+ rows-only variants), which have
     # in-repo oracle tests but no driver row yet.
     return {
+        # --- new in r5 (never driver-checked) ---
+        "media_phash_pairs": _media_phash_pairs,
+        "media_audio_fp_pairs": _media_audio_fp_pairs,
+        "media_video_near_dup": _media_video_near_dup,
         # --- new in r4 (never driver-checked) ---
         "events_retention": _rel.events_retention,
         "events_cube": _rel.events_cube,
@@ -551,6 +570,157 @@ def _bloom_registers_sql(segment: str = "BUILDING",
         SELECT i, CAST(SUM(CAST(power(2, b) AS HUGEINT)) % {_M64}
                        AS UBIGINT) AS w
         FROM pos GROUP BY i"""
+
+
+# ---- multimodal near-dup twins ----
+# The synthetic media fixture (stages.multimodal.synthetic_media) is
+# constructed so every perceptual hash the REAL decode chain produces
+# (BMP/PPM pixels -> aHash, WAV samples -> FFT-band fingerprint, RAWV
+# frames -> per-frame aHash) is an integer-exact function of doc_id
+# via splitmix64 — these twins recompute the hashes from the same
+# integer streams (no decoding) and mirror the 4x16-bit band-blocking
+# pair search, band cap and Hamming verify bit-for-bit.
+
+def _media_docs_cte(kind: int) -> str:
+    """d / e (content id) / isdup for one media type (doc_id % 3)."""
+    from casie_ray.stages.multimodal import DUP_EVERY
+    return f"""mdocs AS (
+          SELECT CAST(doc_id AS BIGINT) AS d,
+                 CASE WHEN (doc_id // 3) % {DUP_EVERY} = 1
+                           AND doc_id >= 3
+                      THEN CAST(doc_id - 3 AS BIGINT)
+                      ELSE CAST(doc_id AS BIGINT) END AS e,
+                 ((doc_id // 3) % {DUP_EVERY} = 1 AND doc_id >= 3)
+                     AS isdup
+          FROM documents WHERE doc_id % 3 = {kind})"""
+
+
+# two-value pixel -> aHash-bit -> packed uint64 (partition: d [+ fi])
+def _ahash_cte(bit_col: str, part: str, src: str) -> str:
+    return f"""vals AS (SELECT *, CASE WHEN {bit_col} THEN 224
+                              ELSE 32 END AS v FROM {src}),
+        hbits AS (SELECT *, v * 64 > sum(v) OVER (PARTITION BY {part})
+                      AS hbit FROM vals),
+        hashes AS (SELECT {part},
+                   CAST(sum(CASE WHEN hbit THEN CAST(1 AS HUGEINT)
+                            << CAST(63 - i AS INTEGER)
+                            ELSE 0 END) AS UBIGINT) AS h
+                   FROM hbits GROUP BY {part})"""
+
+
+def _band_pairs_tail(hamming_t: int = 4, band_cap: int = 1024) -> str:
+    """hashes(d, h) -> banded candidate pairs -> exact Hamming verify
+    (the hash64_band_pairs twin: 4x16-bit bands, per-band-value cap,
+    distinct pairs)."""
+    return f""",
+        bandrows AS (SELECT d, h, b,
+                     CAST((h >> CAST(b * 16 AS UBIGINT))
+                          & CAST(65535 AS UBIGINT) AS BIGINT) AS bkey
+                     FROM hashes, range(4) bb(b)),
+        elig AS (SELECT *, count(*) OVER (PARTITION BY b, bkey) AS cnt
+                 FROM bandrows),
+        cand AS (SELECT DISTINCT l.d AS media_a, r.d AS media_b,
+                        l.h AS hl, r.h AS hr
+                 FROM elig l JOIN elig r
+                   ON l.b = r.b AND l.bkey = r.bkey AND l.d < r.d
+                 WHERE l.cnt <= {band_cap} AND r.cnt <= {band_cap})
+        SELECT media_a, media_b,
+               CAST(bit_count(xor(hl, hr)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(hl, hr)) <= {hamming_t}"""
+
+
+def _media_phash_sql() -> str:
+    from casie_ray.stages.multimodal import (
+        AHASH_HAMMING_T, FAM_IMG_BITS, FAM_IMG_FLIPS,
+    )
+    mixb, endb = _mix64_sql_steps("mb", "cells", "bk")
+    mixf, endf = _mix64_sql_steps("mf", "flipsrc", "fk")
+    return f"""
+        WITH {_media_docs_cte(0)},
+        cells AS (SELECT d, i, isdup,
+                  CAST(((e * 32) * 64 + i) * 8 + {FAM_IMG_BITS}
+                       AS UBIGINT) AS bk
+                  FROM mdocs, range(64) t(i)),
+        {mixb},
+        rawbits AS (SELECT d, i,
+                    (mbhf & CAST(1 AS UBIGINT)) = CAST(1 AS UBIGINT)
+                        AS rb
+                    FROM {endb}),
+        flipsrc AS (SELECT d, j,
+                    CAST((d * 8 + j) * 8 + {FAM_IMG_FLIPS} AS UBIGINT)
+                        AS fk
+                    FROM mdocs, range(3) s(j) WHERE isdup),
+        {mixf},
+        flipcnt AS (SELECT d, CAST(mfhf % 64 AS BIGINT) AS p,
+                           count(*) AS c
+                    FROM {endf} GROUP BY d, p),
+        bits AS (SELECT r.d, r.i,
+                 CASE WHEN coalesce(f.c, 0) % 2 = 1 THEN NOT r.rb
+                      ELSE r.rb END AS b
+                 FROM rawbits r LEFT JOIN flipcnt f
+                   ON r.d = f.d AND r.i = f.p),
+        {_ahash_cte("b", "d", "bits")}
+        {_band_pairs_tail(AHASH_HAMMING_T)}"""
+
+
+def _media_audio_fp_sql() -> str:
+    from casie_ray.stages.multimodal import AHASH_HAMMING_T, FAM_AUDIO_RANK
+    mixr, endr = _mix64_sql_steps("mr", "cells", "rk")
+    return f"""
+        WITH {_media_docs_cte(1)},
+        cells AS (SELECT d, isdup, b, f,
+                  CAST((e * 64 + b * 16 + f) * 8 + {FAM_AUDIO_RANK}
+                       AS UBIGINT) AS rk
+                  FROM mdocs, range(4) bb(b), range(16) ff(f)),
+        {mixr},
+        ranked AS (SELECT d, isdup, b, f,
+                   rank() OVER (PARTITION BY d, b ORDER BY mrhf, f)
+                       AS rnk
+                   FROM {endr}),
+        bits AS (SELECT d, f * 4 + b AS i,
+                 CASE WHEN isdup AND b IN (0, 2)
+                      THEN (rnk <= 7 OR rnk = 9)
+                      ELSE rnk <= 8 END AS bt
+                 FROM ranked),
+        hashes AS (SELECT d,
+                   CAST(sum(CASE WHEN bt THEN CAST(1 AS HUGEINT)
+                            << CAST(63 - i AS INTEGER)
+                            ELSE 0 END) AS UBIGINT) AS h
+                   FROM bits GROUP BY d)
+        {_band_pairs_tail(AHASH_HAMMING_T)}"""
+
+
+def _media_video_sql() -> str:
+    from casie_ray.stages.multimodal import (
+        FAM_VIDEO_BITS, FAM_VIDEO_COUNT, FRAME_SAMPLE_EVERY,
+    )
+    mixc, endc = _mix64_sql_steps("mc", "nfk", "ck")
+    mixb, endb = _mix64_sql_steps("mv", "cells", "bk")
+    return f"""
+        WITH {_media_docs_cte(2)},
+        nfk AS (SELECT d, e,
+                CAST(d * 8 + {FAM_VIDEO_COUNT} AS UBIGINT) AS ck
+                FROM mdocs),
+        {mixc},
+        counts AS (SELECT d, e, 8 + CAST(mchf % 8 AS BIGINT) AS n
+                   FROM {endc}),
+        sampled AS (SELECT d, e, fi
+                    FROM counts, range(0, 16, {FRAME_SAMPLE_EVERY}) s(fi)
+                    WHERE fi < n),
+        cells AS (SELECT d, fi, i,
+                  CAST(((e * 32 + fi) * 64 + i) * 8 + {FAM_VIDEO_BITS}
+                       AS UBIGINT) AS bk
+                  FROM sampled, range(64) t(i)),
+        {mixb},
+        bits AS (SELECT d, fi, i,
+                 (mvhf & CAST(1 AS UBIGINT)) = CAST(1 AS UBIGINT) AS b
+                 FROM {endb}),
+        {_ahash_cte("b", "d, fi", "bits")},
+        dh AS (SELECT DISTINCT d, h FROM hashes)
+        SELECT l.d AS media_a, r.d AS media_b,
+               count(*) AS n_shared
+        FROM dh l JOIN dh r ON l.h = r.h AND l.d < r.d
+        GROUP BY l.d, r.d HAVING count(*) >= 2"""
 
 
 def _kmv_sql(k: int = 64) -> str:
@@ -962,6 +1132,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": f"""
             SELECT node, label
             FROM read_parquet('{corpus_001}/gold_kg_components.parquet')""",
+        "media_phash_pairs": _media_phash_sql(),
+        "media_audio_fp_pairs": _media_audio_fp_sql(),
+        "media_video_near_dup": _media_video_sql(),
         "doc_mixture_sample": _cur.mixture_sample_sql(),
         "doc_ngrams": _text.doc_ngrams_sql(),
         "events_hourly_anomaly": _rel.HOURLY_ANOMALY_SQL,

@@ -479,6 +479,171 @@ def hash64_band_pairs(rows_ds, hamming_t: int):
     return bucket_groupby(bucket_groupby(banded, pairs), distinct)
 
 
+# ---------------------------------------------------------------------------
+# Deterministic synthetic media fixture (the driver-checkable corpus):
+# every payload is a REAL container (BMP / WAV / RAWV) whose decoded
+# content is a pure splitmix64 function of doc_id, constructed so the
+# perceptual hashes the decode chain produces are INTEGER-exact and
+# therefore reproducible in the DuckDB oracle without decoding:
+#   images  — 8x8 gray pixels v in {32, 224}: aHash bit i == raw bit i
+#             via the exact integer comparison v_i*64 > sum(v) (the
+#             two-value margin makes the engine's float block-mean
+#             path tie-free);
+#   audio   — 16 frames x 4 FFT bands, per band EXACTLY 8 "high"
+#             frames (rank of a splitmix value), each high cell a
+#             full-period sinusoid at its band-center bin: the
+#             median-threshold fingerprint bit == the rank bit with
+#             ~11 orders of magnitude of margin;
+#   video   — RAWV of 8x8 two-value frames keyed by (content, fidx).
+# Planted near-dups: docs with (doc_id // 3) % 25 == 1 reuse the
+# content stream of doc_id - 3 (same media type), images with <= 3
+# XOR bit flips, audio with a rank-8/9 swap in bands 0 and 2
+# (Hamming 4), video byte-identical frames. The SQL twins in
+# __ray_entry__ recompute hashes from the same integer streams and
+# mirror the band-blocking pair search exactly.
+# ---------------------------------------------------------------------------
+
+# mix64 key families (engine + SQL twins share these literals)
+FAM_IMG_BITS = 0
+FAM_AUDIO_RANK = 1
+FAM_VIDEO_BITS = 2
+FAM_IMG_FLIPS = 3
+FAM_VIDEO_COUNT = 4
+DUP_EVERY = 25          # (doc_id // 3) % DUP_EVERY == 1 -> near-dup doc
+AUDIO_FIXTURE_SAMPLES = 1600     # 16 frames x 100 samples
+_AUDIO_BINS = (6, 18, 31, 44)    # band-center rfft bins at flen=100
+
+
+def _fixture_bits(e: int, fam: int, count: int = 64,
+                  sub: int = 0) -> np.ndarray:
+    """``count`` raw bits for content id ``e``: bit i = mix64(key)&1
+    with key = ((e*32 + sub)*64 + i)*8 + fam (sub = video frame idx,
+    0 for images)."""
+    from ..ops.bucketing import mix64
+    i = np.arange(count, dtype=np.uint64)
+    key = ((np.uint64(e) * np.uint64(32) + np.uint64(sub))
+           * np.uint64(64) + i) * np.uint64(8) + np.uint64(fam)
+    return (mix64([key]) & np.uint64(1)).astype(bool)
+
+
+def _fixture_image_bits(doc_id: int) -> np.ndarray:
+    dup = (doc_id // 3) % DUP_EVERY == 1 and doc_id >= 3
+    e = doc_id - 3 if dup else doc_id
+    bits = _fixture_bits(e, FAM_IMG_BITS)
+    if dup:
+        from ..ops.bucketing import mix64
+        j = np.arange(3, dtype=np.uint64)
+        key = (np.uint64(doc_id) * np.uint64(8) + j) * np.uint64(8) \
+            + np.uint64(FAM_IMG_FLIPS)
+        for p in (mix64([key]) % np.uint64(64)).astype(int):
+            bits[p] = ~bits[p]
+    return bits
+
+
+def _fixture_image_payload(doc_id: int) -> bytes:
+    v = np.where(_fixture_image_bits(doc_id), 224, 32).astype(np.uint8)
+    return encode_bmp(np.repeat(v, 3).reshape(8, 8, 3))
+
+
+def _fixture_audio_grid(doc_id: int) -> np.ndarray:
+    """(16 frames, 4 bands) bool grid: per band exactly 8 high frames
+    = the 8 smallest (mix64(key), frame) pairs; near-dup docs swap the
+    rank-8 and rank-9 frames in bands 0 and 2."""
+    from ..ops.bucketing import mix64
+    dup = (doc_id // 3) % DUP_EVERY == 1 and doc_id >= 3
+    e = doc_id - 3 if dup else doc_id
+    grid = np.zeros((AUDIO_FP_FRAMES, AUDIO_FP_BANDS), dtype=bool)
+    for b in range(AUDIO_FP_BANDS):
+        f = np.arange(AUDIO_FP_FRAMES, dtype=np.uint64)
+        key = (np.uint64(e) * np.uint64(64) + np.uint64(b)
+               * np.uint64(16) + f) * np.uint64(8) \
+            + np.uint64(FAM_AUDIO_RANK)
+        r = mix64([key])
+        order = np.lexsort((np.arange(AUDIO_FP_FRAMES), r))
+        hi = order[:8].copy()
+        if dup and b in (0, 2):
+            hi[7] = order[8]       # rank-8 out, rank-9 in: 2 bit flips
+        grid[hi, b] = True
+    return grid
+
+
+def _fixture_audio_payload(doc_id: int) -> bytes:
+    grid = _fixture_audio_grid(doc_id)
+    flen = AUDIO_FIXTURE_SAMPLES // AUDIO_FP_FRAMES
+    n = np.arange(flen)
+    x = np.zeros(AUDIO_FIXTURE_SAMPLES)
+    for f in range(AUDIO_FP_FRAMES):
+        for b in range(AUDIO_FP_BANDS):
+            if grid[f, b]:
+                x[f * flen:(f + 1) * flen] += 8000.0 * np.sin(
+                    2 * np.pi * _AUDIO_BINS[b] * n / flen)
+    return encode_wav(np.round(x).astype(np.int16))
+
+
+def _fixture_video_payload(doc_id: int) -> bytes:
+    from ..ops.bucketing import mix64
+    dup = (doc_id // 3) % DUP_EVERY == 1 and doc_id >= 3
+    e = doc_id - 3 if dup else doc_id
+    nf = 8 + int(mix64([np.array([doc_id * 8 + FAM_VIDEO_COUNT],
+                                 np.uint64)])[0] % np.uint64(8))
+    frames = np.empty((nf, 8, 8, 3), np.uint8)
+    for fi in range(nf):
+        v = np.where(_fixture_bits(e, FAM_VIDEO_BITS, sub=fi), 224, 32) \
+            .astype(np.uint8)
+        frames[fi] = np.repeat(v, 3).reshape(8, 8, 3)
+    return encode_rawv(frames)
+
+
+def synthetic_media(sf_dir: str):
+    """The deterministic driver-checkable media table: one payload per
+    document row, media_type = doc_id % 3 (0 image BMP, 1 audio WAV,
+    2 video RAWV). Payload generation is per-row Python (fixture
+    encode, not a hot path); decode and everything downstream runs the
+    real vectorized stages."""
+    import ray.data
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = [int(x) for x in batch.column("doc_id").to_pylist()]
+        payloads, types = [], []
+        for d in ids:
+            kind = d % 3
+            if kind == 0:
+                payloads.append(_fixture_image_payload(d))
+                types.append("image")
+            elif kind == 1:
+                payloads.append(_fixture_audio_payload(d))
+                types.append("audio")
+            else:
+                payloads.append(_fixture_video_payload(d))
+                types.append("video")
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(types, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "source": pa.array(["synth"] * len(ids), pa.string()),
+        }).cast(MEDIA_SCHEMA)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    return ds.map_batches(gen, batch_format="pyarrow",
+                          batch_size=MEDIA_BATCH_SIZE)
+
+
+def media_phash_pairs_q(sf_dir: str):
+    """Driver query: image near-dup pairs over the synthetic fixture."""
+    return media_phash_pairs(synthetic_media(sf_dir))
+
+
+def media_audio_fp_pairs_q(sf_dir: str):
+    """Driver query: audio near-dup pairs over the synthetic fixture."""
+    return media_audio_fp_pairs(synthetic_media(sf_dir))
+
+
+def media_video_near_dup_q(sf_dir: str):
+    """Driver query: video frame-set near-dup pairs over the fixture."""
+    return video_near_dup_pairs(synthetic_media(sf_dir))
+
+
 def media_phash_pairs(media_ds, hamming_t: int = AHASH_HAMMING_T):
     """(media_a, media_b, hamming) for image pairs whose aHashes are
     within ``hamming_t`` bits. media_ds: MEDIA_SCHEMA-shaped Dataset;

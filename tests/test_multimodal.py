@@ -309,3 +309,51 @@ def test_band_pairs_wide_media_ids(ray_session):
     out = hash64_band_pairs(ray.data.from_arrow(t), 0).to_pandas()
     got = {(r["media_a"], r["media_b"]) for _, r in out.iterrows()}
     assert got == {(big + 1, big + 2), (7, big + 1), (7, big + 2)}
+
+
+def test_synthetic_media_fixture_deterministic_and_planted(ray_session):
+    """The driver-checkable fixture: payload bytes are a pure function
+    of doc_id (two generations byte-identical), and the GUARANTEED
+    planted near-dups are recovered — image dups carry <= 3 XOR flips
+    (pigeonhole over 4 bands cannot miss them) and video dups share
+    every sampled template frame (n_shared >= 2)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from casie_ray.stages.multimodal import (
+        DUP_EVERY, media_phash_pairs_q, media_video_near_dup_q,
+        synthetic_media,
+    )
+
+    def digest():
+        rows = synthetic_media(SF_DIR).take_all()
+        h = hashlib.sha256()
+        for r in sorted(rows, key=lambda r: r["media_id"]):
+            h.update(r["payload"])
+        return h.hexdigest(), len(rows)
+
+    d1, n1 = digest()
+    d2, n2 = digest()
+    assert d1 == d2 and n1 == n2 > 0
+
+    ids = set(pq.read_table(f"{SF_DIR}/documents.parquet",
+                            columns=["doc_id"])
+              .column("doc_id").to_pylist())
+    planted_img = {(d - 3, d) for d in ids
+                   if (d // 3) % DUP_EVERY == 1 and d >= 3
+                   and d % 3 == 0 and d - 3 in ids}
+    planted_vid = {(d - 3, d) for d in ids
+                   if (d // 3) % DUP_EVERY == 1 and d >= 3
+                   and d % 3 == 2 and d - 3 in ids}
+    assert planted_img and planted_vid
+
+    img = media_phash_pairs_q(SF_DIR).to_pandas()
+    got_img = set(zip(img["media_a"], img["media_b"]))
+    assert planted_img <= got_img
+    assert (img["hamming"] <= 4).all()
+
+    vid = media_video_near_dup_q(SF_DIR).to_pandas()
+    got_vid = set(zip(vid["media_a"], vid["media_b"]))
+    assert planted_vid <= got_vid
+    assert (vid["n_shared"] >= 2).all()

@@ -80,6 +80,9 @@ SQL_CHECKED = [
     "doc_mixture_sample", "doc_ngrams", "events_hourly_anomaly",
     "kg_walks", "similar_docs", "kg_neighbor_jaccard",
     "kg_pred_bigrams", "conv_profiles",
+    # round-5 additions (multimodal near-dup family over the
+    # integer-exact synthetic media fixture)
+    "media_phash_pairs", "media_audio_fp_pairs", "media_video_near_dup",
 ]
 
 

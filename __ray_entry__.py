@@ -3,15 +3,20 @@
 ``entry()`` runs the flagship KG pipeline; ``queries()`` exposes one
 callable per implemented operator family (SURVEY.md §2 + the
 training-data ops); ``oracle_sql()`` gives the DuckDB-checkable subset.
-Everything is value-checked except five approximate/float-argmax ops
-(ann_topk_lsh, ann_topk_ivf, dedup_embedding_pairs_lsh,
-embedding_clusters, semantic_dedup_pairs — rows-only, each
-determinism/recall-pinned in tests); the KG trio + kg_incremental are
-checked against the persisted sequential oracle (tests/test_engine.py
-proves the dataflows agree, P/R == 1.0), pack_sequences_bpe against a
-materialized independent sequential pack, and even FNV-based
-fingerprints/simhash are reproduced exactly in SQL via HUGEINT
-mod-2^64 arithmetic.
+EVERY entry is value-checked (r5: zero rows-only entries left). The
+formerly rows-only quantizer family (ann_topk_lsh, ann_topk_ivf,
+dedup_embedding_pairs_lsh, embedding_clusters, semantic_dedup_pairs)
+now makes its decisions under an exact-integer quantized metric
+(ops.ann Q_EMB/Q_CENT grids — float64 dots of integers < 2^53 are
+bit-exact and batch-layout-independent) and is hash-checked against
+persisted sequential twins (casie_ray.oracle_ann). The KG trio +
+kg_incremental are checked against the persisted sequential oracle
+(tests/test_engine.py proves the dataflows agree, P/R == 1.0),
+pack_sequences_bpe against a materialized independent sequential pack,
+the multimodal near-dup family against DuckDB twins that recompute the
+perceptual hashes integer-exactly from the fixture's splitmix streams,
+and even FNV-based fingerprints/simhash are reproduced exactly in SQL
+via HUGEINT mod-2^64 arithmetic.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in the library) calls ray.init()/ray.shutdown().
@@ -91,6 +96,39 @@ def _ensure_gold_kg(corpus: str) -> str:
         with open(marker, "w") as f:
             f.write(version)
     return corpus
+
+
+def _ensure_gold_ann(sf_dir: str) -> str:
+    """Persist the sequential quantizer-family twins
+    (casie_ray.oracle_ann) once per sf_dir so DuckDB can check the
+    distributed IVF / SemDeDup / cluster-assignment results
+    row-for-row — the decisions are exact under the quantized-integer
+    metric (ops.ann Q_EMB/Q_CENT grids), so this is a value-hash
+    contract, not a rows-only check."""
+    import pyarrow.parquet as pq
+
+    out = f"/tmp/casie_gold_ann/{os.path.basename(os.path.normpath(sf_dir))}"
+    marker = os.path.join(out, "_GOLD_ANN")
+    version = "v1"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == version:
+                return out
+    os.makedirs(out, exist_ok=True)
+    from casie_ray import oracle_ann
+    pq.write_table(oracle_ann.ivf_topk_local(sf_dir),
+                   os.path.join(out, "ivf_topk.parquet"))
+    pq.write_table(oracle_ann.clusters_local(sf_dir),
+                   os.path.join(out, "clusters.parquet"))
+    pq.write_table(oracle_ann.semantic_pairs_local(sf_dir),
+                   os.path.join(out, "sem_pairs.parquet"))
+    pq.write_table(oracle_ann.lsh_topk_local(sf_dir),
+                   os.path.join(out, "lsh_topk.parquet"))
+    pq.write_table(oracle_ann.lsh_pairs_local(sf_dir),
+                   os.path.join(out, "lsh_pairs.parquet"))
+    with open(marker, "w") as f:
+        f.write(version)
+    return out
 
 
 def _kg_out(sf: float) -> str:
@@ -379,9 +417,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_profiles": lambda d: _rel.conv_profiles(
             os.path.join(_corpus_dir(_sf_of(d)), "transcripts")),
         "ann_topk_ivf": _ann.ann_topk_ivf,
-        # semantic clustering / SemDeDup (rows-only: float argmax
-        # assignment is not SQL-reproducible; determinism + recall
-        # pinned in tests/test_ops.py)
+        # semantic clustering / SemDeDup: exact under the quantized
+        # integer metric since r5 — hash-checked against the persisted
+        # sequential twins (oracle_ann); recall additionally pinned in
+        # tests/test_ops.py
         "embedding_clusters": _ann.embedding_clusters,
         "semantic_dedup_pairs": _ann.semantic_dedup_pairs,
         # --- r3-green core ops filling out the checked prefix ---
@@ -1132,6 +1171,21 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": f"""
             SELECT node, label
             FROM read_parquet('{corpus_001}/gold_kg_components.parquet')""",
+        "ann_topk_ivf": f"""
+            SELECT query_id, neighbor_id, rank FROM read_parquet(
+            '{_ensure_gold_ann("/root/testdata/sf0.01")}/ivf_topk.parquet')""",
+        "embedding_clusters": f"""
+            SELECT vec_id, cluster FROM read_parquet(
+            '{_ensure_gold_ann("/root/testdata/sf0.01")}/clusters.parquet')""",
+        "semantic_dedup_pairs": f"""
+            SELECT vec_id_a, vec_id_b FROM read_parquet(
+            '{_ensure_gold_ann("/root/testdata/sf0.01")}/sem_pairs.parquet')""",
+        "ann_topk_lsh": f"""
+            SELECT query_id, neighbor_id, rank FROM read_parquet(
+            '{_ensure_gold_ann("/root/testdata/sf0.01")}/lsh_topk.parquet')""",
+        "dedup_embedding_pairs_lsh": f"""
+            SELECT vec_id_a, vec_id_b FROM read_parquet(
+            '{_ensure_gold_ann("/root/testdata/sf0.01")}/lsh_pairs.parquet')""",
         "media_phash_pairs": _media_phash_sql(),
         "media_audio_fp_pairs": _media_audio_fp_sql(),
         "media_video_near_dup": _media_video_sql(),

@@ -25,6 +25,29 @@ IVF_NPROBE = 4
 IVF_ITERS = 10
 IVF_SAMPLE = 4096
 
+# ---- exact-integer contract for the quantizer family (r5) ----
+# Raw float32 matmul results depend on BLAS blocking (a 7-row tail
+# block rounds differently than the same rows inside a 500-row gemm),
+# so float argmax/threshold decisions are NOT layout-independent and
+# can never be hash-checked against a twin. The fix is the repo's
+# usual exact-integer trick: quantize normalized embeddings to a
+# 2^14 grid and centroids to 2^20, then compute scores as float64
+# matmuls OF INTEGERS — every product is <= 2^34 and every dot sum
+# <= 2^40 < 2^53, so dgemm is bit-exact and order-independent, at
+# full BLAS speed. Assignment / probe / top-k decisions under these
+# integer scores are identical for ANY batch layout, which is what
+# lets ann_topk_ivf, semantic_dedup_pairs and embedding_clusters
+# carry exact persisted-twin driver contracts (oracle_ann.py) instead
+# of rows-only checks. Quantization costs ~6e-5 score resolution —
+# recall is unchanged (pinned in tests).
+Q_EMB = 16384.0        # 2^14
+Q_CENT = 1048576.0     # 2^20
+
+
+def quantize_rows(m: np.ndarray, scale: float = Q_EMB) -> np.ndarray:
+    """float32 rows (already normalized) -> float64 integer grid."""
+    return np.round(m.astype(np.float64) * scale)
+
 
 def emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     """Arrow list<float> column -> (n, dim) float32 matrix without a
@@ -141,7 +164,9 @@ def _planes(dim: int) -> np.ndarray:
 
 
 def _bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    signs = (vecs @ planes.T) > 0
+    """Hyperplane-sign bucket under the exact quantized projections
+    (vecs must be normalized) — layout-independent, twin-checkable."""
+    signs = (quantize_rows(vecs) @ quantize_rows(planes, Q_CENT).T) > 0
     return (signs * (1 << np.arange(LSH_PLANES))).sum(axis=1).astype(np.int32)
 
 
@@ -149,7 +174,9 @@ def ann_topk_lsh(sf_dir: str, k: int = DEFAULT_K,
                  n_queries: int = DEFAULT_NQ):
     """Approximate top-k: scan only vectors whose random-hyperplane
     bucket matches some query's bucket (single-probe). Same output
-    schema as :func:`ann_topk`; recall < 1 by design."""
+    schema as :func:`ann_topk`; recall < 1 by design (bucket pruning),
+    exact under the quantized metric — hash-checked against
+    oracle_ann.lsh_topk_local."""
     import ray
     import ray.data
 
@@ -158,12 +185,12 @@ def ann_topk_lsh(sf_dir: str, k: int = DEFAULT_K,
     q_buckets = set(_bucket_of(qm, planes).tolist())
     q_ref = ray.put((q_ids, qm))
 
-    partial = _partial_topk(q_ref, k)
+    partial = _partial_topk_q(q_ref, k)
 
     def bucket_filter(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        m = emb_matrix(batch)
+        m = _normalize_rows(emb_matrix(batch))
         keep = np.isin(_bucket_of(m, planes), list(q_buckets))
         return batch.filter(pa.array(keep))
 
@@ -252,36 +279,92 @@ def train_centroids(sf_dir: str, n_cells: int = IVF_CELLS,
     return cents
 
 
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return (m / n).astype(np.float32)
+
+
+def assign_cells_q(m_norm: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Layout-independent nearest-centroid assignment: argmax of the
+    exact-integer quantized scores (ties -> lowest cell, numpy argmax
+    first-max semantics — identical in the sequential twin)."""
+    scores = quantize_rows(m_norm) @ quantize_rows(cents, Q_CENT).T
+    return np.argmax(scores, axis=1).astype(np.int64)
+
+
+def _partial_topk_q(q_ref, k: int):
+    """Quantized-integer partial top-k: sims are exact int64-valued
+    float64 dots of the 2^14 grids, so the (sim desc, id asc) order is
+    identical for any batch layout and in the sequential twin."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        q_ids, qm = ray.get(q_ref)
+        qq = quantize_rows(qm)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        mq = quantize_rows(_normalize_rows(emb_matrix(batch)))
+        sims = (qq @ mq.T).astype(np.int64)        # (nq, batch), exact
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            s = sims[qi]
+            mask = ids != qid                       # exclude self-match
+            cand_ids, cand_s = ids[mask], s[mask]
+            if len(cand_ids) > k:
+                part = np.argpartition(-cand_s, k - 1)[:k]
+                vmin = cand_s[part].min()
+                pool = np.nonzero(cand_s >= vmin)[0]
+                idx = pool[np.lexsort((cand_ids[pool], -cand_s[pool]))[:k]]
+            else:
+                idx = np.arange(len(cand_ids))
+            out_q.append(np.full(len(idx), qid, dtype=np.int64))
+            out_n.append(cand_ids[idx])
+            out_s.append(cand_s[idx])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.int64()),
+        })
+    return fn
+
+
+def ivf_probe_cells(qm: np.ndarray, cents: np.ndarray,
+                    nprobe: int) -> np.ndarray:
+    """Sorted probed-cell set under the exact-integer scores (stable
+    argsort -> lowest cell wins ties); shared with the twin."""
+    qsims = quantize_rows(qm) @ quantize_rows(cents, Q_CENT).T
+    probed = set()
+    for row in np.argsort(-qsims, axis=1, kind="stable")[:, :nprobe]:
+        probed.update(int(c) for c in row)
+    return np.fromiter(sorted(probed), dtype=np.int64, count=len(probed))
+
+
 def ann_topk_ivf(sf_dir: str, k: int = DEFAULT_K,
                  n_queries: int = DEFAULT_NQ, nprobe: int = IVF_NPROBE):
     """Approximate top-k with an IVF coarse quantizer: every query
     probes its `nprobe` nearest cells; the corpus pass scans only rows
     assigned to a probed cell (scanned fraction ~ nprobe/n_cells, and
     unlike the LSH variant the cells adapt to the data distribution).
-    Same output schema as :func:`ann_topk`; recall < 1 by design."""
+    Same output schema as :func:`ann_topk`; recall < 1 by design
+    (cell pruning), but the RESULT is exact under the quantized-integer
+    metric — hash-checked against the sequential twin
+    (oracle_ann.ivf_topk_local)."""
     import ray
     import ray.data
 
     q_ids, qm = _load_queries(sf_dir, n_queries)
     cents = train_centroids(sf_dir)
-    qsims = qm @ cents.T
-    probed = set()
-    for row in np.argsort(-qsims, axis=1)[:, :nprobe]:
-        probed.update(int(c) for c in row)
-    probed_arr = np.fromiter(sorted(probed), dtype=np.int64,
-                             count=len(probed))
+    probed_arr = ivf_probe_cells(qm, cents, nprobe)
     q_ref = ray.put((q_ids, qm))
     cents_ref = ray.put(cents)
-    partial = _partial_topk(q_ref, k)
+    partial = _partial_topk_q(q_ref, k)
 
     def cell_filter(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
         c = ray.get(cents_ref)
-        m = emb_matrix(batch)
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        assign = np.argmax((m / n) @ c.T, axis=1)
+        assign = assign_cells_q(_normalize_rows(emb_matrix(batch)), c)
         return batch.filter(pa.array(np.isin(assign, probed_arr)))
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -340,10 +423,7 @@ def embedding_clusters(sf_dir: str, n_cells: int | None = None):
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)
-        m = emb_matrix(batch)
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        a = np.argmax((m / n) @ c.T, axis=1).astype(np.int64)
+        a = assign_cells_q(_normalize_rows(emb_matrix(batch)), c)
         return pa.table({"vec_id": batch.column("vec_id"),
                          "cluster": pa.array(a, pa.int64())})
 
@@ -361,10 +441,7 @@ def _cluster_sizes(sf_dir: str, cents_ref, n_cells: int):
 
     def count_partial(batch: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)
-        m = emb_matrix(batch)
-        norm = np.linalg.norm(m, axis=1, keepdims=True)
-        norm[norm == 0] = 1.0
-        a = np.argmax((m / norm) @ c.T, axis=1)
+        a = assign_cells_q(_normalize_rows(emb_matrix(batch)), c)
         u, cnt = np.unique(a, return_counts=True)
         return pa.table({"cluster": pa.array(u.astype(np.int64)),
                          "n": pa.array(cnt.astype(np.int64))})
@@ -435,7 +512,7 @@ def semantic_dedup_pairs(sf_dir: str, n_cells: int | None = None,
         norm = np.linalg.norm(m, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
         nm = (m / norm).astype(np.float32)
-        a = np.argmax(nm @ c.T, axis=1).astype(np.int64)
+        a = assign_cells_q(nm, c)
         if plan:
             h = mix64([ids])
             for cl, (base, n_salts) in plan.items():
@@ -453,9 +530,13 @@ def semantic_dedup_pairs(sf_dir: str, n_cells: int | None = None,
             "bucket": pa.array(a.astype(np.int32), pa.int32()),
         })
 
+    # exact-integer threshold: quantized sims are on the Q_EMB^2 grid,
+    # so the > decision is layout-independent and twin-reproducible
+    thr_q = threshold * Q_EMB * Q_EMB
+
     def cluster_pairs(group: pa.Table) -> pa.Table:
         ids = group.column("vec_id").to_numpy(zero_copy_only=False)
-        m = emb_matrix(group)
+        m = quantize_rows(emb_matrix(group))
         n = len(ids)
         out_a, out_b = [], []
         # slab the pairwise matmul: peak sims allocation is
@@ -465,7 +546,7 @@ def semantic_dedup_pairs(sf_dir: str, n_cells: int | None = None,
             for j0 in range(i0, n, SEM_CHUNK):
                 j1 = min(j0 + SEM_CHUNK, n)
                 sims = m[i0:i1] @ m[j0:j1].T
-                ia, ib = np.nonzero(sims > threshold)
+                ia, ib = np.nonzero(sims > thr_q)
                 ga, gb = ia + i0, ib + j0
                 keep = ga < gb
                 if keep.any():

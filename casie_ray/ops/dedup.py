@@ -847,7 +847,10 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.5,
         # sees the identical plane matrix
         planes = np.random.default_rng(7).standard_normal(
             (n_bands * band_planes, m.shape[1])).astype(np.float32)
-        signs = (m @ planes.T) > 0
+        # exact quantized projections (ops.ann Q grids): sign decisions
+        # are layout-independent and sequential-twin-checkable
+        from .ann import Q_CENT, quantize_rows
+        signs = (quantize_rows(m) @ quantize_rows(planes, Q_CENT).T) > 0
         keys = np.zeros((len(ids), n_bands), dtype=np.uint64)
         for b in range(n_bands):
             sl = signs[:, b * band_planes:(b + 1) * band_planes]
@@ -879,9 +882,12 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.5,
             return pa.table({"vec_id_a": pa.array([], pa.int64()),
                              "vec_id_b": pa.array([], pa.int64()),
                              "bucket": pa.array([], pa.int32())})
-        vals = emb.values.to_numpy().reshape(len(vid), -1)
+        from .ann import Q_EMB, quantize_rows
+        vals = quantize_rows(
+            emb.values.to_numpy().reshape(len(vid), -1)
+            .astype(np.float32, copy=False))
         sims = (vals[ia] * vals[ib]).sum(axis=1)
-        keep = (sims > threshold) & (vid[ia] != vid[ib])
+        keep = (sims > threshold * Q_EMB * Q_EMB) & (vid[ia] != vid[ib])
         a = np.minimum(vid[ia][keep], vid[ib][keep])
         b = np.maximum(vid[ia][keep], vid[ib][keep])
         t = pa.table({"vec_id_a": pa.array(a, pa.int64()),

@@ -81,8 +81,11 @@ SQL_CHECKED = [
     "kg_walks", "similar_docs", "kg_neighbor_jaccard",
     "kg_pred_bigrams", "conv_profiles",
     # round-5 additions (multimodal near-dup family over the
-    # integer-exact synthetic media fixture)
+    # integer-exact synthetic media fixture; quantizer family under the
+    # exact-integer metric vs persisted sequential twins)
     "media_phash_pairs", "media_audio_fp_pairs", "media_video_near_dup",
+    "ann_topk_ivf", "ann_topk_lsh", "embedding_clusters",
+    "semantic_dedup_pairs", "dedup_embedding_pairs_lsh",
 ]
 
 

@@ -415,6 +415,16 @@ def inverted_index_sql() -> str:
 SIM_DF_MIN = 2
 SIM_DF_CAP = 64
 SIM_MIN_SCORE = 1_000_000
+# per-doc-per-gram tf cap, applied identically in the engine partial
+# and the SQL twin: bounds one contrib at TF_CAP^2 * SCORE_SCALE
+# (2^20 * 2^20 / 2 ~ 2^40 here) so a pathological doc repeating one
+# trigram millions of times cannot silently wrap the engine's int64
+# while the oracle's HUGEINT sum diverges. Residual documented bound:
+# a PAIR's score sums one capped contrib per shared DISTINCT gram, so
+# int64 holds while shared-gram count x TF_CAP^2 x SCORE_SCALE/df
+# < 2^63 — i.e. up to ~2^23 shared distinct grams at the worst-case
+# weight, far beyond any real document's trigram vocabulary.
+SIM_TF_CAP = 1024
 
 _PAIR_SCHEMA = pa.schema([
     ("doc_a", pa.int64()), ("doc_b", pa.int64()),
@@ -487,6 +497,7 @@ def similar_docs(sf_dir: str, df_min: int = SIM_DF_MIN,
         if len(ia) == 0:
             return _PAIR_SCHEMA.empty_table()
         da, db = doc[ia], doc[ib]                  # sorted: da < db
+        tf = np.minimum(tf, SIM_TF_CAP)            # overflow guard
         contrib = tf[ia] * tf[ib] * wt[ia]
         return pa.table({
             "doc_a": pa.array(da, pa.int64()),
@@ -533,9 +544,12 @@ def similar_docs_sql(df_min: int = SIM_DF_MIN, df_cap: int = SIM_DF_CAP,
                FROM tfd GROUP BY gram
                HAVING count(*) BETWEEN {df_min} AND {df_cap})
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(sum(a.tf * b.tf * wt.wt) AS BIGINT) AS score_micro
+               CAST(sum(least(a.tf, {SIM_TF_CAP})
+                        * least(b.tf, {SIM_TF_CAP}) * wt.wt)
+                    AS BIGINT) AS score_micro
         FROM tfd a
         JOIN tfd b ON a.gram = b.gram AND a.doc_id < b.doc_id
         JOIN wt ON wt.gram = a.gram
         GROUP BY doc_a, doc_b
-        HAVING sum(a.tf * b.tf * wt.wt) >= {min_score}"""
+        HAVING sum(least(a.tf, {SIM_TF_CAP}) * least(b.tf, {SIM_TF_CAP})
+                   * wt.wt) >= {min_score}"""

@@ -399,6 +399,14 @@ def build_arg_phrase_surfaces() -> dict[str, str]:
 TRIGGER_SURFACES = build_trigger_surfaces()
 ARG_PHRASE_SURFACES = build_arg_phrase_surfaces()
 MAX_ARG_PHRASE_LEN = max(len(p.split()) for p in ARG_PHRASE_SURFACES)
+# first-token gate for the per-token arg-phrase scan in detect_turn:
+# a token not in this set cannot start any arg phrase, so the hot loop
+# skips the length-descending join/lookup ladder entirely (most tokens)
+ARG_PHRASE_FIRST = frozenset(p.split()[0] for p in ARG_PHRASE_SURFACES)
+# merged "never a similarity-imputation candidate" set: one hash probe
+# in detect_turn's candidate listcomp instead of three
+NON_CONTENT_WORDS = frozenset(STOPWORDS) | frozenset(MODAL_WORDS) \
+    | frozenset(GENERIC_WORDS)
 
 
 def normalize_surface(s: str) -> str:

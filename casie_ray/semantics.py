@@ -190,6 +190,7 @@ def fuzzy_link(norm: str, argtype: str, fuzzy: dict | None,
 
 _DAY_RE = lx.NUMERIC_RE
 _COUNT_NOUNS = set(lx.COUNT_NOUNS)
+_MONTHS_SET = frozenset(lx.MONTHS)
 _DATAISH_NOUNS = {"records", "files", "documents", "emails", "passwords",
                   "credentials"}
 
@@ -216,6 +217,16 @@ def detect_turn(text: str, catalog: dict, fuzzy: dict | None = None):
     lowers = [t[0].lower() for t in toks]
     claimed = [False] * n
     mentions: list[Mention] = []
+    # hot-loop local bindings: the loop body runs per token (~hundreds
+    # of millions of times at corpus scale) — global/attr lookups and
+    # repeated set probes are measurable there
+    cve_match = lx.CVE_RE.match
+    version_match = lx.VERSION_RE.match
+    money_match = lx.MONEY_RE.match
+    arg_first = lx.ARG_PHRASE_FIRST
+    arg_surfaces = lx.ARG_PHRASE_SURFACES
+    max_arg = lx.MAX_ARG_PHRASE_LEN
+    numeral_words = lx.NUMERAL_WORDS
 
     i = 0
     while i < n:
@@ -225,11 +236,11 @@ def detect_turn(text: str, catalog: dict, fuzzy: dict | None = None):
         span = None  # (n_tokens, argtype, entity_id)
         # first-char gates: each pattern pins its first character
         # (^CVE / ^(v)?\d / ^\$), so word tokens skip the regex calls
-        if c0 == "C" and lx.CVE_RE.match(tok):
+        if c0 == "C" and cve_match(tok):
             span = (1, "CVE", None)
-        elif (c0 == "v" or c0.isdigit()) and lx.VERSION_RE.match(tok):
+        elif (c0 == "v" or c0.isdigit()) and version_match(tok):
             span = (1, "Version", None)
-        elif c0 == "$" and lx.MONEY_RE.match(tok):
+        elif c0 == "$" and money_match(tok):
             span = (1, "Money", None)
         if span is None and c0.isupper() and c0.isalpha():
             # capitalized-run NER: a run of >=2 capitalized tokens
@@ -261,14 +272,14 @@ def detect_turn(text: str, catalog: dict, fuzzy: dict | None = None):
                 if i + ln <= n and tuple(lowers[i:i + ln]) == phrase:
                     span = (ln, etype, eid)
                     break
-        if span is None:
-            for ln in range(min(lx.MAX_ARG_PHRASE_LEN, n - i), 0, -1):
+        if span is None and low in arg_first:
+            for ln in range(min(max_arg, n - i), 0, -1):
                 cand = " ".join(lowers[i:i + ln])
-                argtype = lx.ARG_PHRASE_SURFACES.get(cand)
+                argtype = arg_surfaces.get(cand)
                 if argtype is not None:
                     span = (ln, argtype, None)
                     break
-        if span is None and low in lx.MONTHS:
+        if span is None and low in _MONTHS_SET:
             # month [day] [year] — requires a following numeric part so
             # bare "may" (modal) is never a Time mention
             ln = 1
@@ -283,14 +294,14 @@ def detect_turn(text: str, catalog: dict, fuzzy: dict | None = None):
         if span is None and c0.isdigit() and lx.NUMERIC_RE.match(tok) \
                 and i + 1 < n and lowers[i + 1] in _COUNT_NOUNS:
             span = (1, "Number", None)
-        if span is None and low in lx.NUMERAL_WORDS:
+        if span is None and low in numeral_words:
             # English numeral phrase before a count noun ("three million
             # customers", "dozens of records") -> Number mention over the
             # numeral run (txt2int, link_coref.py:334-362)
             j = i + 1
-            while j < n and (lowers[j] in lx.NUMERAL_WORDS
+            while j < n and (lowers[j] in numeral_words
                              or (lowers[j] == "and" and j + 1 < n
-                                 and lowers[j + 1] in lx.NUMERAL_WORDS)):
+                                 and lowers[j + 1] in numeral_words)):
                 j += 1
             k = j
             if k < n and lowers[k] == "of":
@@ -330,11 +341,10 @@ def detect_turn(text: str, catalog: dict, fuzzy: dict | None = None):
     cands = [
         (i, toks[i][1], toks[i][2], lowers[i], toks[i][0][0].isupper())
         for i in range(n)
-        if not claimed[i] and lowers[i] not in lx.TRIGGER_SURFACES
-        and toks[i][0].isalpha() and len(lowers[i]) >= 3
-        and lowers[i] not in lx.STOPWORDS
-        and lowers[i] not in lx.MODAL_WORDS
-        and lowers[i] not in lx.GENERIC_WORDS
+        if not claimed[i] and len(lowers[i]) >= 3
+        and lowers[i] not in lx.TRIGGER_SURFACES
+        and lowers[i] not in lx.NON_CONTENT_WORDS
+        and toks[i][0].isalpha()
     ]
     return TurnDetection([t[1] for t in toks], flags, triggers, mentions,
                          cands)

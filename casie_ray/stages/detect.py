@@ -221,10 +221,16 @@ class ShardExtractor(DetectTagger):
             by_conv.setdefault(cid, []).append(k)
         out_rows: list[dict] = []
         out_events: list = []
+        catalog, fuzzy = self.catalog, self.fuzzy
         for cid in sorted(by_conv):
             idxs = sorted(by_conv[cid], key=lambda k: turn_idxs[k])
+            # inline empty fast path: ~87% of turns fail the pre-pass,
+            # so skip the detect_or_skip call layer for them (fresh
+            # TurnDetection per turn — downstream mutates cand_tokens)
             detections = {
-                turn_idxs[k]: self.detect_or_skip(texts[k], mask[k])
+                turn_idxs[k]:
+                    detect_turn(texts[k] or "", catalog, fuzzy)
+                    if mask[k] else TurnDetection([], [], [], [], [])
                 for k in idxs
             }
             ts_of = {turn_idxs[k]: tss[k] for k in idxs}

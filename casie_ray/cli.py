@@ -72,6 +72,9 @@ def main(argv: list[str] | None = None) -> int:
     lp.add_argument("--min-prob", type=float, default=0.3,
                     help="trigger-probability precision filter")
     lp.add_argument("--min-count", type=int, default=1)
+    lp.add_argument("--args-v2", action="store_true",
+                    help="evaluate the v2 argument seat (pattern "
+                         "channels + nugget gate + in-arg probs)")
     args = ap.parse_args(argv)
 
     if args.cmd in ("ingest", "gold", "learn"):
@@ -87,10 +90,14 @@ def main(argv: list[str] | None = None) -> int:
             elif args.cmd == "learn":
                 import json as _json
 
-                from .learned import evaluate_learned_seat
-                res = evaluate_learned_seat(
-                    args.ann_dir, min_count=args.min_count,
-                    min_prob=args.min_prob)
+                if args.args_v2:
+                    from .learned import evaluate_argument_seat
+                    res = evaluate_argument_seat(args.ann_dir)
+                else:
+                    from .learned import evaluate_learned_seat
+                    res = evaluate_learned_seat(
+                        args.ann_dir, min_count=args.min_count,
+                        min_prob=args.min_prob)
                 print(_json.dumps(res, indent=1))
             else:
                 import pyarrow as pa

@@ -210,3 +210,97 @@ def test_min_count_filters_on_surface_total(ray_session, tmp_path):
     lex = learn_surface_lexicon(str(d), min_count=3)
     assert lex == {"breach": "Databreach"}  # total 4 >= 3; tie -> min
     assert learn_surface_lexicon(str(d), min_count=5) == {}
+
+
+# ---------------------------------------------------------------------------
+# Argument seat v2 (r5): pattern channels, nugget gate, in-arg
+# probabilities, proximity filter (casie_ray/learned.py
+# scan_arg_patterns / learn_argument_seat / predict_turn_arguments).
+# ---------------------------------------------------------------------------
+
+
+def test_scan_arg_patterns_channels():
+    from casie_ray.learned import scan_arg_patterns
+
+    text = ("Patched CVE-2018-1234 in v2.1.3 on January 5 2018 "
+            "costing $5 million.")
+    got = {(text[s:e], ch) for s, e, ch in scan_arg_patterns(text)}
+    assert got == {("CVE-2018-1234", "ch_cve"), ("v2.1.3", "ch_version"),
+                   ("January 5 2018", "ch_time"), ("$5", "ch_money")}
+    # a bare month with no day/year is NOT a Time run
+    assert scan_arg_patterns("In January nothing happened.") == []
+
+
+def test_inarg_probs_train_split_only(ray_session, tmp_path):
+    from casie_ray.learned import learn_inarg_probs
+
+    d = _write(tmp_path)
+    pin = learn_inarg_probs(d, min_occ=1)
+    # the gold argument surface in every train doc
+    assert pin["ransomware"] == 1.0
+    # tokens outside every gold arg span have probability 0
+    assert pin["spread"] == 0.0
+    # held-out-only vocabulary never enters the table
+    assert "cryptolocked" not in pin
+
+
+def test_argument_seat_gate_and_channels(ray_session, tmp_path):
+    from casie_ray.learned import (build_surface_matcher,
+                                   learn_argument_seat,
+                                   predict_turn_arguments)
+
+    d = _write(tmp_path)
+    seat = learn_argument_seat(d)
+    assert seat["arg_lexicon"] == {"ransomware": "Malware"}
+    m = build_surface_matcher(seat["arg_lexicon"])
+    g = build_surface_matcher(seat["gate_lexicon"])
+    # gate open (nugget "ransomware" present): lexicon + CVE channel.
+    # Boundary extension may absorb an adjacent capitalized token
+    # ("The ransomware") — the span must still cover the surface.
+    text = "The ransomware used CVE-2018-1234 today."
+    got = {(text[s:e], lab)
+           for s, e, lab in predict_turn_arguments(text, m, g,
+                                                   seat["pin"])}
+    assert any("ransomware" in t and lab == "Malware"
+               for t, lab in got)
+    assert ("CVE-2018-1234", "CVE") in got
+    # gate closed (no learned nugget in the turn): NO predictions,
+    # even though an argument-channel surface (a CVE) is present
+    assert predict_turn_arguments(
+        "Patched CVE-2018-4321 without incident.", m, g,
+        seat["pin"]) == []
+
+
+def test_argument_seat_proximity_filter(ray_session, tmp_path):
+    from casie_ray.learned import (ARG_PROX_CHARS,
+                                   build_surface_matcher,
+                                   learn_argument_seat,
+                                   predict_turn_arguments)
+
+    d = _write(tmp_path)
+    seat = learn_argument_seat(d)
+    m = build_surface_matcher(seat["arg_lexicon"])
+    g = build_surface_matcher(seat["gate_lexicon"])
+    far = "x " * (ARG_PROX_CHARS // 2 + 40)
+    text = f"The ransomware spread. {far}Patched CVE-2018-9999 now."
+    got = {text[s:e]
+           for s, e, _ in predict_turn_arguments(text, m, g,
+                                                 seat["pin"])}
+    # the distant CVE is dropped by the nugget-proximity filter;
+    # the near lexicon hit survives (possibly boundary-extended)
+    assert any("ransomware" in t for t in got)
+    assert not any("CVE-2018-9999" in t for t in got)
+
+
+def test_evaluate_argument_seat_end_to_end(ray_session, tmp_path):
+    from casie_ray.learned import evaluate_argument_seat
+
+    d = _write(tmp_path)
+    res = evaluate_argument_seat(d)
+    # 2 held-out docs, the planted arg surface recovered in each:
+    # the fixture has gold arguments only on train docs, so gold=0
+    # on test and the seat still only predicts near fired nuggets
+    assert res["lexicon_size"] == 1
+    assert res["pred_mentions"] >= 2
+    for key in ("span", "labeled"):
+        assert set(res[key]) >= {"precision", "recall", "f1"}

@@ -338,92 +338,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ORDER is evidence-driven: the driver checks a 50-entry
     # prefix per round, so entries that have never received a driver
     # row (or whose code changed this round) come first; everything
-    # after slot 50 is hash-green in CORRECTNESS_r03 with unchanged
-    # code. Rotate freshly-evidenced entries to the back each round.
-    # r5 note: once CORRECTNESS_r04 lands, rotate the whole "new in
-    # r4"/"never checked" block to the back and pull forward anything
-    # the r4 sample missed or that r5 code changes touch — starting
-    # with the three late-r4 post-prefix entries (kg_pred_bigrams,
-    # conv_profiles and the slot-51+ rows-only variants), which have
-    # in-repo oracle tests but no driver row yet.
+    # after slot 50 is hash-green in an earlier CORRECTNESS round with
+    # unchanged code. Rotate freshly-evidenced entries back each round.
+    # r5 rotation (this round): the whole r4-green block moved behind
+    # slot 50; pulled forward = the 3 new multimodal near-dup ops, the
+    # 2 entries that had never received a driver row (kg_pred_bigrams,
+    # conv_profiles), every entry whose code changed in r5 (quantizer
+    # family, KG flagship family, similar_docs, kg_components), and the
+    # 35 stalest r2/r3-green entries to refresh their evidence.
     return {
-        # --- new in r5 (never driver-checked) ---
+        # --- new in r5 (never driver-checked): multimodal near-dup ---
         "media_phash_pairs": _media_phash_pairs,
         "media_audio_fp_pairs": _media_audio_fp_pairs,
         "media_video_near_dup": _media_video_near_dup,
-        # --- new in r4 (never driver-checked) ---
-        "events_retention": _rel.events_retention,
-        "events_cube": _rel.events_cube,
-        "doc_top_terms": _text.doc_top_terms,
-        "doc_length_rank": _text.doc_length_rank,
-        "inverted_index": _retr.inverted_index,
-        "kmv_distinct_users": _sketch.kmv_user_values,
-        "curation_pack": _cur.curation_pack,
-        "lineitem_corr": _rel.lineitem_corr,
-        "hll_users_by_type": _sketch.hll_users_by_type,
-        "decontaminate_substring": _dedup.decontaminate_substring,
-        "embedding_pca_gram": _pca.embedding_pca_gram,
-        "events_props_extract": _rel.events_props_extract,
-        "bloom_segment_registers": _join.bloom_segment_registers,
-        "kg_components": _kg_components,
-        "doc_mixture_sample": _cur.mixture_sample,
-        "doc_ngrams": _text.doc_ngrams,
-        "events_hourly_anomaly": _rel.events_hourly_anomaly,
-        "kg_walks": lambda d: _graphx.random_walks(_edges_ds(d)),
-        "similar_docs": _retr.similar_docs,
-        "kg_neighbor_jaccard": lambda d: _graphx.neighbor_jaccard(
-            _edges_ds(d)),
-        # --- never driver-checked before r4 ---
-        "events_funnel": _rel.events_funnel,
-        "events_pivot": _rel.events_pivot,
-        "events_sliding_counts": _stream.events_sliding_counts,
-        "lineitem_quantiles_by_flag": _quant.lineitem_quantiles_by_flag,
-        "kg_pagerank": lambda d: _graphx.pagerank(_edges_ds(d)),
-        "kg_triangles": lambda d: _graphx.triangle_counts(_edges_ds(d)),
-        "kg_reach": lambda d: _graphx.bfs_reach(_edges_ds(d)),
-        "kg_clustering": lambda d: _graphx.clustering_coefficients(
-            _edges_ds(d)),
-        "transcripts_redact": lambda d: _clean.redact_transcripts(
-            _corpus_dir(_sf_of(d))),
-        "doc_normalize": _clean.normalize_documents,
-        "doc_export_partitioned": _doc_export_partitioned,
-        # --- green in r2, rotated out of the r3 sample ---
-        "distinct_users": _rel.distinct_users,
-        "events_asof_orders": _rel.events_asof_orders,
-        "events_sessions": _rel.events_sessions,
-        "events_prev_gap": _rel.events_prev_gap,
-        "order_lineitem_totals": _join.order_lineitem_totals,
-        "customer_event_values": _join.customer_event_values,
-        "events_orders_range_join": _rel.events_orders_range_join,
-        "events_hourly_watermark": _stream.events_hourly_watermark,
-        "lineitem_price_quantiles": _quant.lineitem_price_quantiles,
-        "customers_no_events": _rel.customers_without_events,
-        "top_docs_per_lang": _rel.top_docs_per_lang,
-        "kg_degree_hist": lambda d: _graphx.degree_hist(_edges_ds(d)),
-        "kg_co_mentions": lambda d: _graphx.co_mention_pairs(_edges_ds(d)),
-        # --- flagship KG construction (CASIE semantics; oracle =
-        # in-repo sequential reference extractor) ---
+        # --- never driver-checked in ANY round (registered post-r4-check) ---
+        "kg_pred_bigrams": lambda d: _graphx.pred_bigrams(_edges_ds(d)),
+        "conv_profiles": lambda d: _rel.conv_profiles(
+            os.path.join(_corpus_dir(_sf_of(d)), "transcripts")),
+        # --- code changed in r5: quantizer family made exact (integer
+        # grid metric + persisted sequential twins, oracle_ann) ---
+        "ann_topk_ivf": _ann.ann_topk_ivf,
+        "embedding_clusters": _ann.embedding_clusters,
+        "semantic_dedup_pairs": _ann.semantic_dedup_pairs,
+        # --- code changed in r5: canonical-rewrite join gate +
+        # detect_turn hot-loop rework (flagship KG family) ---
         "kg_edges": _edges_ds,
         "kg_nodes": _nodes_ds,
         "kg_events": _events_ds,
         "kg_incremental": _kg_incremental,
         "transcripts_roundtrip": _transcripts_roundtrip,
-        # --- code changed in r4 (bm25 eligibility, ANN quantizer
-        # sampling, SemDeDup cluster-mass bound) ---
-        "doc_bm25_topk": _retr.bm25_topk,
-        # slot 51+ from here (sampled-out this round; in-repo oracle
-        # tests carry the evidence until the r5 rotation)
-        "kg_pred_bigrams": lambda d: _graphx.pred_bigrams(_edges_ds(d)),
-        "conv_profiles": lambda d: _rel.conv_profiles(
-            os.path.join(_corpus_dir(_sf_of(d)), "transcripts")),
-        "ann_topk_ivf": _ann.ann_topk_ivf,
-        # semantic clustering / SemDeDup: exact under the quantized
-        # integer metric since r5 — hash-checked against the persisted
-        # sequential twins (oracle_ann); recall additionally pinned in
-        # tests/test_ops.py
-        "embedding_clusters": _ann.embedding_clusters,
-        "semantic_dedup_pairs": _ann.semantic_dedup_pairs,
-        # --- r3-green core ops filling out the checked prefix ---
+        # --- code changed in r5: int64 overflow guard ---
+        "similar_docs": _retr.similar_docs,
+        # --- code changed in r5: fused label-propagation rounds ---
+        "kg_components": _kg_components,
+        # --- stalest driver evidence (r2/r3-green, sampled out of the
+        # r4 prefix) — refreshed this round ---
         "ann_topk": _ann.ann_topk,
         "ann_topk_lsh": _ann.ann_topk_lsh,
         "dedup_exact": _dedup.exact_dedup,
@@ -437,7 +386,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_dedup": _media_dedup,
         "turn_token_features": _token_features,
-        # ---- slot 51+: hash-green in CORRECTNESS_r03, unchanged ----
         "dedup_jaccard_pairs": _dedup.jaccard_pairs,
         "dedup_simhash_pairs": _dedup.simhash_pairs,
         "dedup_substring_pairs": _dedup.substring_pairs,
@@ -460,12 +408,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": _cur.quality_filter,
         "doc_stratified_sample": _cur.stratified_sample,
         "doc_lm_score": _cur.lm_score,
+        # ---- slot 51+: r3-green, unchanged ----
         "doc_dsir_weights": _cur.dsir_weights,
         "lineitem_agg": _rel.lineitem_agg,
         "lineitem_agg_rollup": _rel.lineitem_agg_rollup,
         "segment_revenue": _rel.segment_revenue,
         "top_customers": _rel.top_customers,
         "events_hourly": _rel.events_hourly,
+        # ---- slot 51+: hash-green in CORRECTNESS_r04, unchanged ----
+        "events_retention": _rel.events_retention,
+        "events_cube": _rel.events_cube,
+        "doc_top_terms": _text.doc_top_terms,
+        "doc_length_rank": _text.doc_length_rank,
+        "inverted_index": _retr.inverted_index,
+        "kmv_distinct_users": _sketch.kmv_user_values,
+        "curation_pack": _cur.curation_pack,
+        "lineitem_corr": _rel.lineitem_corr,
+        "hll_users_by_type": _sketch.hll_users_by_type,
+        "decontaminate_substring": _dedup.decontaminate_substring,
+        "embedding_pca_gram": _pca.embedding_pca_gram,
+        "events_props_extract": _rel.events_props_extract,
+        "bloom_segment_registers": _join.bloom_segment_registers,
+        "doc_mixture_sample": _cur.mixture_sample,
+        "doc_ngrams": _text.doc_ngrams,
+        "events_hourly_anomaly": _rel.events_hourly_anomaly,
+        "kg_walks": lambda d: _graphx.random_walks(_edges_ds(d)),
+        "kg_neighbor_jaccard": lambda d: _graphx.neighbor_jaccard(
+            _edges_ds(d)),
+        "events_funnel": _rel.events_funnel,
+        "events_pivot": _rel.events_pivot,
+        "events_sliding_counts": _stream.events_sliding_counts,
+        "lineitem_quantiles_by_flag": _quant.lineitem_quantiles_by_flag,
+        "kg_pagerank": lambda d: _graphx.pagerank(_edges_ds(d)),
+        "kg_triangles": lambda d: _graphx.triangle_counts(_edges_ds(d)),
+        "kg_reach": lambda d: _graphx.bfs_reach(_edges_ds(d)),
+        "kg_clustering": lambda d: _graphx.clustering_coefficients(
+            _edges_ds(d)),
+        "transcripts_redact": lambda d: _clean.redact_transcripts(
+            _corpus_dir(_sf_of(d))),
+        "doc_normalize": _clean.normalize_documents,
+        "doc_export_partitioned": _doc_export_partitioned,
+        "distinct_users": _rel.distinct_users,
+        "events_asof_orders": _rel.events_asof_orders,
+        "events_sessions": _rel.events_sessions,
+        "events_prev_gap": _rel.events_prev_gap,
+        "order_lineitem_totals": _join.order_lineitem_totals,
+        "customer_event_values": _join.customer_event_values,
+        "events_orders_range_join": _rel.events_orders_range_join,
+        "events_hourly_watermark": _stream.events_hourly_watermark,
+        "lineitem_price_quantiles": _quant.lineitem_price_quantiles,
+        "customers_no_events": _rel.customers_without_events,
+        "top_docs_per_lang": _rel.top_docs_per_lang,
+        "kg_degree_hist": lambda d: _graphx.degree_hist(_edges_ds(d)),
+        "kg_co_mentions": lambda d: _graphx.co_mention_pairs(_edges_ds(d)),
+        "doc_bm25_topk": _retr.bm25_topk,
     }
 
 

@@ -73,7 +73,7 @@ def _ensure_gold_kg(corpus: str) -> str:
     import pyarrow.parquet as pq
 
     marker = os.path.join(corpus, "_GOLD_KG")
-    version = "v2"  # v2: + gold_kg_components (sequential union-find)
+    version = "v3"  # v2: + gold_kg_components; v3: + gold_kg_kcore
     have = None
     if os.path.exists(marker):
         with open(marker) as f:
@@ -81,6 +81,7 @@ def _ensure_gold_kg(corpus: str) -> str:
     if have != version:
         from casie_ray.oracle import extract_triples
         from casie_ray.ops.graph import components_local
+        from casie_ray.ops.graphx import KCORE_K, kcore_local
         ev_rows: list[dict] = []
         df = extract_triples(corpus, events_out=ev_rows)
         pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
@@ -93,6 +94,11 @@ def _ensure_gold_kg(corpus: str) -> str:
             "label": pa.array([comp[n] for n in sorted(comp)],
                               pa.string()),
         }), os.path.join(corpus, "gold_kg_components.parquet"))
+        core = kcore_local(list(zip(df["subj"], df["obj"])), KCORE_K)
+        pq.write_table(pa.table({
+            "node": pa.array([n for n, _ in core], pa.string()),
+            "deg": pa.array([d for _, d in core], pa.int64()),
+        }), os.path.join(corpus, "gold_kg_kcore.parquet"))
         with open(marker, "w") as f:
             f.write(version)
     return corpus
@@ -166,6 +172,17 @@ def _kg_components(sf_dir: str):
     edges = _edges_ds(sf_dir).select_columns(["subj", "obj"]) \
         .map_batches(as_edge, batch_format="pyarrow")
     return connected_components(edges)
+
+
+def _kg_kcore(sf_dir: str):
+    """k-core decomposition (k=3) over the materialized KG edge set —
+    distributed parallel peeling, one kill-message exchange per round
+    (`ops/graphx.py:kcore`). Oracle: persisted sequential peel over the
+    gold triples (`gold_kg_kcore.parquet`); the k-core fixpoint is
+    unique, so engine == sequential at any parallelism."""
+    from casie_ray.ops.graphx import kcore
+
+    return kcore(_edges_ds(sf_dir).select_columns(["subj", "obj"]))
 
 
 def _nodes_ds(sf_dir: str):
@@ -347,7 +364,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # family, KG flagship family, similar_docs, kg_components), and the
     # 35 stalest r2/r3-green entries to refresh their evidence.
     return {
-        # --- new in r5 (never driver-checked): multimodal near-dup ---
+        # --- new in r5 (never driver-checked): multimodal near-dup
+        # family + k-core decomposition ---
+        "kg_kcore": _kg_kcore,
         "media_phash_pairs": _media_phash_pairs,
         "media_audio_fp_pairs": _media_audio_fp_pairs,
         "media_video_near_dup": _media_video_near_dup,
@@ -1167,6 +1186,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": f"""
             SELECT node, label
             FROM read_parquet('{corpus_001}/gold_kg_components.parquet')""",
+        "kg_kcore": _graphx.kcore_sql(
+            f"{corpus_001}/gold_kg_kcore.parquet"),
         "ann_topk_ivf": f"""
             SELECT query_id, neighbor_id, rank FROM read_parquet(
             '{_ensure_gold_ann("/root/testdata/sf0.01")}/ivf_topk.parquet')""",

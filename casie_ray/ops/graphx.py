@@ -1439,3 +1439,156 @@ def pred_bigrams_sql(gold_path: str) -> str:
                CAST(count(*) AS BIGINT) AS n_paths
         FROM e a JOIN e b ON a.obj = b.subj
         GROUP BY p1, p2"""
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed k): iterative parallel peeling
+# ---------------------------------------------------------------------------
+#
+# The k-core is the maximal subgraph in which every node has degree
+# >= k — the standard density filter before community/centrality work
+# (Seidman 1983; parallel peeling as in Montresor et al.). The
+# fixpoint is UNIQUE (independent of removal order), so the
+# distributed result is checkable against a sequential peel.
+#
+# Engine shape: ONE bucketed kill-message exchange per round, the
+# ops/graph.py union-find idiom. The round stream holds two row kinds
+# under one schema, bucketed by hash(node):
+#   edge row (node, dst):  a surviving directed copy node -> dst
+#   kill row (node, dead): "delete edge node -> dead" (sender was
+#                          removed last round)
+# Per-bucket vectorized kernel: anti-join kills out of the bucket's
+# edges, recompute out-degree, nodes with 0 < deg < k are REMOVED —
+# their edges become next round's kill rows (bucketed by the other
+# endpoint) and are not re-emitted. Nodes keep/lose whole edge sets;
+# a node whose last edge is killed simply vanishes from the stream.
+# Converges when a round removes nothing (no kill rows out).
+#
+# Scale: per-round cost is the surviving edge mass through one
+# exchange (like connected_components); round count is the graph's
+# parallel peeling depth — small for heavy-tailed KG/web graphs
+# (hubs hold cores together), O(n/2) only for adversarial k=2 chain
+# graphs, guarded by max_rounds with a loud failure rather than a
+# silent approximation.
+
+KCORE_K = 3
+_KC_SCHEMA = pa.schema([
+    ("node", pa.string()), ("dst", pa.string()), ("dead", pa.string()),
+    ("bucket", pa.int32()),
+])
+
+
+def kcore_local(pairs, k: int = KCORE_K) -> list[tuple[str, int]]:
+    """Sequential peeling twin: [(node, degree-in-core)] sorted."""
+    adj: dict[str, set[str]] = {}
+    for a, b in pairs:
+        a, b = str(a), str(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        drop = [n for n, s in adj.items() if len(s) < k]
+        if not drop:
+            break
+        for n in drop:
+            for m in adj.pop(n):
+                if m in adj:
+                    adj[m].discard(n)
+    return sorted((n, len(s)) for n, s in adj.items())
+
+
+def _kcore_round(k: int):
+    def kernel(group: pa.Table) -> pa.Table:
+        is_kill = pc.is_valid(group.column("dead"))
+        edges = group.filter(pc.invert(is_kill)).select(["node", "dst"])
+        kills = group.filter(is_kill)
+        if kills.num_rows:
+            kt = pa.table({
+                "node": kills.column("node").combine_chunks(),
+                "dst": kills.column("dead").combine_chunks(),
+                "_k": pa.array(
+                    np.ones(kills.num_rows, np.int8), pa.int8()),
+            })
+            j = edges.join(kt.group_by(["node", "dst"]).aggregate(
+                [("_k", "min")]).rename_columns(["node", "dst", "_k"]),
+                keys=["node", "dst"], join_type="left outer")
+            edges = j.filter(pc.is_null(j.column("_k"))) \
+                .select(["node", "dst"])
+        if not edges.num_rows:
+            return _KC_SCHEMA.empty_table()
+        deg = edges.group_by(["node"]).aggregate([([], "count_all")])
+        deg = deg.rename_columns(["node", "deg"])
+        removed = deg.filter(pc.less(deg.column("deg"), k)) \
+            .select(["node"]).append_column(
+                "_r", pa.array(np.ones(
+                    len(deg.filter(pc.less(deg.column("deg"), k))),
+                    np.int8), pa.int8()))
+        j = edges.join(removed, keys=["node"], join_type="left outer")
+        gone = j.filter(pc.is_valid(j.column("_r")))
+        kept = j.filter(pc.is_null(j.column("_r")))
+        n_kept, n_gone = kept.num_rows, gone.num_rows
+        out_node = pa.concat_arrays([
+            kept.column("node").combine_chunks().cast(pa.string()),
+            gone.column("dst").combine_chunks().cast(pa.string())])
+        out_dst = pa.concat_arrays([
+            kept.column("dst").combine_chunks().cast(pa.string()),
+            pa.nulls(n_gone, pa.string())])
+        out_dead = pa.concat_arrays([
+            pa.nulls(n_kept, pa.string()),
+            gone.column("node").combine_chunks().cast(pa.string())])
+        return pa.table({
+            "node": out_node, "dst": out_dst, "dead": out_dead,
+            "bucket": _str_bucket(pa.chunked_array([out_node])),
+        })
+    return kernel
+
+
+def kcore(edges_ds, k: int = KCORE_K, max_rounds: int = 256):
+    """(node, deg) rows of the k-core of the undirected simple graph
+    over (subj, obj). Requires an active Ray session."""
+    e, _deg = _simple_graph(edges_ds)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        node = pa.concat_arrays([a, b])
+        dst = pa.concat_arrays([b, a])
+        return pa.table({
+            "node": node, "dst": dst,
+            "dead": pa.nulls(len(node), pa.string()),
+            "bucket": _str_bucket(pa.chunked_array([node])),
+        })
+
+    msgs = e.map_batches(both_dirs, batch_format="pyarrow")
+    kernel = _kcore_round(k)
+    for _ in range(max_rounds):
+        msgs = bucket_groupby(msgs, kernel).materialize()
+
+        def n_kills(batch: pa.Table) -> pa.Table:
+            return pa.table({"n": pa.array(
+                [int(pc.sum(pc.is_valid(batch.column("dead")).cast(
+                    pa.int64())).as_py() or 0)], pa.int64())})
+
+        pending = msgs.map_batches(
+            n_kills, batch_format="pyarrow").sum("n")
+        if not pending:
+            break
+    else:
+        raise RuntimeError(
+            f"k-core peeling did not converge in {max_rounds} rounds "
+            "(adversarial peeling depth — raise max_rounds)")
+
+    def final_deg(group: pa.Table) -> pa.Table:
+        g = group.group_by(["node"]).aggregate([([], "count_all")])
+        return g.rename_columns(["node", "deg"])
+
+    return bucket_groupby(msgs, final_deg, pre_repartition=False)
+
+
+def kcore_sql(gold_kcore_path: str) -> str:
+    """DuckDB twin: the persisted sequential peel (the fixpoint is
+    unique, so engine == sequential at any parallelism)."""
+    return f"""
+        SELECT CAST(node AS VARCHAR) AS node, CAST(deg AS BIGINT) AS deg
+        FROM read_parquet('{gold_kcore_path}')"""

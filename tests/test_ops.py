@@ -86,6 +86,7 @@ SQL_CHECKED = [
     "media_phash_pairs", "media_audio_fp_pairs", "media_video_near_dup",
     "ann_topk_ivf", "ann_topk_lsh", "embedding_clusters",
     "semantic_dedup_pairs", "dedup_embedding_pairs_lsh",
+    "kg_kcore",
 ]
 
 
@@ -2104,3 +2105,36 @@ def test_similar_docs_random_parity(ray_session, tmp_path, ddb):
     want = _normalize(con.execute(sql).df())
     assert len(got) == len(want) and len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_kcore_planted(ray_session):
+    """k-core peeling: a 5-clique with a pendant chain — the 3-core is
+    exactly the clique (each at degree 4); a chain fully peels at k=2
+    (the adversarial-depth case); distributed == sequential twin on a
+    random graph."""
+    import pyarrow as pa
+    import ray.data
+
+    from casie_ray.ops.graphx import kcore, kcore_local
+
+    def run(pairs, k):
+        ds = ray.data.from_arrow(pa.table(
+            {"subj": [a for a, _ in pairs],
+             "obj": [b for _, b in pairs]}))
+        return sorted((r["node"], r["deg"])
+                      for r in kcore(ds, k=k).take_all())
+
+    clique = [(f"n{i}", f"n{j}")
+              for i in range(5) for j in range(i + 1, 5)]
+    tail = [("n0", "t1"), ("t1", "t2"), ("t2", "t3")]
+    got = run(clique + tail, 3)
+    assert got == [(f"n{i}", 4) for i in range(5)]
+    assert got == kcore_local(clique + tail, 3)
+    # chain at k=2 peels COMPLETELY, one endpoint pair per round
+    chain = [(f"c{i}", f"c{i+1}") for i in range(20)]
+    assert run(chain, 2) == [] == kcore_local(chain, 2)
+    # random graph: unique fixpoint == sequential peel
+    rng = random.Random(11)
+    pairs = [(f"v{rng.randrange(150)}", f"v{rng.randrange(150)}")
+             for _ in range(450)]
+    assert run(pairs, 3) == kcore_local(pairs, 3)

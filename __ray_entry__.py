@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in r5 (never driver-checked): multimodal near-dup
         # family + k-core decomposition ---
         "kg_kcore": _kg_kcore,
+        "countmin_users": lambda d: _sketch.countmin_user_registers(d),
         "media_phash_pairs": _media_phash_pairs,
         "media_audio_fp_pairs": _media_audio_fp_pairs,
         "media_video_near_dup": _media_video_near_dup,
@@ -597,6 +598,28 @@ def _mix64_sql_steps(prefix: str, src: str, col: str) -> tuple[str, str]:
                  FROM {p}4),
         {p}6 AS (SELECT *, xor({p}he, {p}he >> 31) AS {p}hf FROM {p}5)"""
     return frag, f"{p}6"
+
+
+def _countmin_sql(d: int = 4, w: int = 1024) -> str:
+    """DuckDB twin of ops.sketch.countmin_user_registers: the same
+    Kirsch-Mitzenmacher double hash per event OCCURRENCE (h1 =
+    splitmix64(user_id), h2 = splitmix64(h1) | 1, col_r = (h1 + r*h2)
+    mod 2^64 mod w), one count(*) per (row, col) cell."""
+    mixa, enda = _mix64_sql_steps("ca", "u", "a")
+    mixb, endb = _mix64_sql_steps("cb", f"{enda}", "cahf")
+    col = (f"CAST((CAST(cahf AS HUGEINT) + t.r * CAST(h2 AS HUGEINT))"
+           f" % {_M64} AS UBIGINT) % {w}")
+    return f"""
+        WITH u AS (SELECT CAST(user_id AS UBIGINT) AS a FROM events),
+        {mixa},
+        {mixb},
+        h AS (SELECT cahf, cbhf | CAST(1 AS UBIGINT) AS h2
+              FROM {endb}),
+        cells AS (SELECT t.r AS row, CAST({col} AS BIGINT) AS col
+                  FROM h, generate_series(0, {d - 1}) AS t(r))
+        SELECT CAST(row AS BIGINT) AS row, col,
+               CAST(count(*) AS BIGINT) AS n
+        FROM cells GROUP BY row, col"""
 
 
 def _bloom_registers_sql(segment: str = "BUILDING",
@@ -1420,6 +1443,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_substring": _dedup.DECONTAM_SUBSTR_SQL,
         "events_props_extract": _rel.PROPS_EXTRACT_SQL,
         "bloom_segment_registers": _bloom_registers_sql(),
+        "countmin_users": _countmin_sql(),
         # PCA registers: micro-unit quantized sums/Gram mod 2^64; the
         # ((s % M) + M) % M canonicalizes negative HUGEINT sums to the
         # engine's two's-complement uint64 residue

@@ -324,3 +324,89 @@ def hll_users_by_type(sf_dir: str):
                               columns=["event_type", "user_id"])
         .map_batches(partial, batch_format="pyarrow",
                      batch_size=None), merge)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch registers (frequency estimation)
+# ---------------------------------------------------------------------------
+#
+# The mergeable frequency sibling of the HLL/KMV distinct sketches
+# (Cormode & Muthukrishnan 2005): d hash rows x w counters; the
+# estimate for a key is min over rows of its cell. As with HLL, the
+# REGISTER TABLE is the query contract — deterministic integer cells,
+# exact under any reduction order (integer sums), with a DuckDB twin
+# recomputing every cell. Row hashes use Kirsch-Mitzenmacher double
+# hashing (col_r = (h1 + r*h2) mod 2^64 mod w with h1 = mix64(key),
+# h2 = mix64(h1) | 1) — the same chain the bloom-register twin
+# already reproduces in SQL. Per-block partials are bounded at d x w
+# cells regardless of block size; only register mass moves.
+
+CMS_D = 4
+CMS_W = 1024
+
+
+def countmin_partial(ids: np.ndarray, d: int = CMS_D,
+                     w: int = CMS_W) -> pa.Table:
+    """One block's CMS cell counts over int64 keys (one increment per
+    OCCURRENCE, not per distinct key): vectorized double-hash column
+    placement + one bincount over the flattened d x w grid."""
+    from .bucketing import mix64
+    h1 = mix64([ids.astype(np.int64)])
+    h2 = mix64([h1]) | np.uint64(1)
+    flat = np.zeros(0, dtype=np.int64)
+    parts = []
+    with np.errstate(over="ignore"):
+        for r in range(d):
+            col = ((h1 + np.uint64(r) * h2) % np.uint64(w)).astype(
+                np.int64)
+            parts.append(r * w + col)
+    flat = np.concatenate(parts) if parts else flat
+    counts = np.bincount(flat, minlength=d * w)
+    nz = np.nonzero(counts)[0]
+    return pa.table({
+        "row": pa.array(nz // w, pa.int64()),
+        "col": pa.array(nz % w, pa.int64()),
+        "n": pa.array(counts[nz], pa.int64()),
+    })
+
+
+def countmin_user_registers(sf_dir: str, d: int = CMS_D,
+                            w: int = CMS_W):
+    """CMS registers over ``events.user_id`` occurrences: bounded
+    per-block partials through the register_reduce tree — no exchange
+    of row data, ever."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return countmin_partial(
+            batch.column("user_id").to_numpy(zero_copy_only=False),
+            d, w)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["row", "col"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["row", "col", "n"])
+        return g.sort_by([("row", "ascending"), ("col", "ascending")])
+
+    from .bucketing import register_reduce
+    return register_reduce(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id"])
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=None), merge)
+
+
+def countmin_estimate(registers: pa.Table, key: int, d: int = CMS_D,
+                      w: int = CMS_W) -> int:
+    """Point frequency estimate (min over rows) from a register table —
+    the float-free helper kept separate from the integer contract."""
+    from .bucketing import mix64
+    h1 = mix64([np.array([key], np.int64)])
+    h2 = mix64([h1]) | np.uint64(1)
+    grid = np.zeros((d, w), np.int64)
+    grid[registers.column("row").to_numpy(),
+         registers.column("col").to_numpy()] = \
+        registers.column("n").to_numpy()
+    with np.errstate(over="ignore"):
+        cols = [int((h1[0] + np.uint64(r) * h2[0]) % np.uint64(w))
+                for r in range(d)]
+    return int(min(grid[r, c] for r, c in zip(range(d), cols)))

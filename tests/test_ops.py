@@ -86,7 +86,7 @@ SQL_CHECKED = [
     "media_phash_pairs", "media_audio_fp_pairs", "media_video_near_dup",
     "ann_topk_ivf", "ann_topk_lsh", "embedding_clusters",
     "semantic_dedup_pairs", "dedup_embedding_pairs_lsh",
-    "kg_kcore",
+    "kg_kcore", "countmin_users",
 ]
 
 
@@ -2138,3 +2138,36 @@ def test_kcore_planted(ray_session):
     pairs = [(f"v{rng.randrange(150)}", f"v{rng.randrange(150)}")
              for _ in range(450)]
     assert run(pairs, 3) == kcore_local(pairs, 3)
+
+
+def test_countmin_merge_and_estimate(ray_session):
+    """CMS partials are order-free mergeable integer registers, the
+    point estimate is >= the true count (one-sided error), and exact
+    for keys with no colliding cell."""
+    import numpy as np
+    import pyarrow as pa
+
+    from casie_ray.ops.sketch import (CMS_D, countmin_estimate,
+                                      countmin_partial)
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 50, 3000).astype(np.int64)
+
+    def merge(tables):
+        t = pa.concat_tables(tables)
+        g = t.group_by(["row", "col"]).aggregate([("n", "sum")])
+        return g.rename_columns(["row", "col", "n"]) \
+            .sort_by([("row", "ascending"), ("col", "ascending")])
+
+    whole = countmin_partial(ids).sort_by(
+        [("row", "ascending"), ("col", "ascending")])
+    split = merge([countmin_partial(ids[:1000]),
+                   countmin_partial(ids[1000:2500]),
+                   countmin_partial(ids[2500:])])
+    assert whole.equals(split)                      # mergeable
+    assert sum(whole.column("n").to_pylist()) == CMS_D * len(ids)
+    for key in range(50):
+        true = int(np.sum(ids == key))
+        assert countmin_estimate(whole, key) >= true   # one-sided
+    # a key absent from the stream can only over-estimate via collision
+    assert countmin_estimate(whole, 999_999) >= 0

@@ -328,6 +328,11 @@ def _media_phash_pairs(sf_dir: str):
     return media_phash_pairs_q(sf_dir)
 
 
+def _media_shot_boundaries(sf_dir: str):
+    from casie_ray.stages.multimodal import media_shot_boundaries_q
+    return media_shot_boundaries_q(sf_dir)
+
+
 def _media_audio_fp_pairs(sf_dir: str):
     from casie_ray.stages.multimodal import media_audio_fp_pairs_q
     return media_audio_fp_pairs_q(sf_dir)
@@ -371,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_pairs": _media_phash_pairs,
         "media_audio_fp_pairs": _media_audio_fp_pairs,
         "media_video_near_dup": _media_video_near_dup,
+        "media_shot_boundaries": _media_shot_boundaries,
         # --- never driver-checked in ANY round (registered post-r4-check) ---
         "kg_pred_bigrams": lambda d: _graphx.pred_bigrams(_edges_ds(d)),
         "conv_profiles": lambda d: _rel.conv_profiles(
@@ -620,6 +626,56 @@ def _countmin_sql(d: int = 4, w: int = 1024) -> str:
         SELECT CAST(row AS BIGINT) AS row, col,
                CAST(count(*) AS BIGINT) AS n
         FROM cells GROUP BY row, col"""
+
+
+def _media_shots_sql() -> str:
+    """DuckDB twin of media_shot_boundaries over the shot fixture:
+    reproduce nf / run / per-shot bit streams from the shared mix64
+    chain, compute the exact bit delta at every shot crossing, apply
+    the same threshold — no decoding."""
+    from casie_ray.stages.multimodal import (
+        FAM_SHOT_BITS, FAM_SHOT_COUNT, FAM_SHOT_LEN, SHOT_HAMMING_T,
+        SHOT_MIN_FRAMES,
+    )
+    mixn, endn = _mix64_sql_steps("sn", "ndocs", "nk")
+    mixr, endr = _mix64_sql_steps("sr", "rdocs", "rk")
+    mixa, enda = _mix64_sql_steps("sa", "bcells", "ak")
+    mixb, endb = _mix64_sql_steps("sb", f"{enda}", "bk2")
+    return f"""
+        WITH sdocs AS (SELECT CAST(doc_id AS BIGINT) AS d
+                       FROM documents),
+        ndocs AS (SELECT d, CAST(d * 8 + {FAM_SHOT_COUNT} AS UBIGINT)
+                         AS nk FROM sdocs),
+        {mixn},
+        rdocs AS (SELECT d,
+                         CAST(d * 8 + {FAM_SHOT_LEN} AS UBIGINT) AS rk,
+                         CAST({SHOT_MIN_FRAMES} + snhf % 5 AS BIGINT)
+                             AS nf
+                  FROM {endn}),
+        {mixr},
+        geo AS (SELECT d, nf, CAST(3 + srhf % 3 AS BIGINT) AS run
+                FROM {endr}),
+        cuts AS (SELECT d, t.fi AS fi, t.fi // run AS sub_a,
+                        t.fi // run - 1 AS sub_b
+                 FROM geo, generate_series(1, {SHOT_MIN_FRAMES + 3})
+                      t(fi)
+                 WHERE t.fi % run = 0 AND t.fi < nf),
+        bcells AS (SELECT d, fi, t.i AS i,
+                   CAST(((d * 32 + sub_a) * 64 + t.i) * 8
+                        + {FAM_SHOT_BITS} AS UBIGINT) AS ak,
+                   CAST(((d * 32 + sub_b) * 64 + t.i) * 8
+                        + {FAM_SHOT_BITS} AS UBIGINT) AS bk2
+                   FROM cuts, range(64) t(i)),
+        {mixa},
+        {mixb},
+        delta AS (SELECT d, fi,
+                  sum(CASE WHEN (sahf & CAST(1 AS UBIGINT)) <>
+                           (sbhf & CAST(1 AS UBIGINT))
+                           THEN 1 ELSE 0 END) AS db
+                  FROM {endb} GROUP BY d, fi)
+        SELECT d AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+               CAST(db AS BIGINT) AS delta_bits
+        FROM delta WHERE db >= {SHOT_HAMMING_T}"""
 
 
 def _bloom_registers_sql(segment: str = "BUILDING",
@@ -1228,6 +1284,7 @@ def oracle_sql() -> dict[str, str]:
             '{_ensure_gold_ann("/root/testdata/sf0.01")}/lsh_pairs.parquet')""",
         "media_phash_pairs": _media_phash_sql(),
         "media_audio_fp_pairs": _media_audio_fp_sql(),
+        "media_shot_boundaries": _media_shots_sql(),
         "media_video_near_dup": _media_video_sql(),
         "doc_mixture_sample": _cur.mixture_sample_sql(),
         "doc_ngrams": _text.doc_ngrams_sql(),

@@ -863,3 +863,117 @@ def video_near_dup_pairs(media_ds, every_k: int = FRAME_SAMPLE_EVERY,
     banded = fr.map_batches(rows, batch_format="pyarrow",
                             batch_size=None)
     return bucket_groupby(bucket_groupby(banded, pairs), final)
+
+
+# ---------------------------------------------------------------------------
+# Shot-boundary detection (video segmentation)
+# ---------------------------------------------------------------------------
+#
+# The classic pixel-delta cut detector: a frame starts a new shot when
+# its per-pixel distance to the previous frame exceeds a threshold.
+# On the two-value fixture frames the distance is integer-exact
+# (hamming of the 64 pixel bits x 192 gray levels), so the contract is
+# (media_id, frame_idx, delta_bits >= SHOT_HAMMING_T) — byte-identical
+# frames inside a shot give delta 0, independent shots expect ~32 of
+# 64 bits. A real build swaps the RAWV parser for ffmpeg/PyAV and the
+# bit-delta for a block-histogram distance in the SAME stage shape.
+#
+# The shot fixture (synthetic_shot_video) is a separate payload family
+# from the near-dup fixture: frames come in runs (shots) of
+# 3..5 byte-identical frames, shot content keyed by
+# (doc_id, shot_idx, FAM_SHOT_BITS) through the shared mix64 chain —
+# so the DuckDB twin reproduces every boundary and its exact bit delta
+# without decoding (the same integer-stream philosophy as the aHash /
+# audio-fingerprint twins above).
+
+FAM_SHOT_BITS = 5
+FAM_SHOT_COUNT = 6
+FAM_SHOT_LEN = 7
+SHOT_HAMMING_T = 16
+SHOT_MIN_FRAMES = 12
+
+
+def _fixture_shot_video_payload(doc_id: int) -> bytes:
+    from ..ops.bucketing import mix64
+    nf = SHOT_MIN_FRAMES + int(mix64(
+        [np.array([doc_id * 8 + FAM_SHOT_COUNT], np.uint64)])[0]
+        % np.uint64(5))
+    run = 3 + int(mix64(
+        [np.array([doc_id * 8 + FAM_SHOT_LEN], np.uint64)])[0]
+        % np.uint64(3))
+    frames = np.empty((nf, 8, 8, 3), np.uint8)
+    for fi in range(nf):
+        v = np.where(
+            _fixture_bits(doc_id, FAM_SHOT_BITS, sub=fi // run),
+            224, 32).astype(np.uint8)
+        frames[fi] = np.repeat(v, 3).reshape(8, 8, 3)
+    return encode_rawv(frames)
+
+
+def synthetic_shot_video(sf_dir: str):
+    """One shot-structured RAWV payload per document row."""
+    import ray.data
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = [int(x) for x in batch.column("doc_id").to_pylist()]
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(["video"] * len(ids), pa.string()),
+            "payload": pa.array(
+                [_fixture_shot_video_payload(d) for d in ids],
+                pa.binary()),
+            "source": pa.array(["synth"] * len(ids), pa.string()),
+        }).cast(MEDIA_SCHEMA)
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"]) \
+        .map_batches(gen, batch_format="pyarrow",
+                     batch_size=MEDIA_BATCH_SIZE)
+
+
+class ShotBoundaryStage:
+    """Actor-pool stage: decode RAWV payloads, threshold the per-frame
+    binarized pixel delta -> (media_id, frame_idx, delta_bits) rows,
+    one per detected cut. Non-video/undecodable rows are dropped."""
+
+    def __init__(self, hamming_t: int = SHOT_HAMMING_T):
+        self.t = hamming_t
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_fi, out_d = [], [], []
+        for mid, p in zip(batch.column("media_id").to_pylist(),
+                          batch.column("payload").to_pylist()):
+            p = p or b""
+            if p[:4] != RAWV_MAGIC:
+                continue
+            try:
+                frames, _fps = _rawv_frames(p)
+            except (ValueError, struct.error):
+                continue
+            # binarize on the green channel (two-value frames make the
+            # cut margin exact; a real detector uses a histogram here)
+            bits = frames[:, :, :, 1].reshape(len(frames), -1) > 128
+            if len(bits) < 2:
+                continue
+            delta = np.sum(bits[1:] != bits[:-1], axis=1)
+            hit = np.nonzero(delta >= self.t)[0]
+            out_id.extend([mid] * len(hit))
+            out_fi.extend((hit + 1).tolist())
+            out_d.extend(delta[hit].tolist())
+        return pa.table({
+            "media_id": pa.array(out_id, pa.int64()),
+            "frame_idx": pa.array(out_fi, pa.int64()),
+            "delta_bits": pa.array(out_d, pa.int64()),
+        })
+
+
+def media_shot_boundaries(media_ds, hamming_t: int = SHOT_HAMMING_T):
+    return media_ds.map_batches(
+        ShotBoundaryStage, fn_constructor_args=(hamming_t,),
+        concurrency=2, batch_size=MEDIA_BATCH_SIZE,
+        batch_format="pyarrow")
+
+
+def media_shot_boundaries_q(sf_dir: str):
+    """Driver query: shot cuts over the shot-structured fixture."""
+    return media_shot_boundaries(synthetic_shot_video(sf_dir))

@@ -357,3 +357,46 @@ def test_synthetic_media_fixture_deterministic_and_planted(ray_session):
     got_vid = set(zip(vid["media_a"], vid["media_b"]))
     assert planted_vid <= got_vid
     assert (vid["n_shared"] >= 2).all()
+
+
+def test_shot_boundaries_planted(ray_session):
+    """Shot fixture: cuts exactly at shot-length multiples (within-shot
+    frames are byte-identical -> delta 0), every detected delta is a
+    plausible cross-shot bit distance, and the count per video is
+    ceil(nf / run) - 1."""
+    import numpy as np
+
+    from casie_ray.stages.multimodal import (
+        SHOT_HAMMING_T, ShotBoundaryStage, _fixture_shot_video_payload,
+        _rawv_frames,
+    )
+    from casie_ray.ops.bucketing import mix64
+    from casie_ray.stages.multimodal import (FAM_SHOT_COUNT,
+                                             FAM_SHOT_LEN,
+                                             SHOT_MIN_FRAMES)
+
+    stage = ShotBoundaryStage()
+    for d in (0, 1, 7, 40, 123):
+        p = _fixture_shot_video_payload(d)
+        nf = SHOT_MIN_FRAMES + int(mix64(
+            [np.array([d * 8 + FAM_SHOT_COUNT], np.uint64)])[0]
+            % np.uint64(5))
+        run = 3 + int(mix64(
+            [np.array([d * 8 + FAM_SHOT_LEN], np.uint64)])[0]
+            % np.uint64(3))
+        assert len(_rawv_frames(p)[0]) == nf
+        out = stage(pa.table({
+            "media_id": pa.array([d], pa.int64()),
+            "payload": pa.array([p], pa.binary()),
+        }))
+        fis = out.column("frame_idx").to_pylist()
+        # cuts exactly at run multiples below nf
+        assert fis == [f for f in range(run, nf, run)]
+        assert all(x >= SHOT_HAMMING_T
+                   for x in out.column("delta_bits").to_pylist())
+    # non-video payloads are dropped, not errors
+    junk = stage(pa.table({
+        "media_id": pa.array([9], pa.int64()),
+        "payload": pa.array([b"BMnotavideo"], pa.binary()),
+    }))
+    assert junk.num_rows == 0

@@ -86,7 +86,7 @@ SQL_CHECKED = [
     "media_phash_pairs", "media_audio_fp_pairs", "media_video_near_dup",
     "ann_topk_ivf", "ann_topk_lsh", "embedding_clusters",
     "semantic_dedup_pairs", "dedup_embedding_pairs_lsh",
-    "kg_kcore", "countmin_users",
+    "kg_kcore", "countmin_users", "media_shot_boundaries",
 ]
 
 

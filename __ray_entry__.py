@@ -115,7 +115,7 @@ def _ensure_gold_ann(sf_dir: str) -> str:
 
     out = f"/tmp/casie_gold_ann/{os.path.basename(os.path.normpath(sf_dir))}"
     marker = os.path.join(out, "_GOLD_ANN")
-    version = "v1"
+    version = "v2"  # v2: + pq_codes (product-quantization assignment)
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == version:
@@ -132,6 +132,8 @@ def _ensure_gold_ann(sf_dir: str) -> str:
                    os.path.join(out, "lsh_topk.parquet"))
     pq.write_table(oracle_ann.lsh_pairs_local(sf_dir),
                    os.path.join(out, "lsh_pairs.parquet"))
+    pq.write_table(oracle_ann.pq_codes_local(sf_dir),
+                   os.path.join(out, "pq_codes.parquet"))
     with open(marker, "w") as f:
         f.write(version)
     return out
@@ -373,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family + k-core decomposition ---
         "kg_kcore": _kg_kcore,
         "countmin_users": lambda d: _sketch.countmin_user_registers(d),
+        "embedding_pq_codes": _ann.embedding_pq_codes,
         "media_phash_pairs": _media_phash_pairs,
         "media_audio_fp_pairs": _media_audio_fp_pairs,
         "media_video_near_dup": _media_video_near_dup,
@@ -1273,6 +1276,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_clusters": f"""
             SELECT vec_id, cluster FROM read_parquet(
             '{_ensure_gold_ann("/root/testdata/sf0.01")}/clusters.parquet')""",
+        "embedding_pq_codes": f"""
+            SELECT vec_id, sub, code FROM read_parquet(
+            '{_ensure_gold_ann("/root/testdata/sf0.01")}/pq_codes.parquet')""",
         "semantic_dedup_pairs": f"""
             SELECT vec_id_a, vec_id_b FROM read_parquet(
             '{_ensure_gold_ann("/root/testdata/sf0.01")}/sem_pairs.parquet')""",

@@ -569,3 +569,93 @@ def semantic_dedup_pairs(sf_dir: str, n_cells: int | None = None,
                                columns=["vec_id", "embedding"]) \
         .map_batches(assign, batch_format="pyarrow")
     return bucket_groupby(ds, cluster_pairs)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ codes) — the compression half of the
+# IVF+PQ recipe (Jégou et al. 2011) that makes billion-vector ANN fit
+# in memory: split each embedding into PQ_M contiguous sub-vectors and
+# store only the id of the nearest sub-codebook centroid (PQ_CODES
+# entries each, trained on the same layout-independent hash-sample the
+# IVF coarse quantizer uses). Assignment is argmin of the EXACT
+# integer squared L2 on the common 2^20 grid (diffs <= 2^21, squared
+# sums <= 2^46 over a 16-dim sub-block — int64-exact, so codes are
+# identical at any batch layout / parallelism and a sequential numpy
+# twin is the oracle, like the rest of the quantizer family).
+# ---------------------------------------------------------------------------
+
+PQ_M = 4
+PQ_CODES = 16
+PQ_ITERS = 8
+
+
+def _pq_assign_sub(x_sub: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """Exact-integer nearest sub-centroid (ties -> lowest code)."""
+    xq = np.round(x_sub.astype(np.float64) * Q_CENT).astype(np.int64)
+    cq = np.round(cb.astype(np.float64) * Q_CENT).astype(np.int64)
+    d = np.sum((xq[:, None, :] - cq[None, :, :]) ** 2, axis=2)
+    return np.argmin(d, axis=1).astype(np.int64)
+
+
+def train_pq_codebooks(sf_dir: str, m_sub: int = PQ_M,
+                       n_codes: int = PQ_CODES,
+                       iters: int = PQ_ITERS) -> np.ndarray:
+    """(m_sub, n_codes, dim // m_sub) float32 sub-codebooks: seeded
+    Lloyd's per sub-block over the hash-sample (assignment under the
+    exact integer metric, so training itself is reproducible)."""
+    m = _sample_embeddings(f"{sf_dir}/embeddings.parquet",
+                           max(IVF_SAMPLE, 8 * n_codes))
+    dim = m.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sd = dim // m_sub
+    books = np.empty((m_sub, n_codes, sd), np.float32)
+    for s in range(m_sub):
+        x = m[:, s * sd:(s + 1) * sd]
+        rng = np.random.default_rng(LSH_SEED + 1000 + s)
+        k = min(n_codes, len(x))
+        cb = x[rng.choice(len(x), size=k, replace=False)].copy()
+        for _ in range(iters):
+            a = _pq_assign_sub(x, cb)
+            sums = np.zeros((k, sd), np.float64)
+            np.add.at(sums, a, x.astype(np.float64))
+            counts = np.bincount(a, minlength=k)
+            nz = np.nonzero(counts > 0)[0]
+            cb[nz] = (sums[nz] / counts[nz, None]).astype(np.float32)
+        books[s, :k] = cb
+        if k < n_codes:          # degenerate tiny sample: pad by repeat
+            books[s, k:] = cb[0]
+    return books
+
+
+def embedding_pq_codes(sf_dir: str, m_sub: int = PQ_M,
+                       n_codes: int = PQ_CODES):
+    """(vec_id, sub, code) PQ assignment rows for every embedding —
+    the compressed representation an IVF+PQ index stores. Codebooks
+    broadcast once via ray.put; one streaming pass, no exchange."""
+    import ray
+    import ray.data
+
+    books_ref = ray.put(train_pq_codebooks(sf_dir, m_sub, n_codes))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        books = ray.get(books_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        m = _normalize_rows(emb_matrix(batch))
+        sd = m.shape[1] // len(books)
+        out_id, out_s, out_c = [], [], []
+        for s in range(len(books)):
+            code = _pq_assign_sub(m[:, s * sd:(s + 1) * sd], books[s])
+            out_id.append(ids)
+            out_s.append(np.full(len(ids), s, np.int64))
+            out_c.append(code)
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "sub": pa.array(np.concatenate(out_s), pa.int64()),
+            "code": pa.array(np.concatenate(out_c), pa.int64()),
+        })
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"]) \
+        .map_batches(assign, batch_format="pyarrow")

@@ -199,3 +199,28 @@ def semantic_pairs_local(sf_dir: str, n_cells: int | None = None,
     barr = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
     return pa.table({"vec_id_a": pa.array(aarr, pa.int64()),
                      "vec_id_b": pa.array(barr, pa.int64())})
+
+
+def pq_codes_local(sf_dir: str) -> pa.Table:
+    """Sequential (vec_id, sub, code) PQ assignment — shares the
+    trained codebooks (an input, like the IVF centroids) and
+    reimplements normalization + the exact-integer sub-assignment."""
+    from .ops.ann import PQ_M, train_pq_codebooks
+    ids, m = _load_all(sf_dir)
+    books = train_pq_codebooks(sf_dir)
+    sd = m.shape[1] // PQ_M
+    rows_id, rows_s, rows_c = [], [], []
+    for s in range(PQ_M):
+        xq = np.round(m[:, s * sd:(s + 1) * sd].astype(np.float64)
+                      * Q_CENT).astype(np.int64)
+        cq = np.round(books[s].astype(np.float64) * Q_CENT) \
+            .astype(np.int64)
+        d = np.sum((xq[:, None, :] - cq[None, :, :]) ** 2, axis=2)
+        rows_id.append(ids)
+        rows_s.append(np.full(len(ids), s, np.int64))
+        rows_c.append(np.argmin(d, axis=1).astype(np.int64))
+    return pa.table({
+        "vec_id": pa.array(np.concatenate(rows_id), pa.int64()),
+        "sub": pa.array(np.concatenate(rows_s), pa.int64()),
+        "code": pa.array(np.concatenate(rows_c), pa.int64()),
+    })

@@ -87,6 +87,7 @@ SQL_CHECKED = [
     "ann_topk_ivf", "ann_topk_lsh", "embedding_clusters",
     "semantic_dedup_pairs", "dedup_embedding_pairs_lsh",
     "kg_kcore", "countmin_users", "media_shot_boundaries",
+    "embedding_pq_codes",
 ]
 
 
@@ -2171,3 +2172,35 @@ def test_countmin_merge_and_estimate(ray_session):
         assert countmin_estimate(whole, key) >= true   # one-sided
     # a key absent from the stream can only over-estimate via collision
     assert countmin_estimate(whole, 999_999) >= 0
+
+
+def test_pq_codes_layout_independent(ray_session):
+    """PQ assignment is exact-integer: codes are identical whether the
+    table arrives in one batch or shuffled tiny batches, quantization
+    reconstruction beats a mismatched codebook, and every (vec, sub)
+    gets exactly one code."""
+    import numpy as np
+
+    from casie_ray.ops.ann import (PQ_M, _normalize_rows,
+                                   _pq_assign_sub, train_pq_codebooks)
+
+    sf = "/root/testdata/sf0.01"
+    books = train_pq_codebooks(sf)
+    assert books.shape[0] == PQ_M
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(f"{sf}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    m = _normalize_rows(np.asarray(t.column("embedding").to_pylist(),
+                                   np.float32))
+    sd = m.shape[1] // PQ_M
+    whole = _pq_assign_sub(m[:, :sd], books[0])
+    rng = np.random.default_rng(5)
+    perm = rng.permutation(len(m))
+    shuffled = _pq_assign_sub(m[perm][:, :sd], books[0])
+    assert (shuffled == whole[perm]).all()          # layout-free
+    # reconstruction with the trained book beats a rolled (wrong) book
+    err_good = np.linalg.norm(m[:, :sd] - books[0][whole], axis=1).mean()
+    err_bad = np.linalg.norm(
+        m[:, :sd] - np.roll(books[0], 1, axis=0)[whole], axis=1).mean()
+    assert err_good < err_bad

@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _kg_kcore,
         "countmin_users": lambda d: _sketch.countmin_user_registers(d),
         "embedding_pq_codes": _ann.embedding_pq_codes,
+        "events_window_dedup": _rel.events_window_dedup,
         "media_phash_pairs": _media_phash_pairs,
         "media_audio_fp_pairs": _media_audio_fp_pairs,
         "media_video_near_dup": _media_video_near_dup,
@@ -1507,6 +1508,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_extract": _rel.PROPS_EXTRACT_SQL,
         "bloom_segment_registers": _bloom_registers_sql(),
         "countmin_users": _countmin_sql(),
+        "events_window_dedup": _rel.events_window_dedup_sql(),
         # PCA registers: micro-unit quantized sums/Gram mod 2^64; the
         # ((s % M) + M) % M canonicalizes negative HUGEINT sums to the
         # engine's two's-complement uint64 residue

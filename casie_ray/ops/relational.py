@@ -715,6 +715,75 @@ def events_prev_gap(sf_dir: str):
     return bucket_groupby(ds, lag_gap)
 
 
+WINDOW_DEDUP_US = 21_600_000_000    # 6 h debounce window
+
+
+def events_window_dedup(sf_dir: str, window_us: int = WINDOW_DEDUP_US):
+    """Streaming debounce: keep an event iff it is the first
+    (user, type) occurrence or arrived more than ``window_us`` after
+    that user+type's PREVIOUS event — the retransmission/duplicate
+    filter every event-ingest pipeline runs before aggregation.
+    LAG semantics (gap measured to the previous event, kept or not),
+    so the operator is one (user, type)-keyed exchange + a vectorized
+    lexsort/diff per bucket — the ``events_prev_gap`` shape with a
+    filter, and exactly DuckDB's ``lag() OVER (PARTITION BY ...)``."""
+    from .bucketing import bucket_groupby, hash_bucket
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        et = batch.column("event_type").cast(pa.string())
+        from .bucketing import fnv1a_hashes
+        return pa.table({
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": et,
+            "t": batch.column("ts").cast(pa.int64()),
+            "bucket": pa.array(hash_bucket(
+                [uid, fnv1a_hashes(et.to_pylist())]), pa.int32()),
+        })
+
+    def debounce(group: pa.Table) -> pa.Table:
+        eid = group.column("event_id").to_numpy()
+        uid = group.column("user_id").to_numpy()
+        et = np.asarray(group.column("event_type").to_pylist(),
+                        dtype=object)
+        t = group.column("t").to_numpy()
+        order = np.lexsort((eid, t, et, uid))
+        eid, uid, et, t = eid[order], uid[order], et[order], t[order]
+        keep = np.ones(len(t), bool)
+        if len(t) > 1:
+            same = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+            keep[1:] = ~same | ((t[1:] - t[:-1]) > window_us)
+        k = pa.array(keep)
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()).filter(k),
+            "user_id": pa.array(uid, pa.int64()).filter(k),
+            "event_type": pa.array(et.astype(str), pa.string())
+                .filter(k),
+            "ts_us": pa.array(t, pa.int64()).filter(k),
+        })
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "ts"])
+    ds = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    return bucket_groupby(ds, debounce)
+
+
+def events_window_dedup_sql(window_us: int = WINDOW_DEDUP_US) -> str:
+    """DuckDB twin: lag() per (user, type), identical tie-break."""
+    return f"""
+        WITH g AS (
+          SELECT event_id, user_id, event_type,
+                 epoch_us(ts) AS ts_us,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS gap
+          FROM events)
+        SELECT event_id, user_id, event_type, ts_us
+        FROM g WHERE gap IS NULL OR gap > {window_us}"""
+
+
 # ---------------------------------------------------------------------------
 # Bucketed anti-join (keys on one side absent from the other)
 # ---------------------------------------------------------------------------

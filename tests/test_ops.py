@@ -87,7 +87,7 @@ SQL_CHECKED = [
     "ann_topk_ivf", "ann_topk_lsh", "embedding_clusters",
     "semantic_dedup_pairs", "dedup_embedding_pairs_lsh",
     "kg_kcore", "countmin_users", "media_shot_boundaries",
-    "embedding_pq_codes",
+    "embedding_pq_codes", "events_window_dedup",
 ]
 
 
@@ -2204,3 +2204,43 @@ def test_pq_codes_layout_independent(ray_session):
     err_bad = np.linalg.norm(
         m[:, :sd] - np.roll(books[0], 1, axis=0)[whole], axis=1).mean()
     assert err_good < err_bad
+
+
+def test_events_window_dedup_planted(ray_session, tmp_path):
+    """Debounce semantics: LAG gaps (not kept-anchor) — a burst of
+    events spaced just under the window keeps EVERY OTHER one only if
+    the gap to the previous event (kept or not) exceeds the window;
+    distinct (user, type) streams never interact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from casie_ray.ops import relational as rel
+
+    base = 1_700_000_000_000_000
+    w = rel.WINDOW_DEDUP_US
+    rows = []
+    # user 1 / click: burst at w/2 spacing -> only the first survives
+    for i in range(4):
+        rows.append((100 + i, 1, "click", base + i * (w // 2)))
+    # user 1 / view: same timestamps, separate stream -> same pattern
+    for i in range(2):
+        rows.append((200 + i, 1, "view", base + i * (w + 1)))
+    # user 2 / click: gaps just OVER the window -> all survive
+    for i in range(3):
+        rows.append((300 + i, 2, "click", base + i * (w + 1)))
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[3] for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq_.write_table(t, str(d / "events.parquet"))
+    got = sorted(r["event_id"]
+                 for r in rel.events_window_dedup(str(d)).take_all())
+    assert got == [100, 200, 201, 300, 301, 302]

@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_users": lambda d: _sketch.countmin_user_registers(d),
         "embedding_pq_codes": _ann.embedding_pq_codes,
         "events_window_dedup": _rel.events_window_dedup,
+        "kg_hits": lambda d: _graphx.hits(_edges_ds(d)),
         "media_phash_pairs": _media_phash_pairs,
         "media_audio_fp_pairs": _media_audio_fp_pairs,
         "media_video_near_dup": _media_video_near_dup,
@@ -1649,6 +1650,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": _retr.bm25_sql(),
         "vocab_collocations": _text.COLLOC_SQL,
         "kg_pagerank": _graphx.pagerank_sql(
+            f"{corpus_001}/gold_triples.parquet"),
+        "kg_hits": _graphx.hits_sql(
             f"{corpus_001}/gold_triples.parquet"),
         "kg_triangles": _graphx.triangles_sql(
             f"{corpus_001}/gold_triples.parquet"),

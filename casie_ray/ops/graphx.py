@@ -1592,3 +1592,209 @@ def kcore_sql(gold_kcore_path: str) -> str:
     return f"""
         SELECT CAST(node AS VARCHAR) AS node, CAST(deg AS BIGINT) AS deg
         FROM read_parquet('{gold_kcore_path}')"""
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (fixed-point integer, unrolled-SQL-checkable)
+# ---------------------------------------------------------------------------
+#
+# Kleinberg's HITS over the distinct directed edge set:
+#   a(d) <- sum over in-edges (s, d) of h(s)
+#   h(s) <- sum over out-edges (s, d) of a(d)
+# with an integer renormalization after every half-step
+# (val * HITS_SCALE // max(val)) replacing the float L2 norm — floor
+# division is deterministic and exactly expressible in DuckDB, so the
+# whole iteration unrolls into plain SQL like pagerank. Each half-step
+# is two bucketed exchanges (tagged-union join on the contributing
+# endpoint, then a reduce keyed by the receiving endpoint) with
+# node-sized inter-round state. Values are bounded by
+# max_degree * HITS_SCALE (renorm pins the vector max to HITS_SCALE),
+# so the renorm multiply stays under 2^63 up to ~9e12-degree hubs;
+# guarded by an explicit overflow assert rather than silent wrap.
+
+HITS_SCALE = 1_000_000
+HITS_ITERS = 2
+
+
+def _hits_distinct_edges(edges_ds):
+    def part(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "src": batch.column("subj").cast(pa.string()),
+            "dst": batch.column("obj").cast(pa.string()),
+        })
+        g = t.group_by(["src", "dst"]).aggregate([])
+        return g.append_column("bucket", _pair_bucket(
+            g.column("src"), g.column("dst")))
+
+    def distinct(group: pa.Table) -> pa.Table:
+        return group.group_by(["src", "dst"]).aggregate([])
+
+    return bucket_groupby(
+        edges_ds.map_batches(part, batch_format="pyarrow",
+                             batch_size=None), distinct).materialize()
+
+
+def _hits_half(vec, edges, key_col: str, other_col: str):
+    """One half-step: contributions flow from ``key_col`` (where the
+    current vector lives) to ``other_col``; returns the renormalized
+    receiving vector, materialized."""
+    import ray
+
+    def vec_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch.column("node"), "other": pa.nulls(n, pa.string()),
+            "val": batch.column("val"),
+            "bucket": _str_bucket(batch.column("node")),
+        })
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch.column(key_col), "other": batch.column(other_col),
+            "val": pa.nulls(n, pa.int64()),
+            "bucket": _str_bucket(batch.column(key_col)),
+        })
+
+    def contrib(group: pa.Table) -> pa.Table:
+        has_val = pc.is_valid(group.column("val"))
+        v = group.filter(has_val)
+        e = group.filter(pc.invert(has_val))
+        j = e.select(["key", "other"]).join(
+            v.select(["key", "val"]), keys="key", join_type="inner")
+        g = j.group_by(["other"]).aggregate([("val", "sum")])
+        g = g.rename_columns(["node", "val"])
+        return pa.table({
+            "node": g.column("node"),
+            "val": g.column("val").cast(pa.int64()),
+            "bucket": _str_bucket(g.column("node")),
+        })
+
+    def reduce_(group: pa.Table) -> pa.Table:
+        g = group.group_by(["node"]).aggregate([("val", "sum")])
+        g = g.rename_columns(["node", "val"])
+        return g.append_column("bucket", _str_bucket(g.column("node")))
+
+    mixed = vec.map_batches(vec_rows, batch_format="pyarrow").union(
+        edges.map_batches(edge_rows, batch_format="pyarrow"))
+    red = bucket_groupby(bucket_groupby(mixed, contrib), reduce_) \
+        .materialize()
+    mx = max(int(red.max("val") or 0), 1)
+    if mx > (1 << 62) // HITS_SCALE:
+        raise OverflowError("HITS renorm would overflow int64")
+
+    def renorm(batch: pa.Table) -> pa.Table:
+        v = batch.column("val").to_numpy()
+        return pa.table({
+            "node": batch.column("node"),
+            "val": pa.array(v * np.int64(HITS_SCALE) // np.int64(mx),
+                            pa.int64()),
+            "bucket": batch.column("bucket"),
+        })
+
+    return red.map_batches(renorm, batch_format="pyarrow").materialize()
+
+
+def hits(edges_ds, iters: int = HITS_ITERS):
+    """(node, hub, auth) integer HITS scores after ``iters`` full
+    iterations (vector max pinned at HITS_SCALE; nodes receiving no
+    mass score 0). Requires an active Ray session."""
+    e = _hits_distinct_edges(edges_ds)
+
+    def node_part(batch: pa.Table) -> pa.Table:
+        u = pc.unique(pa.concat_arrays([
+            batch.column("src").combine_chunks(),
+            batch.column("dst").combine_chunks()]))
+        return pa.table({"node": u, "bucket": _str_bucket(
+            pa.chunked_array([u]))})
+
+    def node_distinct(group: pa.Table) -> pa.Table:
+        g = group.group_by(["node"]).aggregate([])
+        return g.append_column("bucket", _str_bucket(g.column("node")))
+
+    nodes = bucket_groupby(
+        e.map_batches(node_part, batch_format="pyarrow",
+                      batch_size=None), node_distinct).materialize()
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("node"),
+            "val": pa.array(np.ones(batch.num_rows, np.int64)),
+            "bucket": batch.column("bucket"),
+        })
+
+    h = nodes.map_batches(ones, batch_format="pyarrow")
+    a = None
+    for _ in range(iters):
+        a = _hits_half(h, e, "src", "dst")
+        h = _hits_half(a, e, "dst", "src")
+
+    def tag(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            z = pa.array(np.zeros(n, np.int64))
+            return pa.table({
+                "node": batch.column("node"),
+                "hub": batch.column("val") if col == "hub" else z,
+                "auth": batch.column("val") if col == "auth" else z,
+                "bucket": batch.column("bucket"),
+            })
+        return fn
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(batch.num_rows, np.int64))
+        return pa.table({"node": batch.column("node"), "hub": z,
+                         "auth": z, "bucket": batch.column("bucket")})
+
+    mixed = h.map_batches(tag("hub"), batch_format="pyarrow") \
+        .union(a.map_batches(tag("auth"), batch_format="pyarrow")) \
+        .union(nodes.map_batches(zeros, batch_format="pyarrow"))
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(["node"]).aggregate(
+            [("hub", "sum"), ("auth", "sum")])
+        return g.rename_columns(["node", "hub", "auth"])
+
+    return bucket_groupby(mixed, fold)
+
+
+def hits_sql(triples_glob: str, iters: int = HITS_ITERS) -> str:
+    """Unrolled DuckDB twin: identical integer renorm per half-step."""
+    S = HITS_SCALE
+    frags = ["""e AS (SELECT DISTINCT CAST(subj AS VARCHAR) AS src,
+                            CAST(obj AS VARCHAR) AS dst
+                FROM read_parquet('{g}')),
+        nodes AS (SELECT src AS node FROM e
+                  UNION SELECT dst FROM e),
+        h0 AS (SELECT node, CAST(1 AS BIGINT) AS val FROM nodes)"""
+             .replace("{g}", triples_glob)]
+    prev_h = "h0"
+    a_name = None
+    for i in range(1, iters + 1):
+        a_raw, a_name = f"a{i}r", f"a{i}"
+        frags.append(f"""{a_raw} AS (
+            SELECT e.dst AS node, sum({prev_h}.val) AS raw
+            FROM e JOIN {prev_h} ON e.src = {prev_h}.node
+            GROUP BY e.dst)""")
+        frags.append(f"""{a_name} AS (
+            SELECT node, raw * {S} //
+                   greatest((SELECT max(raw) FROM {a_raw}), 1) AS val
+            FROM {a_raw})""")
+        h_raw, h_name = f"h{i}r", f"h{i}"
+        frags.append(f"""{h_raw} AS (
+            SELECT e.src AS node, sum({a_name}.val) AS raw
+            FROM e JOIN {a_name} ON e.dst = {a_name}.node
+            GROUP BY e.src)""")
+        frags.append(f"""{h_name} AS (
+            SELECT node, raw * {S} //
+                   greatest((SELECT max(raw) FROM {h_raw}), 1) AS val
+            FROM {h_raw})""")
+        prev_h = h_name
+    return f"""
+        WITH {', '.join(frags)}
+        SELECT n.node,
+               CAST(coalesce(h.val, 0) AS BIGINT) AS hub,
+               CAST(coalesce(a.val, 0) AS BIGINT) AS auth
+        FROM nodes n
+        LEFT JOIN {prev_h} h ON n.node = h.node
+        LEFT JOIN {a_name} a ON n.node = a.node"""

@@ -87,7 +87,7 @@ SQL_CHECKED = [
     "ann_topk_ivf", "ann_topk_lsh", "embedding_clusters",
     "semantic_dedup_pairs", "dedup_embedding_pairs_lsh",
     "kg_kcore", "countmin_users", "media_shot_boundaries",
-    "embedding_pq_codes", "events_window_dedup",
+    "embedding_pq_codes", "events_window_dedup", "kg_hits",
 ]
 
 
@@ -2244,3 +2244,30 @@ def test_events_window_dedup_planted(ray_session, tmp_path):
     got = sorted(r["event_id"]
                  for r in rel.events_window_dedup(str(d)).take_all())
     assert got == [100, 200, 201, 300, 301, 302]
+
+
+def test_hits_planted(ray_session):
+    """HITS on a planted star: the hub pointing at all authorities gets
+    hub = HITS_SCALE, pure authorities get auth = HITS_SCALE x their
+    in-share and hub 0; a disconnected sink node scores (0, 0)-free
+    rows consistent with the integer renorm."""
+    import pyarrow as pa
+    import ray.data
+
+    from casie_ray.ops.graphx import HITS_SCALE, hits
+
+    edges = pa.table({
+        "subj": ["hub", "hub", "hub", "x"],
+        "obj": ["a1", "a2", "a3", "a1"],
+    })
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits(ray.data.from_arrow(edges)).take_all()}
+    assert set(got) == {"hub", "x", "a1", "a2", "a3"}
+    # "hub" dominates the hub vector exactly
+    assert got["hub"] == (HITS_SCALE, 0)
+    # a1 has in-edges from both hubs -> the max authority
+    assert got["a1"][1] == HITS_SCALE
+    assert got["a2"] == got["a3"]           # symmetric authorities
+    assert got["a2"][0] == 0                # pure authorities
+    assert 0 < got["a2"][1] < HITS_SCALE
+    assert 0 < got["x"][0] < HITS_SCALE     # weaker hub

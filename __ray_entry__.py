@@ -371,8 +371,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # family, KG flagship family, similar_docs, kg_components), and the
     # 35 stalest r2/r3-green entries to refresh their evidence.
     return {
-        # --- new in r5 (never driver-checked): multimodal near-dup
-        # family + k-core decomposition ---
+        # --- new in r5 (never driver-checked): weighted SSSP +
+        # label-propagation communities + multimodal near-dup family
+        # + k-core decomposition ---
+        "kg_sssp": lambda d: _graphx.sssp(_edges_ds(d)),
+        "kg_communities": lambda d: _graphx.lp_communities(_edges_ds(d)),
         "kg_kcore": _kg_kcore,
         "countmin_users": lambda d: _sketch.countmin_user_registers(d),
         "embedding_pq_codes": _ann.embedding_pq_codes,
@@ -1664,6 +1667,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_neighbor_jaccard": _graphx.neighbor_jaccard_sql(
             f"{corpus_001}/gold_triples.parquet"),
         "kg_pred_bigrams": _graphx.pred_bigrams_sql(
+            f"{corpus_001}/gold_triples.parquet"),
+        "kg_sssp": _graphx.sssp_sql(
+            f"{corpus_001}/gold_triples.parquet"),
+        "kg_communities": _graphx.lp_communities_sql(
             f"{corpus_001}/gold_triples.parquet"),
         "conv_profiles": _rel.conv_profiles_sql(
             f"{corpus_001}/transcripts/*.parquet"),

@@ -1798,3 +1798,356 @@ def hits_sql(triples_glob: str, iters: int = HITS_ITERS) -> str:
         FROM nodes n
         LEFT JOIN {prev_h} h ON n.node = h.node
         LEFT JOIN {a_name} a ON n.node = a.node"""
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop weighted shortest paths (Bellman-Ford relaxation rounds)
+# ---------------------------------------------------------------------------
+# The KG-ops family has hop distances (bfs_reach) but no weighted
+# variant; entity-importance queries ("closest infrastructure to this
+# attacker, counting predicate cost") need one. Semantics: min total
+# weight over paths with <= SSSP_MAX_HOPS edges from the seed, over the
+# UNDIRECTED edge set, weight(src,dst) = min over that pair's
+# predicates of 1 + length(pred) % 4 — a deterministic positive integer
+# both dataflows derive identically, so the whole computation is
+# integer-exact against a depth-bounded recursive-CTE DuckDB twin.
+#
+# Shape: one symmetric min-weight edge exchange up front, then per
+# round ONE bucketed join (dist table + in-bucket edges -> relaxed
+# candidates) and ONE bucketed min-reduce — the same per-round cost
+# structure as pagerank/bfs_reach. Inter-round state is the node-sized
+# dist table; each round k yields exactly "min weight over <= k-edge
+# paths" (the Bellman-Ford DP), which is what the twin's `hops < H`
+# enumeration collapses to under min(). At 100 TB: rounds are fixed
+# (H), each round's join mass is the dist-adjacent edge set, and hot
+# seeds salt the same way the components labels do.
+
+SSSP_MAX_HOPS = 4
+_SSSP_WT_MOD = 4
+
+
+def _sssp_edges_partial(batch: pa.Table) -> pa.Table:
+    s = batch.column("subj").cast(pa.string()).combine_chunks()
+    o = batch.column("obj").cast(pa.string()).combine_chunks()
+    p = batch.column("pred").cast(pa.string()).combine_chunks()
+    ln = pc.utf8_length(p).to_numpy(zero_copy_only=False).astype(np.int64)
+    wt = pa.array(ln % _SSSP_WT_MOD + 1, pa.int64())
+    t = pa.table({"src": pa.concat_arrays([s, o]),
+                  "dst": pa.concat_arrays([o, s]),
+                  "wt": pa.concat_arrays([wt, wt])})
+    g = t.group_by(["src", "dst"]).aggregate([("wt", "min")])
+    g = g.rename_columns(["src", "dst", "wt"])
+    return g.append_column("bucket", _str_bucket(g.column("src")))
+
+
+def _sssp_edge_bucket(group: pa.Table) -> pa.Table:
+    g = group.group_by(["src", "dst"]).aggregate([("wt", "min")])
+    g = g.rename_columns(["src", "dst", "wt"])
+    return g.append_column("bucket", _str_bucket(g.column("src")))
+
+
+def _sssp_expand_bucket(group: pa.Table) -> pa.Table:
+    """One hash(src) bucket of dist rows (dst null) + weighted edge
+    rows: every dist row relaxes its in-bucket out-edges (full
+    Bellman-Ford round); dist rows pass through for the min-reduce."""
+    is_d = pc.is_valid(group.column("val"))
+    d = group.filter(is_d)
+    e = group.filter(pc.invert(is_d))
+    j = e.select(["src", "dst", "wt"]).join(
+        pa.table({"src": d.column("src"), "val": d.column("val")}),
+        keys="src", join_type="inner")
+    node = pa.concat_arrays([
+        d.column("src").combine_chunks(),
+        j.column("dst").combine_chunks()])
+    dist = pa.concat_arrays([
+        d.column("val").combine_chunks(),
+        pc.add(j.column("val"), j.column("wt")).cast(pa.int64())
+        .combine_chunks()])
+    return pa.table({
+        "node": node, "dist": dist,
+        "bucket": _str_bucket(pa.chunked_array([node])),
+    })
+
+
+def _sssp_min_bucket(group: pa.Table) -> pa.Table:
+    g = group.group_by(["node"]).aggregate([("dist", "min")])
+    g = g.rename_columns(["node", "dist"])
+    return g.append_column("bucket", _str_bucket(g.column("node")))
+
+
+def sssp(edges_ds, seed: str | None = None,
+         max_hops: int = SSSP_MAX_HOPS):
+    """(node, dist): minimum predicate-weighted distance from ``seed``
+    over paths of <= ``max_hops`` edges on the undirected KG (weights
+    ``1 + len(pred) % 4``, min per pair). Default seed = lexicographic
+    minimum endpoint, computed with a per-block combiner + one-task
+    merge (never a driver fold). Requires an active Ray session."""
+    sp = edges_ds.map_batches(_sssp_edges_partial,
+                              batch_format="pyarrow", batch_size=None)
+    edges = bucket_groupby(sp, _sssp_edge_bucket).materialize()
+
+    if seed is None:
+        def min_partial(batch: pa.Table) -> pa.Table:
+            m = pc.min(batch.column("src"))
+            return pa.table({"node": pa.array([m.as_py()], pa.string())})
+
+        def min_merge(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": pa.array(
+                [pc.min(batch.column("node")).as_py()], pa.string())})
+
+        seed = edges.map_batches(min_partial, batch_format="pyarrow",
+                                 batch_size=None) \
+            .repartition(1) \
+            .map_batches(min_merge, batch_format="pyarrow",
+                         batch_size=None).take_all()[0]["node"]
+
+    import ray.data
+    dist = ray.data.from_arrow(pa.table({
+        "node": pa.array([seed], pa.string()),
+        "dist": pa.array([0], pa.int64()),
+        "bucket": _str_bucket(pa.chunked_array(
+            [pa.array([seed], pa.string())])),
+    }))
+
+    def dist_as_src_row(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "src": batch.column("node"),
+            "dst": pa.nulls(n, pa.string()),
+            "wt": pa.nulls(n, pa.int64()),
+            "val": batch.column("dist"),
+            "bucket": batch.column("bucket"),
+        })
+
+    def edge_row(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "src": batch.column("src"),
+            "dst": batch.column("dst"),
+            "wt": batch.column("wt"),
+            "val": pa.nulls(n, pa.int64()),
+            "bucket": batch.column("bucket"),
+        })
+
+    for _ in range(max_hops):
+        mixed = dist.map_batches(dist_as_src_row,
+                                 batch_format="pyarrow") \
+            .union(edges.map_batches(edge_row, batch_format="pyarrow"))
+        expanded = bucket_groupby(mixed, _sssp_expand_bucket)
+        dist = bucket_groupby(expanded, _sssp_min_bucket).materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"),
+                         "dist": batch.column("dist")})
+
+    return dist.map_batches(finish, batch_format="pyarrow")
+
+
+def sssp_local(edges: list[tuple[str, str, str]],
+               max_hops: int = SSSP_MAX_HOPS) -> dict[str, int]:
+    """Sequential Bellman-Ford oracle for tests over (subj, pred, obj)
+    triples — identical weight rule and hop bound."""
+    INF = 1 << 60
+    w: dict[tuple[str, str], int] = {}
+    for s, p, o in edges:
+        wt = len(p) % _SSSP_WT_MOD + 1
+        for a, b in ((s, o), (o, s)):
+            k = (a, b)
+            if wt < w.get(k, INF):
+                w[k] = wt
+    if not w:
+        return {}
+    seed = min(a for a, _ in w)
+    dist = {seed: 0}
+    for _ in range(max_hops):
+        nxt = dict(dist)
+        for (a, b), wt in w.items():
+            if a in dist and dist[a] + wt < nxt.get(b, INF):
+                nxt[b] = dist[a] + wt
+        dist = nxt
+    return dist
+
+
+def sssp_sql(triples_glob: str, max_hops: int = SSSP_MAX_HOPS) -> str:
+    """DuckDB twin: hop-bounded recursive CTE over the symmetric
+    min-weight edge set; min accumulated weight per node collapses the
+    path enumeration to the engine's Bellman-Ford DP."""
+    return f"""
+        WITH RECURSIVE b AS (
+          SELECT CAST(subj AS VARCHAR) AS s, CAST(obj AS VARCHAR) AS o,
+                 1 + length(CAST(pred AS VARCHAR)) % {_SSSP_WT_MOD} AS wt
+          FROM read_parquet('{triples_glob}')
+        ), e AS (
+          SELECT src, dst, min(wt) AS wt FROM (
+            SELECT s AS src, o AS dst, wt FROM b
+            UNION ALL SELECT o, s, wt FROM b)
+          GROUP BY src, dst
+        ), r(node, hops, w) AS (
+          SELECT (SELECT min(src) FROM e), 0, 0
+          UNION
+          SELECT e.dst, r.hops + 1, r.w + e.wt
+          FROM r JOIN e ON e.src = r.node
+          WHERE r.hops < {max_hops}
+        )
+        SELECT node, CAST(min(w) AS BIGINT) AS dist FROM r GROUP BY node"""
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (synchronous, fixed rounds)
+# ---------------------------------------------------------------------------
+# Community structure over the entity graph (which actors/orgs/CVEs
+# cluster together) — the classic complement to connected components:
+# components give reachability classes, label propagation gives dense
+# sub-groups. Deterministic variant: every node starts labeled with
+# itself; each of LP_ROUNDS synchronous rounds relabels EVERY node with
+# the most frequent label among its (undirected) neighbors, ties broken
+# by the lexicographically smallest label. Fixed rounds + deterministic
+# tie-break make the result exactly reproducible at any parallelism,
+# so the whole iteration unrolls into plain windowed DuckDB SQL.
+#
+# Shape per round: ONE bucketed join (labels + dst-keyed edges -> per
+# (node, neighbor-label) partial counts) and ONE bucketed argmax
+# reduce — two exchanges per round over edge mass, node-sized
+# inter-round state, exactly the components/pagerank cost class.
+
+LP_ROUNDS = 3
+
+
+def _lp_join_bucket(group: pa.Table) -> pa.Table:
+    """One hash(key) bucket of label rows (other null) + edge rows
+    keyed by dst: attach dst labels, emit per-(src, label) partial
+    counts bucketed by src."""
+    has_lab = pc.is_valid(group.column("lab"))
+    l = group.filter(has_lab)
+    e = group.filter(pc.invert(has_lab))
+    j = e.select(["key", "other"]).join(
+        l.select(["key", "lab"]), keys="key", join_type="inner")
+    g = j.group_by(["other", "lab"]).aggregate([([], "count_all")])
+    g = g.rename_columns(["node", "lab", "n"])
+    return pa.table({
+        "node": g.column("node"), "lab": g.column("lab"),
+        "n": g.column("n").cast(pa.int64()),
+        "bucket": _str_bucket(g.column("node")),
+    })
+
+
+def _lp_argmax_bucket(group: pa.Table) -> pa.Table:
+    """Sum the per-(node, label) partials, then per node keep the
+    (count desc, label asc) argmax — vectorized first-of-sorted-run."""
+    g = group.group_by(["node", "lab"]).aggregate([("n", "sum")])
+    g = g.rename_columns(["node", "lab", "n"])
+    idx = pc.sort_indices(g, sort_keys=[
+        ("node", "ascending"), ("n", "descending"),
+        ("lab", "ascending")])
+    g = g.take(idx)
+    codes = g.column("node").combine_chunks().dictionary_encode() \
+        .indices.to_numpy(zero_copy_only=False)
+    first = np.ones(len(codes), bool)
+    if len(codes) > 1:
+        first[1:] = codes[1:] != codes[:-1]
+    out = g.filter(pa.array(first))
+    return pa.table({
+        "node": out.column("node"), "label": out.column("lab"),
+        "bucket": _str_bucket(out.column("node")),
+    })
+
+
+def lp_communities(edges_ds, rounds: int = LP_ROUNDS):
+    """(node, label) after ``rounds`` synchronous label-propagation
+    rounds over the undirected distinct edge set (most-frequent
+    neighbor label, ties -> smallest). Requires an active Ray
+    session."""
+    sp = edges_ds.map_batches(_bfs_sym_partial, batch_format="pyarrow",
+                              batch_size=None)
+    sym = bucket_groupby(sp, _bfs_sym_bucket).materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch.column("src").combine_chunks())
+        return pa.table({"node": u, "label": u, "bucket": _str_bucket(
+            pa.chunked_array([u]))})
+
+    def label_distinct(group: pa.Table) -> pa.Table:
+        g = group.group_by(["node", "label"]).aggregate([])
+        return g.append_column("bucket", _str_bucket(g.column("node")))
+
+    labels = bucket_groupby(
+        sym.map_batches(init_labels, batch_format="pyarrow",
+                        batch_size=None), label_distinct).materialize()
+
+    def lab_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch.column("node"),
+            "other": pa.nulls(n, pa.string()),
+            "lab": batch.column("label"),
+            "bucket": batch.column("bucket"),
+        })
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch.column("dst"),
+            "other": batch.column("src"),
+            "lab": pa.nulls(n, pa.string()),
+            "bucket": _str_bucket(batch.column("dst")),
+        })
+
+    for _ in range(rounds):
+        mixed = labels.map_batches(lab_rows, batch_format="pyarrow") \
+            .union(sym.map_batches(edge_rows, batch_format="pyarrow"))
+        counted = bucket_groupby(mixed, _lp_join_bucket)
+        labels = bucket_groupby(counted, _lp_argmax_bucket).materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"),
+                         "label": batch.column("label")})
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def lp_communities_local(pairs: list[tuple[str, str]],
+                         rounds: int = LP_ROUNDS) -> dict[str, str]:
+    """Sequential synchronous label-propagation oracle for tests."""
+    from collections import Counter, defaultdict
+
+    adj: dict[str, set] = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n in adj:
+            cnt = Counter(lab[v] for v in adj[n])
+            nxt[n] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = nxt
+    return lab
+
+
+def lp_communities_sql(triples_glob: str,
+                       rounds: int = LP_ROUNDS) -> str:
+    """Unrolled DuckDB twin: per round, count neighbor labels over the
+    symmetric distinct edge set and keep the (count desc, label asc)
+    window argmax — identical tie-break to the engine."""
+    frags = [f"""e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT CAST(subj AS VARCHAR) AS src,
+                   CAST(obj AS VARCHAR) AS dst
+            FROM read_parquet('{triples_glob}')
+            UNION ALL
+            SELECT CAST(obj AS VARCHAR), CAST(subj AS VARCHAR)
+            FROM read_parquet('{triples_glob}'))),
+        l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e)"""]
+    for i in range(1, rounds + 1):
+        frags.append(f"""c{i} AS (
+          SELECT e.src AS node, l.lab, count(*) AS n
+          FROM e JOIN l{i - 1} l ON e.dst = l.node
+          GROUP BY e.src, l.lab)""")
+        frags.append(f"""l{i} AS (
+          SELECT node, lab FROM (
+            SELECT node, lab, row_number() OVER (
+              PARTITION BY node ORDER BY n DESC, lab) AS rk
+            FROM c{i}) WHERE rk = 1)""")
+    return f"""
+        WITH {', '.join(frags)}
+        SELECT node, lab AS label FROM l{rounds}"""

@@ -88,6 +88,7 @@ SQL_CHECKED = [
     "semantic_dedup_pairs", "dedup_embedding_pairs_lsh",
     "kg_kcore", "countmin_users", "media_shot_boundaries",
     "embedding_pq_codes", "events_window_dedup", "kg_hits",
+    "kg_sssp", "kg_communities",
 ]
 
 
@@ -2271,3 +2272,72 @@ def test_hits_planted(ray_session):
     assert got["a2"][0] == 0                # pure authorities
     assert 0 < got["a2"][1] < HITS_SCALE
     assert 0 < got["x"][0] < HITS_SCALE     # weaker hub
+
+
+def test_sssp_planted(ray_session):
+    """Bounded-hop weighted shortest paths: a line graph with known
+    predicate weights gives exact prefix sums up to the hop bound and
+    EXCLUDES nodes past it; a shortcut edge with a heavier weight wins
+    only when its total is smaller; random graph == sequential
+    Bellman-Ford twin."""
+    import pyarrow as pa
+    import ray.data
+
+    from casie_ray.ops.graphx import sssp, sssp_local
+
+    def run(triples, **kw):
+        ds = ray.data.from_arrow(pa.table(
+            {"subj": [a for a, _, _ in triples],
+             "pred": [p for _, p, _ in triples],
+             "obj": [b for _, _, b in triples]}))
+        return {r["node"]: r["dist"] for r in sssp(ds, **kw).take_all()}
+
+    # len("p")=1 -> wt 2; len("pppp")=4 -> wt 1 (4 % 4 == 0)
+    line = [(f"a{i}", "p", f"a{i+1}") for i in range(6)]
+    got = run(line)
+    # seed a0; hops capped at 4 -> a5, a6 unreachable
+    assert got == {f"a{i}": 2 * i for i in range(5)}
+    assert got == sssp_local(line)
+    # shortcut a0 -> a3 with wt 1 beats the 3x2 path
+    short = line + [("a0", "pppp", "a3")]
+    got2 = run(short)
+    assert got2["a3"] == 1 and got2["a4"] == 3
+    assert got2 == sssp_local(short)
+    # random graph: engine == sequential DP at the same hop bound
+    rng = random.Random(23)
+    preds = ["t", "us", "fix", "disc"]
+    tri = [(f"v{rng.randrange(80)}", rng.choice(preds),
+            f"v{rng.randrange(80)}") for _ in range(260)]
+    assert run(tri) == sssp_local(tri)
+
+
+def test_lp_communities_planted(ray_session):
+    """Synchronous label propagation: two planted cliques joined by a
+    single bridge edge each converge to their own min label; the
+    deterministic (count desc, label asc) tie-break matches the
+    sequential twin on a random graph."""
+    import pyarrow as pa
+    import ray.data
+
+    from casie_ray.ops.graphx import lp_communities, lp_communities_local
+
+    def run(pairs):
+        ds = ray.data.from_arrow(pa.table(
+            {"subj": [a for a, _ in pairs],
+             "pred": ["k"] * len(pairs),
+             "obj": [b for _, b in pairs]}))
+        return {r["node"]: r["label"]
+                for r in lp_communities(ds).take_all()}
+
+    cl1 = [(f"a{i}", f"a{j}") for i in range(5) for j in range(i + 1, 5)]
+    cl2 = [(f"b{i}", f"b{j}") for i in range(5) for j in range(i + 1, 5)]
+    bridge = [("a0", "b0")]
+    got = run(cl1 + cl2 + bridge)
+    assert {got[f"a{i}"] for i in range(5)} == {"a0"}
+    assert {got[f"b{i}"] for i in range(1, 5)} == {"b0"}
+    assert got == lp_communities_local(cl1 + cl2 + bridge)
+    rng = random.Random(31)
+    pairs = [(f"v{rng.randrange(120)}", f"v{rng.randrange(120)}")
+             for _ in range(380)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    assert run(pairs) == lp_communities_local(pairs)

@@ -2151,3 +2151,85 @@ def lp_communities_sql(triples_glob: str,
     return f"""
         WITH {', '.join(frags)}
         SELECT node, lab AS label FROM l{rounds}"""
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition counts (per-conversation Markov bigrams)
+# ---------------------------------------------------------------------------
+# What follows what: within each conversation, order the extracted KG
+# events by (turn_idx, event_id) and count consecutive (etype ->
+# etype) transitions — the first-order Markov structure of the attack
+# narratives ("DiscoverVulnerability -> PatchVulnerability" vs
+# "Databreach -> Ransom"). One conv-keyed exchange (conversations are
+# already the engine's partitioning unit, so at scale this exchange is
+# a near-no-op over the conv-partitioned layout), vectorized
+# sort+shift per bucket, then a tiny etype-keyed reduce (<= 25 rows).
+
+def _etrans_partial(batch: pa.Table) -> pa.Table:
+    g = batch.select(["conv_id", "turn_idx", "event_id", "etype"])
+    return g.append_column("bucket", _str_bucket(g.column("conv_id")))
+
+
+def _etrans_bucket(group: pa.Table) -> pa.Table:
+    """One hash(conv_id) bucket holding complete conversations: order
+    by (conv_id, turn_idx, event_id), pair each event with its
+    predecessor in the same conversation, emit partial (from, to, n)
+    counts."""
+    idx = pc.sort_indices(group, sort_keys=[
+        ("conv_id", "ascending"), ("turn_idx", "ascending"),
+        ("event_id", "ascending")])
+    g = group.take(idx)
+    conv = g.column("conv_id").combine_chunks().dictionary_encode() \
+        .indices.to_numpy(zero_copy_only=False)
+    et = g.column("etype").combine_chunks()
+    if len(conv) < 2:
+        return pa.table({
+            "etype_from": pa.array([], pa.string()),
+            "etype_to": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int32()),
+        })
+    same = pa.array(conv[1:] == conv[:-1])
+    pairs = pa.table({
+        "etype_from": et.slice(0, len(et) - 1),
+        "etype_to": et.slice(1),
+    }).filter(same)
+    c = pairs.group_by(["etype_from", "etype_to"]) \
+        .aggregate([([], "count_all")])
+    c = c.rename_columns(["etype_from", "etype_to", "n"])
+    return pa.table({
+        "etype_from": c.column("etype_from"),
+        "etype_to": c.column("etype_to"),
+        "n": c.column("n").cast(pa.int64()),
+        "bucket": _str_bucket(c.column("etype_from")),
+    })
+
+
+def _etrans_reduce(group: pa.Table) -> pa.Table:
+    g = group.group_by(["etype_from", "etype_to"]) \
+        .aggregate([("n", "sum")])
+    return g.rename_columns(["etype_from", "etype_to", "n"])
+
+
+def event_transitions(events_ds):
+    """(etype_from, etype_to, n): counts of consecutive event-type
+    pairs within each conversation under (turn_idx, event_id)
+    ordering. Requires an active Ray session."""
+    sp = events_ds.map_batches(_etrans_partial, batch_format="pyarrow",
+                               batch_size=None)
+    partials = bucket_groupby(sp, _etrans_bucket)
+    return bucket_groupby(partials, _etrans_reduce)
+
+
+def event_transitions_sql(events_glob: str) -> str:
+    """DuckDB twin: LAG over the identical (turn_idx, event_id)
+    ordering per conversation."""
+    return f"""
+        WITH s AS (
+          SELECT conv_id, etype,
+                 lag(etype) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx, event_id) AS prev
+          FROM read_parquet('{events_glob}'))
+        SELECT prev AS etype_from, etype AS etype_to,
+               CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE prev IS NOT NULL GROUP BY prev, etype"""

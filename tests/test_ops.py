@@ -88,7 +88,7 @@ SQL_CHECKED = [
     "semantic_dedup_pairs", "dedup_embedding_pairs_lsh",
     "kg_kcore", "countmin_users", "media_shot_boundaries",
     "embedding_pq_codes", "events_window_dedup", "kg_hits",
-    "kg_sssp", "kg_communities",
+    "kg_sssp", "kg_communities", "kg_event_transitions",
 ]
 
 
@@ -2341,3 +2341,35 @@ def test_lp_communities_planted(ray_session):
              for _ in range(380)]
     pairs = [(a, b) for a, b in pairs if a != b]
     assert run(pairs) == lp_communities_local(pairs)
+
+
+def test_event_transitions_planted(ray_session):
+    """Markov transition counts: a planted conversation with a known
+    event order yields exactly its consecutive pairs; conversations
+    never leak into each other; within-turn order follows event_id
+    string order (the SQL twin's LAG ordering)."""
+    import pyarrow as pa
+    import ray.data
+
+    from casie_ray.ops.graphx import event_transitions
+
+    t = pa.table({
+        "conv_id": ["c1"] * 4 + ["c2"] * 2,
+        "turn_idx": [1, 3, 3, 9, 2, 5],
+        # turn 3 holds two events; "c1:3:11" < "c1:3:9" as strings
+        "event_id": ["c1:1:0", "c1:3:9", "c1:3:11", "c1:9:0",
+                     "c2:2:0", "c2:5:0"],
+        "etype": ["Phishing", "Databreach", "Ransom", "Ransom",
+                  "Databreach", "Phishing"],
+    })
+    got = sorted((r["etype_from"], r["etype_to"], r["n"])
+                 for r in event_transitions(
+                     ray.data.from_arrow(t)).take_all())
+    # c1 order: Phishing -> Ransom (id "11" sorts first) ->
+    # Databreach -> Ransom; c2: Databreach -> Phishing
+    assert got == [
+        ("Databreach", "Phishing", 1),
+        ("Databreach", "Ransom", 1),
+        ("Phishing", "Ransom", 1),
+        ("Ransom", "Databreach", 1),
+    ]

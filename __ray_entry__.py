@@ -378,6 +378,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": lambda d: _graphx.lp_communities(_edges_ds(d)),
         "kg_event_transitions": lambda d: _graphx.event_transitions(
             _events_ds(d)),
+        "kg_assortativity": lambda d: _graphx.assortativity_registers(
+            _edges_ds(d)),
         "kg_kcore": _kg_kcore,
         "countmin_users": lambda d: _sketch.countmin_user_registers(d),
         "embedding_pq_codes": _ann.embedding_pq_codes,
@@ -1676,6 +1678,8 @@ def oracle_sql() -> dict[str, str]:
             f"{corpus_001}/gold_triples.parquet"),
         "kg_event_transitions": _graphx.event_transitions_sql(
             f"{corpus_001}/gold_kg_events.parquet"),
+        "kg_assortativity": _graphx.assortativity_sql(
+            f"{corpus_001}/gold_triples.parquet"),
         "conv_profiles": _rel.conv_profiles_sql(
             f"{corpus_001}/transcripts/*.parquet"),
         "similar_docs": _retr.similar_docs_sql(),

@@ -2233,3 +2233,146 @@ def event_transitions_sql(events_glob: str) -> str:
         SELECT prev AS etype_from, etype AS etype_to,
                CAST(count(*) AS BIGINT) AS n
         FROM s WHERE prev IS NOT NULL GROUP BY prev, etype"""
+
+
+# ---------------------------------------------------------------------------
+# Degree-assortativity registers (exact integer graph statistic)
+# ---------------------------------------------------------------------------
+# Does the KG wire hubs to hubs or hubs to leaves? Pearson degree
+# assortativity answers it, and its numerator/denominator decompose
+# into four integer sums over the symmetric half-edge set — so the op
+# ships REGISTERS (the same contract class as the HLL / count-min /
+# bloom entries): one row (n_halfedges, sum_deg, sum_deg_sq,
+# sum_deg_prod) over the simple undirected graph, from which the float
+# coefficient is one driver-side formula. Exact at any parallelism.
+#
+# Shape: symmetric distinct edge exchange -> in-bucket degree count
+# (each src bucket holds ALL of a node's edges) -> one join exchange
+# attaching deg(src) to each half-edge keyed by dst -> one join
+# exchange attaching deg(dst) -> per-bucket integer partial sums ->
+# single-row merge. Register mass is constant; edge mass crosses two
+# joins, the co_mention/pagerank cost class.
+
+def _assort_deg_bucket(group: pa.Table) -> pa.Table:
+    """src-keyed bucket of symmetric edges: global (src, dst) dedup
+    happens HERE (all copies of a pair share the src bucket), then
+    per-node degree rows plus the bucket's half-edges re-keyed by dst
+    carrying deg(src) — both emitted in one pass, tagged by null
+    columns."""
+    group = group.group_by(["src", "dst"]).aggregate([])
+    g = group.group_by(["src"]).aggregate([([], "count_all")])
+    g = g.rename_columns(["node", "deg"])
+    deg_rows = pa.table({
+        "key": g.column("node"),
+        "deg_src": pa.nulls(g.num_rows, pa.int64()),
+        "deg": g.column("deg").cast(pa.int64()),
+        "bucket": _str_bucket(g.column("node")),
+    })
+    j = group.select(["src", "dst"]).join(
+        pa.table({"src": g.column("node"),
+                  "d": g.column("deg").cast(pa.int64())}),
+        keys="src", join_type="inner")
+    edge_rows = pa.table({
+        "key": j.column("dst"),
+        "deg_src": j.column("d"),
+        "deg": pa.nulls(j.num_rows, pa.int64()),
+        "bucket": _str_bucket(j.column("dst")),
+    })
+    return pa.concat_tables([deg_rows, edge_rows])
+
+
+def _assort_sum_bucket(group: pa.Table) -> pa.Table:
+    """dst-keyed bucket of half-edges (deg null) + degree rows: attach
+    deg(dst), emit one integer partial-sum register row."""
+    is_deg = pc.is_valid(group.column("deg"))
+    d = group.filter(is_deg)
+    e = group.filter(pc.invert(is_deg))
+    j = e.select(["key", "deg_src"]).join(
+        pa.table({"key": d.column("key"), "deg_dst": d.column("deg")}),
+        keys="key", join_type="inner")
+    x = j.column("deg_src").to_numpy(zero_copy_only=False)
+    y = j.column("deg_dst").to_numpy(zero_copy_only=False)
+    # mirror the SQL twin's HUGEINT-then-CAST: fail loudly instead of
+    # wrapping if max_deg^2 x half-edges could leave int64
+    if len(x) and int(x.max()) ** 2 * len(x) > (1 << 62):
+        raise OverflowError(
+            "assortativity sum_deg_sq partial would overflow int64")
+    return pa.table({
+        "n_halfedges": pa.array([len(x)], pa.int64()),
+        "sum_deg": pa.array([int(x.sum())], pa.int64()),
+        "sum_deg_sq": pa.array([int((x * x).sum())], pa.int64()),
+        "sum_deg_prod": pa.array([int((x * y).sum())], pa.int64()),
+    })
+
+
+def assortativity_registers(edges_ds):
+    """Single-row integer registers (n_halfedges, sum_deg, sum_deg_sq,
+    sum_deg_prod) over the symmetric distinct simple graph — the exact
+    sufficient statistics for Pearson degree assortativity (x = deg of
+    a half-edge's source, symmetric so sum over x == sum over y).
+    Requires an active Ray session."""
+    sp = edges_ds.map_batches(_bfs_sym_partial, batch_format="pyarrow",
+                              batch_size=None)
+    mixed = bucket_groupby(sp, _assort_deg_bucket)
+    parts = bucket_groupby(mixed, _assort_sum_bucket)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        # <= N_GRAPH_BUCKETS register rows: sum in unbounded Python
+        # ints and fail loudly (like the twin's HUGEINT CAST) if the
+        # total leaves int64
+        out = {}
+        for c in ("n_halfedges", "sum_deg", "sum_deg_sq",
+                  "sum_deg_prod"):
+            v = sum(batch.column(c).to_pylist())
+            if v >= (1 << 63):
+                raise OverflowError(f"assortativity {c} overflows int64")
+            out[c] = pa.array([v], pa.int64())
+        return pa.table(out)
+
+    return parts.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None)
+
+
+def assortativity_local(pairs: list[tuple[str, str]]) -> dict[str, int]:
+    """Sequential register oracle for tests."""
+    from collections import defaultdict
+
+    adj: dict[str, set] = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    n = s = s2 = sp_ = 0
+    for u in adj:
+        for v in adj[u]:
+            n += 1
+            s += len(adj[u])
+            s2 += len(adj[u]) ** 2
+            sp_ += len(adj[u]) * len(adj[v])
+    return {"n_halfedges": n, "sum_deg": s, "sum_deg_sq": s2,
+            "sum_deg_prod": sp_}
+
+
+def assortativity_sql(triples_glob: str) -> str:
+    """DuckDB twin: identical symmetric distinct graph, identical
+    integer registers (HUGEINT sums cast back to BIGINT so overflow
+    errors loudly instead of wrapping)."""
+    return f"""
+        WITH e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT CAST(subj AS VARCHAR) AS src,
+                   CAST(obj AS VARCHAR) AS dst
+            FROM read_parquet('{triples_glob}')
+            UNION ALL
+            SELECT CAST(obj AS VARCHAR), CAST(subj AS VARCHAR)
+            FROM read_parquet('{triples_glob}'))
+        ), deg AS (
+          SELECT src AS node, count(*) AS d FROM e GROUP BY src
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_halfedges,
+               CAST(sum(CAST(a.d AS HUGEINT)) AS BIGINT) AS sum_deg,
+               CAST(sum(CAST(a.d AS HUGEINT) * a.d) AS BIGINT)
+                   AS sum_deg_sq,
+               CAST(sum(CAST(a.d AS HUGEINT) * b.d) AS BIGINT)
+                   AS sum_deg_prod
+        FROM e JOIN deg a ON e.src = a.node
+               JOIN deg b ON e.dst = b.node"""

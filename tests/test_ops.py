@@ -89,6 +89,7 @@ SQL_CHECKED = [
     "kg_kcore", "countmin_users", "media_shot_boundaries",
     "embedding_pq_codes", "events_window_dedup", "kg_hits",
     "kg_sssp", "kg_communities", "kg_event_transitions",
+    "kg_assortativity",
 ]
 
 
@@ -2373,3 +2374,37 @@ def test_event_transitions_planted(ray_session):
         ("Phishing", "Ransom", 1),
         ("Ransom", "Databreach", 1),
     ]
+
+
+def test_assortativity_registers_planted(ray_session):
+    """Integer assortativity registers: a star graph has known exact
+    sums (hub deg k paired with leaf deg 1 on every half-edge);
+    duplicate input triples don't change the simple-graph registers;
+    random graph == sequential register oracle."""
+    import pyarrow as pa
+    import ray.data
+
+    from casie_ray.ops.graphx import (assortativity_local,
+                                      assortativity_registers)
+
+    def run(pairs):
+        ds = ray.data.from_arrow(pa.table(
+            {"subj": [a for a, _ in pairs],
+             "pred": ["p"] * len(pairs),
+             "obj": [b for _, b in pairs]}))
+        return assortativity_registers(ds).take_all()[0]
+
+    star = [("hub", f"l{i}") for i in range(5)]
+    got = run(star)
+    # 10 half-edges: 5 from hub (deg 5, partner deg 1), 5 from leaves
+    assert got == {"n_halfedges": 10, "sum_deg": 5 * 5 + 5 * 1,
+                   "sum_deg_sq": 5 * 25 + 5 * 1,
+                   "sum_deg_prod": 10 * 5 * 1}
+    assert got == assortativity_local(star)
+    # duplicated triples collapse to the same simple graph
+    assert run(star * 3) == got
+    rng = random.Random(41)
+    pairs = [(f"v{rng.randrange(90)}", f"v{rng.randrange(90)}")
+             for _ in range(300)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    assert run(pairs) == assortativity_local(pairs)

@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events_ds(d)),
         "kg_assortativity": lambda d: _graphx.assortativity_registers(
             _edges_ds(d)),
+        "dedup_winnow_pairs": _dedup.winnow_pairs,
         "kg_kcore": _kg_kcore,
         "countmin_users": lambda d: _sketch.countmin_user_registers(d),
         "embedding_pq_codes": _ann.embedding_pq_codes,
@@ -1100,6 +1101,47 @@ def _fingerprint_sql() -> str:
         SELECT doc_id, {signed} AS fingerprint FROM fp"""
 
 
+def _winnow_sql(df_cap: int = 1024, min_shared: int = 2) -> str:
+    """Twin of ops.dedup.winnow_pairs: identical FNV word hashes and
+    FNV_BASE rolling 4-gram chain (doc_fingerprint's), winnow window 5
+    with leftmost-argmin tie-break (list_position returns the FIRST
+    index of the min), per-doc distinct fingerprint VALUES, df_cap
+    candidate guard, shared-count threshold."""
+    w4 = _roll_sql(_roll_sql(_roll_sql("hs[i]", "hs[i+1]"), "hs[i+2]"),
+                   "hs[i+3]")
+    return f"""
+        WITH hashes AS (
+          SELECT doc_id,
+                 [{_FNV_WORD} FOR w IN
+                  string_split(coalesce(text, ''), ' ')] AS hs
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 [{w4} FOR i IN generate_series(1, len(hs) - 3)] AS g
+          FROM hashes WHERE len(hs) >= 4
+        ), sel AS (
+          SELECT doc_id, g,
+            CASE WHEN len(g) >= 5 THEN
+              list_distinct([s - 1 +
+                 list_position(g[s:s+4], list_min(g[s:s+4]))
+                 FOR s IN generate_series(1, len(g) - 4)])
+            ELSE [list_position(g, list_min(g))] END AS pos
+          FROM grams WHERE len(g) >= 1
+        ), ex AS (
+          SELECT doc_id,
+                 unnest(list_distinct([g[p] FOR p IN pos])) AS f
+          FROM sel
+        ), ok AS (
+          SELECT f FROM ex GROUP BY f HAVING count(*) <= {df_cap}
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+             JOIN ok ON a.f = ok.f
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {min_shared}"""
+
+
 def _simhash_sql(max_hamming: int = 3) -> str:
     bit = ("CASE WHEN 2 * len(list_filter(hs, x -> "
            "(x >> CAST(i AS UBIGINT)) & CAST(1 AS UBIGINT) = "
@@ -1686,6 +1728,7 @@ def oracle_sql() -> dict[str, str]:
             f"{corpus_001}/gold_kg_events.parquet"),
         "kg_assortativity": _graphx.assortativity_sql(
             f"{corpus_001}/gold_triples.parquet"),
+        "dedup_winnow_pairs": _winnow_sql(),
         "conv_profiles": _rel.conv_profiles_sql(
             f"{corpus_001}/transcripts/*.parquet"),
         "similar_docs": _retr.similar_docs_sql(),

@@ -1248,3 +1248,159 @@ JOIN sizes sb ON sb.doc_id = be
 WHERE inter * 100 >= 50 * (sa.n + sb.n - inter)
 GROUP BY tr
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint near-dup pairs (MOSS-style local minima)
+# ---------------------------------------------------------------------------
+# The jaccard/minhash family samples or enumerates ALL shingles;
+# winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# algorithm) instead selects the MINIMUM gram hash of every sliding
+# window, guaranteeing any match of length >= window+k-1 words shares
+# at least one selected fingerprint while storing only ~2/(window+1)
+# of the grams. Deterministic (leftmost-argmin tie-break), so the
+# whole op has an exact DuckDB twin built from the same FNV word
+# hashes and rolling polynomial the doc_fingerprint contract already
+# pins.
+#
+# Shape: one vectorized selection pass over documents (no exchange),
+# one fingerprint-keyed exchange whose in-bucket kernel computes the
+# GLOBAL df per fingerprint (bucketing by fingerprint co-locates all
+# copies) and drops boilerplate above df_cap before the bounded
+# segment-pair kernel, then one pair-keyed reduce. At 100 TB the
+# fingerprint exchange carries ~2/(w+1) of gram mass and df_cap bounds
+# the pair explosion exactly like the jaccard guard.
+
+WINNOW_K = 4            # words per gram (matches doc_fingerprint)
+WINNOW_W = 5            # winnow window (gram positions per window)
+WINNOW_MIN_SHARED = 2   # pairs must share this many fingerprints
+
+
+def winnow_select_batch(texts: list[str], k: int = WINNOW_K,
+                        w: int = WINNOW_W) \
+        -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, fingerprints): the distinct winnow-selected k-gram
+    rolling hashes per input row. Grams = FNV word hashes combined by
+    the FNV_BASE polynomial (doc_fingerprint's chain); selection = per
+    sliding window of ``w`` gram positions, the leftmost minimum; docs
+    with 1..w-1 grams select their single leftmost-minimum gram; docs
+    under k words select nothing."""
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    all_words: list[str] = []
+    counts = np.empty(n, np.int64)
+    for i, t in enumerate(texts):
+        ws = (t or "").split(" ")
+        all_words.extend(ws)
+        counts[i] = len(ws)
+    h = fnv1a_hashes(all_words)
+    row_of = np.repeat(np.arange(n), counts)
+    m = len(h) - k + 1
+    if m <= 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    with np.errstate(over="ignore"):
+        roll = h[:m].copy()
+        for j in range(1, k):
+            roll = roll * FNV_BASE + h[j:m + j]
+    gvalid = row_of[:m] == row_of[k - 1:]
+    groll = roll[gvalid]
+    grows = row_of[:m][gvalid]
+    sel_parts = []
+    nw = len(groll) - w + 1
+    if nw > 0:
+        sw = np.lib.stride_tricks.sliding_window_view(groll, w)
+        arg = sw.argmin(axis=1)         # leftmost min per window
+        tvalid = grows[:nw] == grows[w - 1:]
+        sel_parts.append((np.arange(nw) + arg)[tvalid])
+    cnts = np.bincount(grows, minlength=n)
+    short = (cnts >= 1) & (cnts < w)
+    if short.any():
+        starts = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        docmin = np.zeros(n, np.uint64)
+        ne = cnts > 0
+        docmin[ne] = np.minimum.reduceat(groll, starts[ne])
+        mask = short[grows] & (groll == docmin[grows])
+        idx = np.flatnonzero(mask)
+        _, firsts = np.unique(grows[idx], return_index=True)
+        sel_parts.append(idx[firsts])
+    if not sel_parts:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    sel = np.unique(np.concatenate(sel_parts))
+    # distinct (row, fingerprint) — same VALUE may be selected at
+    # several positions
+    key = np.stack([grows[sel].astype(np.uint64), groll[sel]], axis=1)
+    uniq = np.unique(key, axis=0)
+    return uniq[:, 0].astype(np.int64), uniq[:, 1]
+
+
+def _winnow_rows_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_numpy()
+    rows, fps = winnow_select_batch(batch.column("text").to_pylist())
+    return pa.table({
+        "fp": pa.array(fps, pa.uint64()),
+        "doc_id": pa.array(doc_ids[rows], pa.int64()),
+        "bucket": pa.array(hash_bucket([fps]), pa.int32()),
+    })
+
+
+_WINNOW_PART_SCHEMA = pa.schema([
+    ("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n", pa.int64()),
+    ("bucket", pa.int32()),
+])
+
+
+def _winnow_pairs_bucket(df_cap: int):
+    def pairs(group: pa.Table) -> pa.Table:
+        """One fingerprint-hash bucket: global df per fingerprint is
+        in-bucket knowledge; drop fingerprints above df_cap, emit
+        within-fingerprint doc pairs, pre-combined per pair."""
+        if group.num_rows < 2:
+            return _WINNOW_PART_SCHEMA.empty_table()
+        fp = group.column("fp").to_numpy()
+        did = group.column("doc_id").to_numpy()
+        order = np.lexsort((did, fp))
+        fp, did = fp[order], did[order]
+        if df_cap is not None:
+            seg = np.ones(len(fp), bool)
+            seg[1:] = fp[1:] != fp[:-1]
+            sid = np.cumsum(seg) - 1
+            sizes = np.bincount(sid)
+            keep = sizes[sid] <= df_cap
+            fp, did = fp[keep], did[keep]
+        ia, ib = segment_pair_indices([fp])
+        if len(ia) == 0:
+            return _WINNOW_PART_SCHEMA.empty_table()
+        t = pa.table({
+            "doc_a": pa.array(did[ia], pa.int64()),
+            "doc_b": pa.array(did[ib], pa.int64()),
+            "n": pa.array(np.ones(len(ia), np.int64)),
+        })
+        g = t.group_by(["doc_a", "doc_b"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["doc_a", "doc_b", "n"])
+        return g.append_column("bucket", pa.array(hash_bucket(
+            [g.column("doc_a").to_numpy().astype(np.uint64),
+             g.column("doc_b").to_numpy().astype(np.uint64)]),
+            pa.int32()))
+    return pairs
+
+
+def _winnow_final_bucket(min_shared: int):
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by(["doc_a", "doc_b"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["doc_a", "doc_b", "n_shared"])
+        return g.filter(pc.greater_equal(
+            g.column("n_shared"), pa.scalar(min_shared, pa.int64())))
+    return final
+
+
+def winnow_pairs(sf_dir: str, df_cap: int = DF_CAP_DEFAULT,
+                 min_shared: int = WINNOW_MIN_SHARED):
+    """(doc_a, doc_b, n_shared): document pairs sharing >=
+    ``min_shared`` winnow-selected fingerprints. Exact under df_cap
+    (fingerprints in more than df_cap docs leave candidate generation
+    — and leave it identically in the SQL twin)."""
+    ds = _read_documents(sf_dir)
+    rows = ds.map_batches(_winnow_rows_batch, batch_format="pyarrow")
+    pairs = bucket_groupby(rows, _winnow_pairs_bucket(df_cap))
+    return bucket_groupby(pairs, _winnow_final_bucket(min_shared))

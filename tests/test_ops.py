@@ -89,7 +89,7 @@ SQL_CHECKED = [
     "kg_kcore", "countmin_users", "media_shot_boundaries",
     "embedding_pq_codes", "events_window_dedup", "kg_hits",
     "kg_sssp", "kg_communities", "kg_event_transitions",
-    "kg_assortativity",
+    "kg_assortativity", "dedup_winnow_pairs",
 ]
 
 
@@ -2408,3 +2408,49 @@ def test_assortativity_registers_planted(ray_session):
              for _ in range(300)]
     pairs = [(a, b) for a, b in pairs if a != b]
     assert run(pairs) == assortativity_local(pairs)
+
+
+def test_winnow_pairs_planted(ray_session, tmp_path):
+    """Winnowing dedup: identical planted docs share EVERY selected
+    fingerprint; a doc sharing a long run (>= window+k-1 words) shares
+    at least one (the winnowing guarantee); unrelated docs share none;
+    df_cap drops a fingerprint planted into many docs from candidate
+    generation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from casie_ray.ops.dedup import winnow_pairs, winnow_select_batch
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    run = "one two three four five six seven eight nine ten"
+    texts = [
+        base,                                   # 0
+        base,                                   # 1: exact dup of 0
+        "start words then " + run + " end bit",  # 2: shares run w/ 3
+        run + " unrelated suffix tokens here",    # 3
+        "totally disjoint vocabulary document body text words",  # 4
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    d = tmp_path / "sfw"
+    d.mkdir()
+    pq_.write_table(t, str(d / "documents.parquet"))
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+           for r in winnow_pairs(str(d), min_shared=1).take_all()}
+    _, fps0 = winnow_select_batch([base])
+    assert got[(0, 1)] == len(set(fps0.tolist()))   # dup shares all
+    assert (2, 3) in got                            # winnow guarantee
+    assert not any(4 in p for p in got)             # disjoint doc
+    # df_cap: a gram selected in MANY docs leaves candidate generation
+    many = [f"pad{i} filler common shared quad gram words tail{i}"
+            for i in range(8)]
+    t2 = pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                   "text": pa.array(many, pa.string())})
+    d2 = tmp_path / "sfw2"
+    d2.mkdir()
+    pq_.write_table(t2, str(d2 / "documents.parquet"))
+    uncapped = winnow_pairs(str(d2), df_cap=1024, min_shared=1) \
+        .take_all()
+    capped = winnow_pairs(str(d2), df_cap=4, min_shared=1).take_all()
+    assert len(uncapped) > 0 and len(capped) == 0

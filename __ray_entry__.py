@@ -369,13 +369,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # 2 entries that had never received a driver row (kg_pred_bigrams,
     # conv_profiles), every entry whose code changed in r5 (quantizer
     # family, KG flagship family, similar_docs, kg_components), and the
-    # stalest r2/r3-green entries to refresh their evidence. The four
+    # stalest r2/r3-green entries to refresh their evidence. The five
     # late-round additions (kg_sssp, kg_communities,
-    # kg_event_transitions, kg_assortativity) take slots 1-4 as
-    # never-checked; the 4 refresh entries they displace past slot 50
-    # (transcripts_split, pack_sequences, shuffled_windows,
-    # token_budget_sample) keep their r3 hash-green evidence with
-    # unchanged code.
+    # kg_event_transitions, kg_assortativity, dedup_winnow_pairs) take
+    # slots 1-5 as never-checked; the 5 refresh entries they displace
+    # past slot 50 (hll_distinct_users, transcripts_split,
+    # pack_sequences, shuffled_windows, token_budget_sample) keep
+    # their earlier hash-green evidence with unchanged code.
     return {
         # --- new in r5 (never driver-checked): weighted SSSP +
         # label-propagation communities + multimodal near-dup family

@@ -369,17 +369,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # 2 entries that had never received a driver row (kg_pred_bigrams,
     # conv_profiles), every entry whose code changed in r5 (quantizer
     # family, KG flagship family, similar_docs, kg_components), and the
-    # stalest r2/r3-green entries to refresh their evidence. The five
-    # late-round additions (kg_sssp, kg_communities,
-    # kg_event_transitions, kg_assortativity, dedup_winnow_pairs) take
-    # slots 1-5 as never-checked; the 5 refresh entries they displace
-    # past slot 50 (hll_distinct_users, transcripts_split,
-    # pack_sequences, shuffled_windows, token_budget_sample) keep
-    # their earlier hash-green evidence with unchanged code.
+    # stalest r2/r3-green entries to refresh their evidence. The seven
+    # late-round additions (doc_chunks, transcript_boilerplate,
+    # kg_sssp, kg_communities, kg_event_transitions,
+    # kg_assortativity, dedup_winnow_pairs) take slots 1-7 as
+    # never-checked; the 7 refresh entries they displace past slot 50
+    # (vocab_top_words_sketch, vocab_collocations, hll_distinct_users,
+    # transcripts_split, pack_sequences, shuffled_windows,
+    # token_budget_sample) keep their earlier hash-green evidence with
+    # unchanged code.
     return {
-        # --- new in r5 (never driver-checked): weighted SSSP +
+        # --- new in r5 (never driver-checked): doc chunking +
+        # boilerplate-turn detection, weighted SSSP +
         # label-propagation communities + multimodal near-dup family
         # + k-core decomposition ---
+        "doc_chunks": _text.doc_chunks,
+        "transcript_boilerplate": lambda d: _rel.transcript_boilerplate(
+            os.path.join(_corpus_dir(_sf_of(d)), "transcripts")),
         "kg_sssp": lambda d: _graphx.sssp(_edges_ds(d)),
         "kg_communities": lambda d: _graphx.lp_communities(_edges_ds(d)),
         "kg_event_transitions": lambda d: _graphx.event_transitions(
@@ -1101,6 +1107,39 @@ def _fingerprint_sql() -> str:
         SELECT doc_id, {signed} AS fingerprint FROM fp"""
 
 
+def _doc_chunks_sql(chunk: int = 64, stride: int = 48) -> str:
+    """Twin of ops.text.doc_chunks: same word split, same per-word FNV
+    hashes, same seed-0 rolling fold per window (shared kernels)."""
+    fold = ("list_reduce(list_prepend(CAST(0 AS UBIGINT), chs), "
+            f"(a, b) -> {_roll_sql('a', 'b')})")
+    signed = ("CASE WHEN sig_u >= CAST(9223372036854775808 AS UBIGINT) "
+              f"THEN CAST(CAST(sig_u AS HUGEINT) - {_M64} AS BIGINT) "
+              "ELSE CAST(sig_u AS BIGINT) END")
+    return f"""
+        WITH hashes AS (
+          SELECT doc_id,
+                 [{_FNV_WORD} FOR w IN string_split(text, ' ')] AS hs
+          FROM documents
+          WHERE text IS NOT NULL AND length(text) > 0
+        ), idx AS (
+          SELECT doc_id, hs,
+                 unnest(generate_series(0, (len(hs) - 1) // {stride}))
+                     AS chunk_idx
+          FROM hashes
+        ), c AS (
+          SELECT doc_id, chunk_idx,
+                 list_slice(hs, 1 + chunk_idx * {stride},
+                            chunk_idx * {stride} + {chunk}) AS chs
+          FROM idx
+        ), s AS (
+          SELECT doc_id, chunk_idx, len(chs) AS nw, {fold} AS sig_u
+          FROM c
+        )
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(nw AS BIGINT) AS n_words, {signed} AS chunk_sig
+        FROM s"""
+
+
 def _winnow_sql(df_cap: int = 1024, min_shared: int = 2) -> str:
     """Twin of ops.dedup.winnow_pairs: identical FNV word hashes and
     FNV_BASE rolling 4-gram chain (doc_fingerprint's), winnow window 5
@@ -1730,6 +1769,9 @@ def oracle_sql() -> dict[str, str]:
             f"{corpus_001}/gold_triples.parquet"),
         "dedup_winnow_pairs": _winnow_sql(),
         "conv_profiles": _rel.conv_profiles_sql(
+            f"{corpus_001}/transcripts/*.parquet"),
+        "doc_chunks": _doc_chunks_sql(),
+        "transcript_boilerplate": _rel.transcript_boilerplate_sql(
             f"{corpus_001}/transcripts/*.parquet"),
         "similar_docs": _retr.similar_docs_sql(),
         "transcripts_redact": _redact_sql(corpus_001),

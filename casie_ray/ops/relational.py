@@ -1556,3 +1556,98 @@ def conv_profiles_sql(transcripts_glob: str) -> str:
                    AS span_us
         FROM read_parquet('{transcripts_glob}')
         GROUP BY conv_id"""
+
+
+# --- cross-conversation boilerplate turns (transcript curation) ---
+#
+# Exact turn texts that recur across many distinct conversations are
+# boilerplate — canned system prompts, templated tool acks — that a
+# transcript-curation pipeline strips or downweights before training
+# (the transcript analogue of the documents table's df_cap'd
+# boilerplate shingles). The synthetic corpus has real hot-text skew:
+# at sf0.01 single texts appear in ~1,500 of 2,000 conversations.
+
+BOILERPLATE_MIN_CONVS = 3
+
+
+def transcript_boilerplate(transcripts_glob: str,
+                           min_convs: int = BOILERPLATE_MIN_CONVS):
+    """(text, n_turns, n_convs) for every exact turn text appearing in
+    >= min_convs DISTINCT conversations. NULL text is excluded; NULL
+    conv_id turns count toward n_turns but not n_convs (SQL
+    count(DISTINCT conv_id) semantics).
+
+    Shape: salted exact count-distinct in two bucketed exchanges.
+    Exchange 1 is keyed by (text, conv_id), so each pair lands in
+    exactly ONE bucket: the bucket finalizes pair multiplicity exactly
+    and pre-reduces to per-bucket (text, n_turns, n_convs) partials,
+    which are DISJOINT across buckets (a pair lives in one bucket).
+    Exchange 2 sums at most N_OPS_BUCKETS partial rows per text and
+    applies the HAVING filter. A boilerplate text present in 10^9
+    conversations therefore crosses exchange 2 as a constant number of
+    rows — hot-text skew never concentrates on one reducer."""
+    import ray.data
+
+    from .bucketing import bucket_groupby, fnv1a_hashes, hash_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "text": batch.column("text"),
+            "conv_id": batch.column("conv_id"),
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        }).filter(pc.is_valid(batch.column("text")))
+        g = t.group_by(["text", "conv_id"]).aggregate([("n", "sum")])
+        ht = fnv1a_hashes(g.column("text").to_pylist())
+        # NULL conv_id folds as "" for bucketing only (the
+        # conv_profiles idiom); the group key itself stays NULL
+        hc = fnv1a_hashes(
+            pc.fill_null(g.column("conv_id"), "").to_pylist())
+        return g.append_column(
+            "bucket", pa.array(hash_bucket([ht, hc]), pa.int32()))
+
+    def pair_final(group: pa.Table) -> pa.Table:
+        g1 = group.group_by(["text", "conv_id"]).aggregate([
+            ("n_sum", "sum")])
+        g1 = g1.append_column(
+            "conv_live",
+            pc.is_valid(g1.column("conv_id")).cast(pa.int64()))
+        g2 = g1.group_by(["text"]).aggregate([
+            ("n_sum_sum", "sum"), ("conv_live", "sum")])
+        ht = fnv1a_hashes(g2.column("text").to_pylist())
+        return pa.table({
+            "text": g2.column("text"),
+            "n_turns_p": g2.column("n_sum_sum_sum").cast(pa.int64()),
+            "n_convs_p": g2.column("conv_live_sum").cast(pa.int64()),
+            "bucket": pa.array(hash_bucket([ht]), pa.int32()),
+        })
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by(["text"]).aggregate([
+            ("n_turns_p", "sum"), ("n_convs_p", "sum")])
+        g = g.filter(pc.greater_equal(
+            g.column("n_convs_p_sum"), pa.scalar(min_convs, pa.int64())))
+        return pa.table({
+            "text": g.column("text"),
+            "n_turns": g.column("n_turns_p_sum").cast(pa.int64()),
+            "n_convs": g.column("n_convs_p_sum").cast(pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(transcripts_glob,
+                               columns=["conv_id", "text"])
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    pairs = bucket_groupby(parts, pair_final)
+    return bucket_groupby(pairs, final, pre_repartition=False)
+
+
+def transcript_boilerplate_sql(transcripts_glob: str,
+                               min_convs: int = BOILERPLATE_MIN_CONVS
+                               ) -> str:
+    """DuckDB twin over the same transcript shards."""
+    return f"""
+        SELECT text, CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM read_parquet('{transcripts_glob}')
+        WHERE text IS NOT NULL
+        GROUP BY text
+        HAVING count(DISTINCT conv_id) >= {min_convs}"""

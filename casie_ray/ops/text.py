@@ -217,6 +217,78 @@ def fingerprint(sf_dir: str):
                                                batch_format="pyarrow")
 
 
+# --- sliding-window chunking (RAG / long-doc training prep) ---
+#
+# Split each document's word sequence into overlapping windows of
+# CHUNK_WORDS with stride CHUNK_STRIDE — the retrieval-corpus /
+# context-window prep step: every chunk is an indexable unit with a
+# stable (doc_id, chunk_idx) identity and an integer content
+# signature. chunk_sig is the FNV_BASE rolling fold (seed 0, the
+# doc_fingerprint chain) over the chunk's word FNV hashes, so aligned
+# windows of identical words hash identically and the DuckDB twin
+# compares exact integers without shipping chunk text.
+#
+# Scale: pure per-batch map (no exchange, no state); output mass ~
+# input word mass / stride, rows are narrow (no text). At 100 TB this
+# is a single streaming pass with a column-pruned read.
+
+CHUNK_WORDS = 64
+CHUNK_STRIDE = 48
+
+
+def doc_chunks_batch(batch: pa.Table, chunk: int = CHUNK_WORDS,
+                     stride: int = CHUNK_STRIDE) -> pa.Table:
+    """(doc_id, chunk_idx, n_words, chunk_sig) per overlapping word
+    window. Chunks start every ``stride`` words while any word
+    remains, so the last chunk may be short; empty/NULL docs emit
+    nothing. Fully vectorized: the shared FNV kernel once per batch,
+    then at most ``chunk`` masked numpy fold passes (bounded by the
+    window size, not by corpus size)."""
+    text = pc.fill_null(batch.column("text"), "")
+    keep = pc.greater(pc.utf8_length(text), 0)
+    ids = batch.column("doc_id").filter(keep) \
+        .to_numpy(zero_copy_only=False)
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "chunk_idx": pa.array([], pa.int64()),
+        "n_words": pa.array([], pa.int64()),
+        "chunk_sig": pa.array([], pa.int64()),
+    })
+    if len(ids) == 0:
+        return empty
+    splits = pc.split_pattern(text.filter(keep), " ")
+    lens = pc.list_value_length(splits).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    h = _word_hashes(pc.list_flatten(splits).to_pylist())
+    offs = np.cumsum(lens) - lens
+    k = (lens - 1) // stride + 1                 # chunks per doc
+    doc_rep = np.repeat(np.arange(len(ids), dtype=np.int64), k)
+    total = int(k.sum())
+    chunk_idx = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.cumsum(k) - k, k)
+    start = chunk_idx * stride
+    nw = np.minimum(lens[doc_rep] - start, chunk)
+    base = offs[doc_rep] + start
+    sig = np.zeros(total, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(chunk):
+            live = nw > j
+            if not live.any():
+                break
+            sig[live] = sig[live] * _HASH_BASE + h[base[live] + j]
+    return pa.table({
+        "doc_id": pa.array(ids[doc_rep], pa.int64()),
+        "chunk_idx": pa.array(chunk_idx, pa.int64()),
+        "n_words": pa.array(nw, pa.int64()),
+        "chunk_sig": pa.array(sig.astype(np.int64), pa.int64()),
+    })
+
+
+def doc_chunks(sf_dir: str):
+    return _read_documents(sf_dir).map_batches(
+        doc_chunks_batch, batch_format="pyarrow", batch_size=None)
+
+
 # --- corpus-level stats (A4; ref prepare.py:487-509 mode/mean length) ---
 
 

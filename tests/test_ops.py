@@ -90,6 +90,7 @@ SQL_CHECKED = [
     "embedding_pq_codes", "events_window_dedup", "kg_hits",
     "kg_sssp", "kg_communities", "kg_event_transitions",
     "kg_assortativity", "dedup_winnow_pairs",
+    "doc_chunks", "transcript_boilerplate",
 ]
 
 
@@ -2454,3 +2455,82 @@ def test_winnow_pairs_planted(ray_session, tmp_path):
         .take_all()
     capped = winnow_pairs(str(d2), df_cap=4, min_shared=1).take_all()
     assert len(uncapped) > 0 and len(capped) == 0
+
+
+def test_doc_chunks_planted(ray_session, tmp_path):
+    """Chunk geometry and signature invariants: a 100-word doc at
+    (chunk=64, stride=48) yields windows of 64/52/4 words; identical
+    word windows in DIFFERENT docs produce identical chunk_sig (the
+    content-signature property RAG dedup relies on); empty and NULL
+    docs emit nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from casie_ray.ops.text import doc_chunks
+
+    words = [f"w{i}" for i in range(100)]
+    texts = [
+        " ".join(words),                 # 0: 100 words -> 3 chunks
+        " ".join(words[48:96]),          # 1: == doc 0's chunk 1 prefix?
+        " ".join(words[:64]),            # 2: == doc 0's chunk 0
+        "",                              # 3: empty -> nothing
+        None,                            # 4: NULL -> nothing
+        "solo",                          # 5: 1 word -> 1 chunk of 1
+    ]
+    d = tmp_path / "sfchunks"
+    d.mkdir()
+    pq_.write_table(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        str(d / "documents.parquet"))
+    rows = doc_chunks(str(d)).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    assert set(by_doc) == {0, 1, 2, 5}
+    assert [by_doc[0][i]["n_words"] for i in range(3)] == [64, 52, 4]
+    # doc 2 is exactly doc 0's first window -> same signature
+    assert by_doc[2][0]["chunk_sig"] == by_doc[0][0]["chunk_sig"]
+    # doc 1 (48 words) != doc 0's chunk 1 (52 words): differing length
+    # must change the fold
+    assert by_doc[1][0]["chunk_sig"] != by_doc[0][1]["chunk_sig"]
+    assert by_doc[5][0]["n_words"] == 1
+
+
+def test_transcript_boilerplate_planted(ray_session, tmp_path, ddb):
+    """Distinct-conv counting is exact and NULL-faithful: a text in 3
+    convs (twice in one) reports n_turns=4 / n_convs=3; a 2-conv text
+    is filtered; NULL text is ignored; a NULL conv_id occurrence
+    raises n_turns but not n_convs — and the whole planted table
+    matches the DuckDB twin bit-for-bit."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from casie_ray.ops.relational import (transcript_boilerplate,
+                                          transcript_boilerplate_sql)
+
+    conv = ["a", "a", "b", "c", "a", "b", "x", "y", "z", None, "a"]
+    text = ["ok", "ok", "ok", "ok",      # 4 turns, 3 convs
+            "hi", "hi",                  # 2 convs -> filtered
+            "yes", "yes", "yes", "yes",  # 3 convs + NULL conv
+            None]                        # NULL text -> ignored
+    d = tmp_path / "sftb"
+    d.mkdir()
+    pq_.write_table(pa.table({
+        "conv_id": pa.array(conv, pa.string()),
+        "turn_idx": pa.array(range(len(conv)), pa.int32()),
+        "text": pa.array(text, pa.string()),
+    }), str(d / "part.parquet"))
+    got = _normalize(
+        transcript_boilerplate(str(d), min_convs=3).to_pandas())
+    want = _normalize(ddb.execute(
+        transcript_boilerplate_sql(f"{d}/*.parquet", min_convs=3)
+    ).fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    by_text = {r.text: r for r in got.itertuples()}
+    assert set(by_text) == {"ok", "yes"}
+    assert (by_text["ok"].n_turns, by_text["ok"].n_convs) == (4, 3)
+    # "yes": 4 turns, but the NULL-conv turn doesn't count as a conv
+    assert (by_text["yes"].n_turns, by_text["yes"].n_convs) == (4, 3)

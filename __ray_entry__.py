@@ -369,22 +369,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # 2 entries that had never received a driver row (kg_pred_bigrams,
     # conv_profiles), every entry whose code changed in r5 (quantizer
     # family, KG flagship family, similar_docs, kg_components), and the
-    # stalest r2/r3-green entries to refresh their evidence. The seven
-    # late-round additions (doc_chunks, transcript_boilerplate,
-    # kg_sssp, kg_communities, kg_event_transitions,
-    # kg_assortativity, dedup_winnow_pairs) take slots 1-7 as
-    # never-checked; the 7 refresh entries they displace past slot 50
-    # (vocab_top_words_sketch, vocab_collocations, hll_distinct_users,
-    # transcripts_split, pack_sequences, shuffled_windows,
-    # token_budget_sample) keep their earlier hash-green evidence with
-    # unchanged code.
+    # stalest r2/r3-green entries to refresh their evidence. The nine
+    # late-round additions (doc_chunks, chunk_dup_groups,
+    # transcript_boilerplate, transcript_windows, kg_sssp,
+    # kg_communities, kg_event_transitions, kg_assortativity,
+    # dedup_winnow_pairs) take slots 1-9 as never-checked; the 9
+    # refresh entries they displace past slot 50 (doc_sample,
+    # vocab_top_words, vocab_top_words_sketch, vocab_collocations,
+    # hll_distinct_users, transcripts_split, pack_sequences,
+    # shuffled_windows, token_budget_sample) keep their earlier
+    # hash-green evidence with unchanged code.
     return {
         # --- new in r5 (never driver-checked): doc chunking +
         # boilerplate-turn detection, weighted SSSP +
         # label-propagation communities + multimodal near-dup family
         # + k-core decomposition ---
         "doc_chunks": _text.doc_chunks,
+        "chunk_dup_groups": _text.chunk_dup_groups,
         "transcript_boilerplate": lambda d: _rel.transcript_boilerplate(
+            os.path.join(_corpus_dir(_sf_of(d)), "transcripts")),
+        "transcript_windows": lambda d: _rel.transcript_windows(
             os.path.join(_corpus_dir(_sf_of(d)), "transcripts")),
         "kg_sssp": lambda d: _graphx.sssp(_edges_ds(d)),
         "kg_communities": lambda d: _graphx.lp_communities(_edges_ds(d)),
@@ -1771,7 +1775,15 @@ def oracle_sql() -> dict[str, str]:
         "conv_profiles": _rel.conv_profiles_sql(
             f"{corpus_001}/transcripts/*.parquet"),
         "doc_chunks": _doc_chunks_sql(),
+        "chunk_dup_groups": f"""
+            SELECT chunk_sig, CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM ({_doc_chunks_sql()})
+            GROUP BY chunk_sig
+            HAVING count(DISTINCT doc_id) >= 2""",
         "transcript_boilerplate": _rel.transcript_boilerplate_sql(
+            f"{corpus_001}/transcripts/*.parquet"),
+        "transcript_windows": _rel.transcript_windows_sql(
             f"{corpus_001}/transcripts/*.parquet"),
         "similar_docs": _retr.similar_docs_sql(),
         "transcripts_redact": _redact_sql(corpus_001),

@@ -1651,3 +1651,146 @@ def transcript_boilerplate_sql(transcripts_glob: str,
         WHERE text IS NOT NULL
         GROUP BY text
         HAVING count(DISTINCT conv_id) >= {min_convs}"""
+
+
+# --- per-conversation context windows (training-example construction) ---
+#
+# The transcript analogue of ops.text.doc_chunks: slice each
+# conversation's ORDERED turn sequence into overlapping windows of
+# WINDOW_TURNS with stride WINDOW_STRIDE — the unit a
+# transcript-training pipeline packs into context windows. Every
+# window carries a stable (conv_id, window_idx) identity, the
+# turn_idx where it starts, and an integer content signature (the
+# seed-0 FNV rolling fold over per-turn text hashes, doc_fingerprint's
+# chain) so downstream window-level dedup and the DuckDB twin compare
+# exact integers without shipping window text. Assumes (conv_id,
+# turn_idx) is unique — the corpus' lineage key — so the turn order
+# (and therefore the fold) is total.
+
+WINDOW_TURNS = 8
+WINDOW_STRIDE = 4
+
+from .bucketing import FNV_BASE as _WINDOW_BASE  # noqa: E402
+
+
+def transcript_windows(transcripts_glob: str, window: int = WINDOW_TURNS,
+                       stride: int = WINDOW_STRIDE):
+    """(conv_id, window_idx, first_turn_idx, n_turns, window_sig) per
+    overlapping turn window. One conv-keyed bucketed exchange (the
+    engine's own partitioning unit — a conversation is never split);
+    per bucket the kernel is fully vectorized: one lexsort, run-length
+    segment geometry, then at most ``window`` masked fold passes.
+    NULL text folds as "" (coalesce semantics); a NULL conv_id is a
+    legal group (conv_profiles' idiom)."""
+    import ray.data
+
+    from .bucketing import bucket_groupby, fnv1a_hashes, hash_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = fnv1a_hashes(
+            pc.fill_null(batch.column("conv_id"), "").to_pylist())
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx").cast(pa.int64()),
+            "text": pc.fill_null(batch.column("text"), ""),
+            "bucket": pa.array(hash_bucket([h]), pa.int32()),
+        })
+
+    def windows(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("conv_id", "ascending"), ("turn_idx", "ascending")])
+        g = group.take(order)
+        conv = g.column("conv_id")
+        filled = pc.fill_null(conv, "")
+        valid = pc.is_valid(conv).to_numpy(zero_copy_only=False)
+        n = g.num_rows
+        if n == 0:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "window_idx": pa.array([], pa.int64()),
+                "first_turn_idx": pa.array([], pa.int64()),
+                "n_turns": pa.array([], pa.int64()),
+                "window_sig": pa.array([], pa.int64()),
+            })
+        same = pc.equal(filled.slice(1), filled.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False) if n > 1 \
+            else np.array([], bool)
+        change = np.concatenate(
+            [[True], ~(same & (valid[1:] == valid[:-1]))])
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, n)).astype(np.int64)
+        h = fnv1a_hashes(g.column("text").to_pylist())
+        ti = g.column("turn_idx").to_numpy(zero_copy_only=False)
+        k = (lens - 1) // stride + 1
+        seg_rep = np.repeat(np.arange(len(starts), dtype=np.int64), k)
+        total = int(k.sum())
+        widx = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.cumsum(k) - k, k)
+        wstart = widx * stride
+        nt = np.minimum(lens[seg_rep] - wstart, window)
+        base = starts[seg_rep] + wstart
+        sig = np.zeros(total, np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(window):
+                live = nt > j
+                if not live.any():
+                    break
+                sig[live] = sig[live] * _WINDOW_BASE + h[base[live] + j]
+        return pa.table({
+            "conv_id": conv.take(pa.array(starts[seg_rep])),
+            "window_idx": pa.array(widx, pa.int64()),
+            "first_turn_idx": pa.array(ti[base], pa.int64()),
+            "n_turns": pa.array(nt, pa.int64()),
+            "window_sig": pa.array(sig.astype(np.int64), pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(transcripts_glob,
+                               columns=["conv_id", "turn_idx", "text"])
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    return bucket_groupby(parts, windows)
+
+
+def transcript_windows_sql(transcripts_glob: str,
+                           window: int = WINDOW_TURNS,
+                           stride: int = WINDOW_STRIDE) -> str:
+    """DuckDB twin: same ordering, same per-turn FNV hashes, same
+    seed-0 rolling fold per window (shared SQL kernels)."""
+    from .bucketing import sql_fnv1a
+    from . import bucketing as _b
+    roll = (f"CAST((CAST(a AS HUGEINT) * {_b.FNV_BASE} + "
+            f"CAST(b AS HUGEINT)) % {_b.SQL_M64} AS UBIGINT)")
+    fold = ("list_reduce(list_prepend(CAST(0 AS UBIGINT), chs), "
+            f"(a, b) -> {roll})")
+    signed = ("CASE WHEN sig_u >= CAST(9223372036854775808 AS UBIGINT) "
+              f"THEN CAST(CAST(sig_u AS HUGEINT) - {_b.SQL_M64} "
+              "AS BIGINT) ELSE CAST(sig_u AS BIGINT) END")
+    return f"""
+        WITH ordered AS (
+          SELECT conv_id,
+                 array_agg(CAST(turn_idx AS BIGINT)
+                           ORDER BY turn_idx) AS tis,
+                 [{sql_fnv1a('t')} FOR t IN
+                  array_agg(coalesce(text, '') ORDER BY turn_idx)] AS hs
+          FROM read_parquet('{transcripts_glob}')
+          GROUP BY conv_id
+        ), idx AS (
+          SELECT conv_id, tis, hs,
+                 unnest(generate_series(0, (len(hs) - 1) // {stride}))
+                     AS window_idx
+          FROM ordered
+        ), c AS (
+          SELECT conv_id, window_idx,
+                 tis[1 + window_idx * {stride}] AS first_turn_idx,
+                 list_slice(hs, 1 + window_idx * {stride},
+                            window_idx * {stride} + {window}) AS chs
+          FROM idx
+        ), s AS (
+          SELECT conv_id, window_idx, first_turn_idx,
+                 len(chs) AS nt, {fold} AS sig_u
+          FROM c
+        )
+        SELECT conv_id, CAST(window_idx AS BIGINT) AS window_idx,
+               CAST(first_turn_idx AS BIGINT) AS first_turn_idx,
+               CAST(nt AS BIGINT) AS n_turns, {signed} AS window_sig
+        FROM s"""

@@ -289,6 +289,65 @@ def doc_chunks(sf_dir: str):
         doc_chunks_batch, batch_format="pyarrow", batch_size=None)
 
 
+def chunk_dup_groups(sf_dir: str, min_docs: int = 2):
+    """Passage-level dedup over the chunk signatures: (chunk_sig,
+    n_chunks, n_docs) for every 64-word window whose signature appears
+    in >= min_docs DISTINCT documents — the license-header /
+    quoted-passage repetition that survives doc-level exact dedup.
+
+    Shape: the salted exact count-distinct (transcript_boilerplate's).
+    Exchange 1 is keyed by (sig, doc_id) so each pair lands in exactly
+    one bucket; the bucket emits DISJOINT per-bucket (sig, n_chunks,
+    n_docs) partials, and exchange 2 merges at most N_OPS_BUCKETS rows
+    per signature — a boilerplate window present in 10^9 docs never
+    concentrates on one reducer. Within-doc repeats (the same window
+    twice in one doc) raise n_chunks but not n_docs."""
+    from .bucketing import bucket_groupby, hash_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = doc_chunks_batch(batch)
+        t = pa.table({
+            "chunk_sig": c.column("chunk_sig"),
+            "doc_id": c.column("doc_id"),
+            "n": pa.array(np.ones(c.num_rows, np.int64)),
+        })
+        g = t.group_by(["chunk_sig", "doc_id"]).aggregate([("n", "sum")])
+        return g.append_column("bucket", pa.array(hash_bucket(
+            [g.column("chunk_sig").to_numpy(zero_copy_only=False),
+             g.column("doc_id").to_numpy(zero_copy_only=False)]),
+            pa.int32()))
+
+    def pair_final(group: pa.Table) -> pa.Table:
+        g1 = group.group_by(["chunk_sig", "doc_id"]).aggregate([
+            ("n_sum", "sum")])
+        g2 = g1.group_by(["chunk_sig"]).aggregate([
+            ("n_sum_sum", "sum"), ("doc_id", "count")])
+        return pa.table({
+            "chunk_sig": g2.column("chunk_sig"),
+            "n_chunks_p": g2.column("n_sum_sum_sum").cast(pa.int64()),
+            "n_docs_p": g2.column("doc_id_count").cast(pa.int64()),
+            "bucket": pa.array(hash_bucket(
+                [g2.column("chunk_sig").to_numpy(zero_copy_only=False)]),
+                pa.int32()),
+        })
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by(["chunk_sig"]).aggregate([
+            ("n_chunks_p", "sum"), ("n_docs_p", "sum")])
+        g = g.filter(pc.greater_equal(
+            g.column("n_docs_p_sum"), pa.scalar(min_docs, pa.int64())))
+        return pa.table({
+            "chunk_sig": g.column("chunk_sig"),
+            "n_chunks": g.column("n_chunks_p_sum").cast(pa.int64()),
+            "n_docs": g.column("n_docs_p_sum").cast(pa.int64()),
+        })
+
+    parts = _read_documents(sf_dir).map_batches(
+        partial, batch_format="pyarrow", batch_size=None)
+    pairs = bucket_groupby(parts, pair_final)
+    return bucket_groupby(pairs, final, pre_repartition=False)
+
+
 # --- corpus-level stats (A4; ref prepare.py:487-509 mode/mean length) ---
 
 

@@ -91,6 +91,7 @@ SQL_CHECKED = [
     "kg_sssp", "kg_communities", "kg_event_transitions",
     "kg_assortativity", "dedup_winnow_pairs",
     "doc_chunks", "transcript_boilerplate",
+    "chunk_dup_groups", "transcript_windows",
 ]
 
 
@@ -2534,3 +2535,75 @@ def test_transcript_boilerplate_planted(ray_session, tmp_path, ddb):
     assert (by_text["ok"].n_turns, by_text["ok"].n_convs) == (4, 3)
     # "yes": 4 turns, but the NULL-conv turn doesn't count as a conv
     assert (by_text["yes"].n_turns, by_text["yes"].n_convs) == (4, 3)
+
+
+def test_chunk_dup_groups_planted(ray_session, tmp_path):
+    """Passage-level dedup: an exact doc copy repeats every window
+    signature (n_docs=2); a WITHIN-doc repeated window (the same 64
+    words at two aligned offsets of one doc) raises n_chunks but is
+    filtered by the distinct-doc floor; disjoint docs contribute
+    nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from casie_ray.ops.text import chunk_dup_groups
+
+    words = [f"w{i}" for i in range(100)]
+    ivocab = [f"y{i}" for i in range(64)]   # disjoint from docs 0-2
+    internal = ivocab + [f"x{i}" for i in range(32)] + ivocab
+    texts = [
+        " ".join(words),                  # 0: 3 chunks
+        " ".join(words),                  # 1: exact copy of 0
+        " ".join(f"z{i}" for i in range(70)),   # 2: disjoint
+        " ".join(internal),               # 3: chunk@0 == chunk@96
+    ]
+    d = tmp_path / "sfcd"
+    d.mkdir()
+    pq_.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        str(d / "documents.parquet"))
+    rows = chunk_dup_groups(str(d)).take_all()
+    # exactly doc 0/1's three shared windows survive the n_docs floor
+    assert len(rows) == 3
+    assert all(r["n_docs"] == 2 and r["n_chunks"] == 2 for r in rows)
+
+
+def test_transcript_windows_planted(ray_session, tmp_path, ddb):
+    """Window geometry ([8, 6, 2] turns for a 10-turn conv at
+    window=8/stride=4), cross-conversation signature equality for
+    identical turn sequences, NULL-text fold-as-empty, and bit-exact
+    parity with the DuckDB twin."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from casie_ray.ops.relational import (transcript_windows,
+                                          transcript_windows_sql)
+
+    conv, ti, text = [], [], []
+    for i in range(10):                     # conv a: 10 turns
+        conv.append("a"); ti.append(i); text.append(f"turn {i}")
+    for i in range(8):                      # conv b: == a's first 8
+        conv.append("b"); ti.append(i); text.append(f"turn {i}")
+    conv.append("c"); ti.append(0); text.append(None)   # NULL text
+    d = tmp_path / "sftw"
+    d.mkdir()
+    pq_.write_table(pa.table({
+        "conv_id": pa.array(conv, pa.string()),
+        "turn_idx": pa.array(ti, pa.int32()),
+        "text": pa.array(text, pa.string()),
+    }), str(d / "part.parquet"))
+    got = _normalize(transcript_windows(str(d)).to_pandas())
+    want = _normalize(ddb.execute(
+        transcript_windows_sql(f"{d}/*.parquet")).fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    a = got[got.conv_id == "a"].sort_values("window_idx")
+    assert list(a.n_turns) == [8, 6, 2]
+    assert list(a.first_turn_idx) == [0, 4, 8]
+    sig_a0 = a[a.window_idx == 0].window_sig.iloc[0]
+    sig_b0 = got[(got.conv_id == "b")
+                 & (got.window_idx == 0)].window_sig.iloc[0]
+    assert sig_a0 == sig_b0                 # identical turn sequences
+    assert len(got[got.conv_id == "c"]) == 1

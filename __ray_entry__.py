@@ -39,6 +39,7 @@ from casie_ray.ops import curation as _cur
 from casie_ray.ops import graph as _graph
 from casie_ray.ops import graphx as _graphx
 from casie_ray.ops import join as _join
+from casie_ray.ops import kb as _kb
 from casie_ray.ops import mlprep as _mlprep
 from casie_ray.ops import pca as _pca
 from casie_ray.ops import relational as _rel
@@ -369,16 +370,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # 2 entries that had never received a driver row (kg_pred_bigrams,
     # conv_profiles), every entry whose code changed in r5 (quantizer
     # family, KG flagship family, similar_docs, kg_components), and the
-    # stalest r2/r3-green entries to refresh their evidence. The nine
+    # stalest r2/r3-green entries to refresh their evidence. The ten
     # late-round additions (doc_chunks, chunk_dup_groups,
-    # transcript_boilerplate, transcript_windows, kg_sssp,
-    # kg_communities, kg_event_transitions, kg_assortativity,
-    # dedup_winnow_pairs) take slots 1-9 as never-checked; the 9
-    # refresh entries they displace past slot 50 (doc_sample,
-    # vocab_top_words, vocab_top_words_sketch, vocab_collocations,
-    # hll_distinct_users, transcripts_split, pack_sequences,
-    # shuffled_windows, token_budget_sample) keep their earlier
-    # hash-green evidence with unchanged code.
+    # transcript_boilerplate, transcript_windows, kb_typed_candidates,
+    # kg_sssp, kg_communities, kg_event_transitions,
+    # kg_assortativity, dedup_winnow_pairs) take slots 1-10 as
+    # never-checked; the 10 refresh entries they displace past slot 50
+    # (doc_fingerprint, doc_sample, vocab_top_words,
+    # vocab_top_words_sketch, vocab_collocations, hll_distinct_users,
+    # transcripts_split, pack_sequences, shuffled_windows,
+    # token_budget_sample) keep their earlier hash-green evidence
+    # with unchanged code.
     return {
         # --- new in r5 (never driver-checked): doc chunking +
         # boilerplate-turn detection, weighted SSSP +
@@ -390,6 +392,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(_corpus_dir(_sf_of(d)), "transcripts")),
         "transcript_windows": lambda d: _rel.transcript_windows(
             os.path.join(_corpus_dir(_sf_of(d)), "transcripts")),
+        "kb_typed_candidates": lambda d: _kb.kb_typed_candidates(
+            _corpus_dir(_sf_of(d))),
         "kg_sssp": lambda d: _graphx.sssp(_edges_ds(d)),
         "kg_communities": lambda d: _graphx.lp_communities(_edges_ds(d)),
         "kg_event_transitions": lambda d: _graphx.event_transitions(
@@ -1785,6 +1789,7 @@ def oracle_sql() -> dict[str, str]:
             f"{corpus_001}/transcripts/*.parquet"),
         "transcript_windows": _rel.transcript_windows_sql(
             f"{corpus_001}/transcripts/*.parquet"),
+        "kb_typed_candidates": _kb.kb_typed_candidates_sql(corpus_001),
         "similar_docs": _retr.similar_docs_sql(),
         "transcripts_redact": _redact_sql(corpus_001),
         "doc_normalize": _clean.NORMALIZE_SQL,

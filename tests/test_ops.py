@@ -92,6 +92,7 @@ SQL_CHECKED = [
     "kg_assortativity", "dedup_winnow_pairs",
     "doc_chunks", "transcript_boilerplate",
     "chunk_dup_groups", "transcript_windows",
+    "kb_typed_candidates",
 ]
 
 
@@ -2607,3 +2608,59 @@ def test_transcript_windows_planted(ray_session, tmp_path, ddb):
                  & (got.window_idx == 0)].window_sig.iloc[0]
     assert sig_a0 == sig_b0                 # identical turn sequences
     assert len(got[got.conv_id == "c"]) == 1
+
+
+def test_kb_typed_candidates_precedence(ray_session, tmp_path, ddb):
+    """The reference's wd_search type precedence (wd_search.py:154-202):
+    a blacklisted type ANYWHERE in the closure rejects outright, even
+    with whitelisted ancestors present; whitelisting works through the
+    subclass closure (Organization survives only via Agent); the
+    required-types gate filters on closure intersection; alias
+    collisions emit one candidate row per entity; canonical==alias
+    dedups. Engine == DuckDB recursive-CTE twin bit-for-bit."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from casie_ray.ops.kb import (kb_typed_candidates,
+                                  kb_typed_candidates_sql)
+
+    ents = pa.table({
+        "entity_id": pa.array(["E1", "E2", "E3", "E4", "E5"]),
+        "canonical": pa.array(
+            ["Acme Corp", "EvilBot", "SiteX", "Jane Doe", "Acme"]),
+        "aliases": pa.array([["Acme"], ["evil bot"], ["sitex.io"],
+                             ["jane"], ["acme corp", "Acme"]],
+                            pa.list_(pa.string())),
+        "type": pa.array(["Organization", "Malware", "Website",
+                          "Person", "Software"]),
+    })
+    d = tmp_path / "kb"
+    d.mkdir()
+    pq_.write_table(ents, str(d / "entities.parquet"))
+
+    got = _normalize(kb_typed_candidates(str(d)).to_pandas())
+    want = _normalize(ddb.execute(
+        kb_typed_candidates_sql(str(d))).fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    by_ent = got.groupby("entity_id")
+    # blacklist overrides the whitelisted System ancestor
+    assert "E3" not in got.entity_id.values
+    # whitelisting THROUGH the closure: Organization kept via Agent
+    assert set(by_ent.get_group("E1").kept_types) == {"Agent"}
+    assert set(by_ent.get_group("E4").kept_types) == {"Agent,Person"}
+    assert set(by_ent.get_group("E2").kept_types) == {"Malware,Software"}
+    # alias collision: surface "acme" names two entities
+    assert set(got[got.surface == "acme"].entity_id) == {"E1", "E5"}
+    # canonical==alias dedup: E5 emits "acme" once and "acme corp" once
+    assert len(by_ent.get_group("E5")) == 2
+    # required-type gate: closure must intersect required
+    req = _normalize(kb_typed_candidates(
+        str(d), required_types=("Organization",)).to_pandas())
+    assert set(req.entity_id) == {"E1"}
+    assert set(req.kept_types) == {"Agent,Organization"}
+    req_sql = _normalize(ddb.execute(kb_typed_candidates_sql(
+        str(d), required_types=("Organization",))).fetchdf())
+    pd.testing.assert_frame_equal(req, req_sql, check_dtype=False,
+                                  check_exact=True)

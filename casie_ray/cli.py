@@ -75,6 +75,10 @@ def main(argv: list[str] | None = None) -> int:
     lp.add_argument("--args-v2", action="store_true",
                     help="evaluate the v2 argument seat (pattern "
                          "channels + nugget gate + in-arg probs)")
+    lp.add_argument("--args-v3", action="store_true",
+                    help="evaluate the v3 reranked argument seat "
+                         "(v2 + learned per-span logistic filter, "
+                         "nested dev protocol)")
     args = ap.parse_args(argv)
 
     if args.cmd in ("ingest", "gold", "learn"):
@@ -90,7 +94,10 @@ def main(argv: list[str] | None = None) -> int:
             elif args.cmd == "learn":
                 import json as _json
 
-                if args.args_v2:
+                if args.args_v3:
+                    from .learned import evaluate_argument_seat_v3
+                    res = evaluate_argument_seat_v3(args.ann_dir)
+                elif args.args_v2:
                     from .learned import evaluate_argument_seat
                     res = evaluate_argument_seat(args.ann_dir)
                 else:

@@ -455,46 +455,76 @@ def learn_inarg_probs(ann_dir: str, test_pct: int = TEST_PCT,
     return dict(zip(tot["token"], tot["ins"] / tot["occ"]))
 
 
-def learn_argument_seat(ann_dir: str, test_pct: int = TEST_PCT) -> dict:
+ARG_CFG_DEFAULT = {"gate_min_prob": 0.3, "arg_min_prob": ARG_MIN_PROB,
+                   "run_theta": ARG_RUN_THETA,
+                   "ext_theta": ARG_EXT_THETA,
+                   "prox": ARG_PROX_CHARS}
+
+# permissive generation for the v3 reranked seat: a lower nugget gate
+# and run bar generate more candidate spans (recall), and the learned
+# per-span filter — which v2 lacked — prunes the added false
+# positives. Selected against ARG_CFG_DEFAULT on the nested dev
+# protocol only (learn_argument_reranker).
+ARG_CFG_PERMISSIVE = {"gate_min_prob": 0.15, "arg_min_prob": 0.05,
+                      "run_theta": 0.4, "ext_theta": ARG_EXT_THETA,
+                      "prox": 300}
+
+
+def learn_argument_seat(ann_dir: str, test_pct: int = TEST_PCT,
+                        cfg: dict | None = None) -> dict:
     """All broadcastable state for the v2 argument seat: the argument
-    surface lexicon (trigger-prob >= ARG_MIN_PROB), the nugget GATE
-    lexicon (the nugget seat's default operating point), and the
-    in-arg token probabilities. Everything train-split-only."""
+    surface lexicon (trigger-prob >= cfg arg_min_prob), the nugget
+    GATE lexicon, and the in-arg token probabilities. Everything
+    train-split-only. ``cfg`` (generation operating points) rides
+    along in the seat so actor pools apply the same thresholds."""
+    cfg = dict(ARG_CFG_DEFAULT if cfg is None else cfg)
     return {
         "arg_lexicon": learn_filtered_lexicon(
-            ann_dir, "argument", test_pct, min_prob=ARG_MIN_PROB),
+            ann_dir, "argument", test_pct,
+            min_prob=cfg["arg_min_prob"]),
         "gate_lexicon": learn_filtered_lexicon(
-            ann_dir, "nugget", test_pct, min_prob=0.3),
+            ann_dir, "nugget", test_pct,
+            min_prob=cfg["gate_min_prob"]),
         "pin": learn_inarg_probs(ann_dir, test_pct),
+        "cfg": cfg,
     }
 
 
-def predict_turn_arguments(text: str, matcher: dict, gate_matcher: dict,
-                           pin: dict[str, float]) -> list[tuple]:
-    """v2 argument predictions for one turn: [] unless the nugget gate
-    fires; lexicon longest-match + pattern channels + in-arg runs,
-    nugget-proximity filtered, boundaries extended over adjacent
-    high-P(in-arg) / capitalized tokens. Returns [(start, end,
-    label)]."""
+def _turn_argument_spans(text: str, matcher: dict, gate_matcher: dict,
+                         pin: dict[str, float],
+                         cfg: dict | None = None):
+    """The v2 span construction with provenance, shared by the plain
+    v2 API and the v3 reranker: returns ``(records, toks)`` where each
+    record is ``(start, end, label, src, ext_chars, nug_dist)`` —
+    ``src`` in {"lex", "ch_cve", "ch_version", "ch_money", "ch_time",
+    "run"}, ``ext_chars`` the characters added by boundary extension,
+    ``nug_dist`` the pre-extension distance to the nearest nugget.
+    With ``cfg=None`` the module-constant thresholds apply and span
+    order, boundaries and labels are byte-identical to v2 (the wrapper
+    below is the pinned v2 behavior); a v3 cfg overrides run_theta /
+    ext_theta / prox for permissive generation."""
     import bisect
 
+    run_theta = ARG_RUN_THETA if cfg is None else cfg["run_theta"]
+    ext_theta = ARG_EXT_THETA if cfg is None else cfg["ext_theta"]
+    prox = ARG_PROX_CHARS if cfg is None else cfg["prox"]
     nugs = scan_turn(text, gate_matcher)
     if not nugs:
-        return []
+        return [], []
     nug_pos = [(s + e) // 2 for s, e, _l, _k in nugs]
     toks = tokenize(text)
     starts = [t[1] for t in toks]
-    spans = [(s, e, label)
+    spans = [(s, e, label, "lex")
              for s, e, label, _k in scan_turn(text, matcher)]
-    claimed = [(s, e) for s, e, _ in spans]
+    claimed = [(s, e) for s, e, _, _ in spans]
     for s, e, ch in scan_arg_patterns(text):
         if ch not in ARG_CHANNEL_LABELS:
             continue
         if any(min(e, ce) - max(s, cs) > 0 for cs, ce in claimed):
             continue
-        spans.append((s, e, ARG_CHANNEL_LABELS[ch]))
-    claimed = [(s, e) for s, e, _ in spans]
-    marks = [(s, e, pin.get(t.lower(), 0.0) >= ARG_RUN_THETA)
+        spans.append((s, e, ARG_CHANNEL_LABELS[ch], ch))
+    claimed = [(s, e) for s, e, _, _ in spans]
+    marks = [(s, e, pin.get(t.lower(), 0.0) >= run_theta)
              for t, s, e in toks]
     i = 0
     while i < len(marks):
@@ -505,19 +535,21 @@ def predict_turn_arguments(text: str, matcher: dict, gate_matcher: dict,
             s, e = marks[i][0], marks[j - 1][1]
             if not any(min(e, ce) - max(s, cs) > 0
                        for cs, ce in claimed):
-                spans.append((s, e, "Data"))
+                spans.append((s, e, "Data", "run"))
             i = j
         else:
             i += 1
 
     def attach(tok: str) -> bool:
-        return pin.get(tok.lower(), 0.0) >= ARG_EXT_THETA or \
+        return pin.get(tok.lower(), 0.0) >= ext_theta or \
             (tok[:1].isupper() and tok[:1].isalpha())
 
     out = []
-    for s, e, label in spans:
-        if min(abs((s + e) // 2 - p) for p in nug_pos) > ARG_PROX_CHARS:
+    for s, e, label, src in spans:
+        nug_dist = min(abs((s + e) // 2 - p) for p in nug_pos)
+        if nug_dist > prox:
             continue
+        s0, e0 = s, e
         i = bisect.bisect_left(starts, s)
         while i > 0 and (s - toks[i - 1][2]) <= 1 and attach(toks[i - 1][0]):
             s = toks[i - 1][1]
@@ -528,8 +560,90 @@ def predict_turn_arguments(text: str, matcher: dict, gate_matcher: dict,
         while j < len(toks) and (toks[j][1] - e) <= 1 and attach(toks[j][0]):
             e = toks[j][2]
             j += 1
-        out.append((s, e, label))
-    return out
+        out.append((s, e, label, src, (s0 - s) + (e - e0), nug_dist,
+                    len(nug_pos)))
+    return out, toks
+
+
+def predict_turn_arguments(text: str, matcher: dict, gate_matcher: dict,
+                           pin: dict[str, float]) -> list[tuple]:
+    """v2 argument predictions for one turn: [] unless the nugget gate
+    fires; lexicon longest-match + pattern channels + in-arg runs,
+    nugget-proximity filtered, boundaries extended over adjacent
+    high-P(in-arg) / capitalized tokens. Returns [(start, end,
+    label)]."""
+    recs, _toks = _turn_argument_spans(text, matcher, gate_matcher, pin)
+    return [(s, e, label) for s, e, label, *_prov in recs]
+
+
+# ---------------------------------------------------------------------------
+# Argument seat v3 (late r5): a learned span reranker on top of v2.
+# v2's dev sweep plateaued at span F1 ~0.488 because its knobs are
+# global thresholds; the remaining headroom is PER-SPAN — different
+# provenances (lexicon hit / pattern channel / in-arg run) have very
+# different precision, and over-extended boundaries burn dice credit.
+# v3 scores every v2 span with a logistic model over 13 deterministic
+# features (provenance one-hots, in-arg probability stats, span
+# geometry, nugget distance, capitalization, extension mass), trained
+# on the TRAIN split only (target: does the span overlap a train gold
+# argument), with the keep-threshold chosen on the same train-internal
+# dev buckets (FNV % 100 in [20, 36)) v2's sweep used. The held-out
+# 20% is touched once, by the final evaluation. No RNG anywhere —
+# full-batch gradient descent from zeros is deterministic.
+# ---------------------------------------------------------------------------
+
+RERANK_DIM = 13
+RERANK_SRCS = ("lex", "ch_cve", "ch_version", "ch_money", "ch_time",
+               "run")
+
+RERANK_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int64()),
+    ("start", pa.int64()), ("end", pa.int64()),
+    ("label", pa.string()), ("clipped", pa.bool_()),
+    ("feats", pa.list_(pa.float64())),
+])
+
+
+def _span_feature_vec(rec: tuple, toks: list, pin: dict) -> list:
+    """13 deterministic features for one provenance record from
+    _turn_argument_spans. Bounded/normalized so the standardized
+    logistic is well-conditioned."""
+    import bisect
+
+    s, e, _label, src, ext, nug_dist, _n_nugs = rec
+    fv = [1.0 if src == k else 0.0 for k in RERANK_SRCS]
+    starts = [t[1] for t in toks]
+    i = bisect.bisect_right(starts, s) - 1
+    if i < 0:
+        i = 0
+    while i < len(toks) and toks[i][2] <= s:
+        i += 1
+    cover = []
+    while i < len(toks) and toks[i][1] < e:
+        cover.append(toks[i])
+        i += 1
+    ps = [pin.get(t.lower(), 0.0) for t, _s, _e in cover]
+    caps = [1.0 for t, _s, _e in cover
+            if t[:1].isupper() and t[:1].isalpha()]
+    n = max(1, len(cover))
+    fv.extend([
+        float(sum(ps)) / n,                    # mean in-arg prob
+        float(max(ps)) if ps else 0.0,         # max in-arg prob
+        min(len(cover), 8) / 8.0,              # token count
+        min(e - s, 60) / 60.0,                 # char length
+        min(nug_dist, ARG_PROX_CHARS) / float(ARG_PROX_CHARS),
+        len(caps) / n,                         # capitalized fraction
+        min(ext, 20) / 20.0,                   # boundary-extension mass
+    ])
+    return fv
+
+
+def _reranker_prob(rr: dict, fv: list) -> float:
+    z = 0.0
+    for j in range(RERANK_DIM):
+        z += rr["w"][j] * ((fv[j] - rr["mu"][j]) / rr["sd"][j])
+    z += rr["b"]
+    return 1.0 / (1.0 + np.exp(-z))
 
 
 class ArgumentSeatPredictor:
@@ -539,18 +653,23 @@ class ArgumentSeatPredictor:
     mention rows for its split."""
 
     def __init__(self, seat_ref, split: str = "test",
-                 test_pct: int = TEST_PCT):
+                 test_pct: int = TEST_PCT, with_feats: bool = False,
+                 reranker: dict | None = None):
         import ray
         seat = ray.get(seat_ref) if not isinstance(seat_ref, dict) \
             else seat_ref
         self.matcher = build_surface_matcher(seat["arg_lexicon"])
         self.gate = build_surface_matcher(seat["gate_lexicon"])
         self.pin = seat["pin"]
+        self.cfg = seat.get("cfg")
         self.want_test = split == "test"
         self.test_pct = test_pct
+        self.with_feats = with_feats
+        self.reranker = reranker
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
+        feats_mode = self.with_feats or self.reranker is not None
         paths = batch.column("path").to_pylist()
         raws = batch.column("bytes").to_pylist()
         is_test = doc_is_test([_doc_of(p) for p in paths], self.test_pct)
@@ -559,27 +678,206 @@ class ArgumentSeatPredictor:
                 continue
             doc, _events, _args = parse_annotation(path, raw)
             for ti, (text, _off) in enumerate(_turn_spans(doc["content"])):
-                for s, e, label in predict_turn_arguments(
-                        text, self.matcher, self.gate, self.pin):
-                    rows.append({
-                        "conv_id": doc["doc_id"], "turn_idx": ti,
-                        "start": s, "end": e, "label": label,
-                        "clipped": False,
-                    })
+                if not feats_mode:
+                    recs, _t = _turn_argument_spans(
+                        text, self.matcher, self.gate, self.pin,
+                        self.cfg)
+                    for s, e, label, *_prov in recs:
+                        rows.append({
+                            "conv_id": doc["doc_id"], "turn_idx": ti,
+                            "start": s, "end": e, "label": label,
+                            "clipped": False,
+                        })
+                    continue
+                recs, toks = _turn_argument_spans(
+                    text, self.matcher, self.gate, self.pin, self.cfg)
+                for rec in recs:
+                    fv = _span_feature_vec(rec, toks, self.pin)
+                    if self.reranker is not None and \
+                            _reranker_prob(self.reranker, fv) < \
+                            self.reranker["theta"]:
+                        continue
+                    s, e, label = rec[0], rec[1], rec[2]
+                    row = {"conv_id": doc["doc_id"], "turn_idx": ti,
+                           "start": s, "end": e, "label": label,
+                           "clipped": False}
+                    if self.with_feats:
+                        row["feats"] = fv
+                    rows.append(row)
+        schema = RERANK_SCHEMA if self.with_feats else MENTION_SCHEMA
         if not rows:
-            return MENTION_SCHEMA.empty_table()
-        return pa.Table.from_pylist(rows, schema=MENTION_SCHEMA)
+            return schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=schema)
 
 
 def predict_arguments(ann_dir: str, seat: dict, split: str = "test",
-                      test_pct: int = TEST_PCT, concurrency=None):
-    """Dataset of v2 argument predictions (scorer format)."""
+                      test_pct: int = TEST_PCT, concurrency=None,
+                      with_feats: bool = False,
+                      reranker: dict | None = None):
+    """Dataset of v2 argument predictions (scorer format); with
+    ``with_feats`` each row also carries the 13 reranker features,
+    with ``reranker`` rows below its keep-threshold are dropped (v3)."""
     import ray
     ref = ray.put(seat)
     return _read_raw(ann_dir).map_batches(
-        ArgumentSeatPredictor, fn_constructor_args=(ref, split, test_pct),
+        ArgumentSeatPredictor,
+        fn_constructor_args=(ref, split, test_pct, with_feats, reranker),
         batch_format="pyarrow",
         concurrency=concurrency or (1, _pool_width()))
+
+
+RERANK_DEV_LO, RERANK_DEV_HI = 20, 36   # v2's dev buckets (FNV % 100)
+
+
+def _fit_span_logistic(preds, gold) -> tuple:
+    """Deterministic full-batch logistic fit (class-balanced, from
+    zeros) on prediction rows vs gold overlap. Returns (w, b, mu, sd,
+    prob) with prob the in-sample probabilities."""
+    gmap: dict[tuple, list] = {}
+    for r in gold.itertuples():
+        gmap.setdefault((r.conv_id, r.turn_idx), []) \
+            .append((r.start, r.end))
+
+    y = np.fromiter(
+        (1.0 if any(min(r.end, ge) - max(r.start, gs) > 0
+                    for gs, ge in gmap.get((r.conv_id, r.turn_idx), ()))
+         else 0.0 for r in preds.itertuples()),
+        np.float64, len(preds))
+    X = np.array(list(preds["feats"]), np.float64)
+    mu = X.mean(axis=0)
+    sd = X.std(axis=0)
+    sd[sd < 1e-9] = 1.0
+    Z = (X - mu) / sd
+    w = np.zeros(RERANK_DIM)
+    b = 0.0
+    pos = y.sum()
+    neg = len(y) - pos
+    if pos > 0 and neg > 0:     # degenerate fixtures: no reweighting
+        sw = np.where(y > 0, neg / pos, 1.0)
+        sw /= sw.mean()
+    else:
+        sw = np.ones(len(y))
+    for _ in range(400):
+        p = 1.0 / (1.0 + np.exp(-(Z @ w + b)))
+        g = (p - y) * sw
+        w -= 0.5 * (Z.T @ g / len(y) + 1e-4 * w)
+        b -= 0.5 * g.mean()
+    return w, b, mu, sd
+
+
+def _apply_logistic(w, b, mu, sd, preds) -> np.ndarray:
+    X = np.array(list(preds["feats"]), np.float64)
+    Z = (X - mu) / sd
+    return 1.0 / (1.0 + np.exp(-(Z @ w + b)))
+
+
+def learn_argument_reranker(ann_dir: str, test_pct: int = TEST_PCT,
+                            cfg: dict | None = None) -> dict:
+    """Train the v3 span reranker with a NESTED split protocol, so the
+    dev estimate mimics truly unseen documents:
+
+    - an INNER seat is trained with ``test_pct=RERANK_DEV_HI`` — it
+      has seen neither the real held-out docs (buckets < test_pct)
+      nor the dev buckets [test_pct, RERANK_DEV_HI);
+    - the logistic is fit on the inner seat's predictions over its
+      own train buckets (>= RERANK_DEV_HI), target = span overlaps a
+      train gold argument;
+    - the keep-threshold theta maximizes span F1 on the dev buckets
+      (predicted by the inner seat + inner logistic — dev docs are
+      unseen by BOTH, exactly like test docs at apply time);
+    - the SHIPPED model is refit on the full outer train split (outer
+      seat predictions, buckets >= test_pct) with theta carried over.
+
+    The real held-out split is never predicted, scored, or counted
+    here. Returns {w, b, mu, sd, theta, dev_f1, cfg}."""
+    from .ingest import gold_argument_mentions
+    from .scoring import span_prf
+
+    cfg = dict(ARG_CFG_DEFAULT if cfg is None else cfg)
+    gold_all = gold_argument_mentions(ann_dir).to_pandas()
+    h_gold = fnv1a_hashes(list(gold_all["conv_id"])) % np.uint64(100)
+
+    # --- inner: fit + theta on docs the inner seat has never seen ---
+    inner_seat = learn_argument_seat(ann_dir, RERANK_DEV_HI, cfg)
+    inner_fit = predict_arguments(ann_dir, inner_seat, "train",
+                                  RERANK_DEV_HI,
+                                  with_feats=True).to_pandas()
+    gold_inner = gold_all[h_gold >= RERANK_DEV_HI]
+    w, b, mu, sd = _fit_span_logistic(inner_fit, gold_inner)
+
+    dev_preds = predict_arguments(ann_dir, inner_seat, "test",
+                                  RERANK_DEV_HI,
+                                  with_feats=True).to_pandas()
+    h_dev = fnv1a_hashes(list(dev_preds["conv_id"])) % np.uint64(100)
+    dev_preds = dev_preds[h_dev >= test_pct]       # never the held-out
+    dev_mask = (h_gold >= test_pct) & (h_gold < RERANK_DEV_HI)
+    gold_dev = gold_all[dev_mask][
+        ["conv_id", "turn_idx", "start", "end", "label"]] \
+        .to_dict("records")
+    prob = _apply_logistic(w, b, mu, sd, dev_preds)
+    recs = dev_preds[["conv_id", "turn_idx", "start", "end",
+                      "label"]].to_dict("records")
+    best_theta, best_f1 = 0.0, -1.0
+    for theta in np.arange(0.05, 0.91, 0.05):
+        kept = [m for m, p in zip(recs, prob) if p >= theta]
+        f1 = span_prf(gold_dev, kept)["f1"]
+        if f1 > best_f1:
+            best_theta, best_f1 = float(theta), f1
+
+    # --- outer: refit on the full train split, theta carried over ---
+    outer_seat = learn_argument_seat(ann_dir, test_pct, cfg)
+    outer_fit = predict_arguments(ann_dir, outer_seat, "train",
+                                  test_pct, with_feats=True).to_pandas()
+    gold_outer = gold_all[h_gold >= test_pct]
+    w, b, mu, sd = _fit_span_logistic(outer_fit, gold_outer)
+    return {"w": w.tolist(), "b": float(b), "mu": mu.tolist(),
+            "sd": sd.tolist(), "theta": best_theta,
+            "dev_f1": best_f1, "cfg": cfg}
+
+
+ARG_CFG_MID = {"gate_min_prob": 0.2, "arg_min_prob": 0.1,
+               "run_theta": 0.45, "ext_theta": ARG_EXT_THETA,
+               "prox": ARG_PROX_CHARS}
+
+ARG_CFG_WIDE_LEX = {"gate_min_prob": 0.3, "arg_min_prob": 0.05,
+                    "run_theta": ARG_RUN_THETA,
+                    "ext_theta": ARG_EXT_THETA,
+                    "prox": ARG_PROX_CHARS}
+
+
+def evaluate_argument_seat_v3(ann_dir: str, test_pct: int = TEST_PCT,
+                              cfgs: tuple = (ARG_CFG_DEFAULT,
+                                             ARG_CFG_MID,
+                                             ARG_CFG_WIDE_LEX,
+                                             ARG_CFG_PERMISSIVE)
+                              ) -> dict:
+    """Held-out evaluation of the v3 reranked argument seat: every
+    candidate generation config competes on the NESTED dev estimate
+    only; the winner (config + theta) is applied to the held-out 20%
+    exactly once."""
+    from .ingest import gold_argument_mentions
+    from .scoring import mention_prf, span_prf
+
+    best = None
+    for cfg in cfgs:
+        rr = learn_argument_reranker(ann_dir, test_pct, cfg)
+        if best is None or rr["dev_f1"] > best["dev_f1"]:
+            best = rr
+    seat = learn_argument_seat(ann_dir, test_pct, best["cfg"])
+    pred = predict_arguments(ann_dir, seat, "test", test_pct,
+                             reranker=best) \
+        .to_pandas().to_dict("records")
+    gold = _filter_split(gold_argument_mentions(ann_dir), test_pct,
+                         True).to_pandas()
+    cols = ["conv_id", "turn_idx", "start", "end", "label"]
+    gold = gold[cols].to_dict("records") if not gold.empty else []
+    return {
+        "cfg": best["cfg"], "theta": best["theta"],
+        "dev_f1": best["dev_f1"],
+        "gold_mentions": len(gold), "pred_mentions": len(pred),
+        "span": span_prf(gold, pred),
+        "labeled": mention_prf(gold, pred, match_label=True),
+    }
 
 
 def evaluate_argument_seat(ann_dir: str,

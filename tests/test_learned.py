@@ -304,3 +304,84 @@ def test_evaluate_argument_seat_end_to_end(ray_session, tmp_path):
     assert res["pred_mentions"] >= 2
     for key in ("span", "labeled"):
         assert set(res[key]) >= {"precision", "recall", "f1"}
+
+
+# --- argument seat v3: learned span reranker (nested protocol) ---
+
+V3_TRAIN36 = ["80000", "80001", "80004", "80005", "80006", "80007"]
+V3_DEV = ["80002", "80011", "80016", "80018"]      # buckets [20, 36)
+V3_TEST = ["80003", "80008"]                       # buckets [0, 20)
+
+
+def _write_v3(tmp_path, test_text=None):
+    """Fixture with docs in all three nested-protocol bucket ranges:
+    inner-train (>= 36), dev ([20, 36)) and held-out (< 20)."""
+    d = tmp_path / "ann3"
+    d.mkdir(parents=True)
+    text = ("The ransomware spread fast. An attack on CVE-2018-0101 "
+            "hit the bank network hard.")
+    for did in V3_TRAIN36 + V3_DEV:
+        doc = _ann_doc(did, text,
+                       [(*_span(text, "ransomware"), "Ransom")],
+                       args=[(*_span(text, "ransomware"),
+                              "Malware", "Tool"),
+                             (*_span(text, "CVE-2018-0101"),
+                              "CVE", "Vulnerability")])
+        (d / f"{did}.json").write_text(json.dumps(doc))
+    tt = test_text or text
+    for did in V3_TEST:
+        doc = _ann_doc(did, tt,
+                       [(*_span(tt, "ransomware"), "Ransom")])
+        (d / f"{did}.json").write_text(json.dumps(doc))
+    return str(d)
+
+
+def test_argument_reranker_deterministic(ray_session, tmp_path):
+    """Full-batch GD from zeros with no RNG: two trainings on the
+    same fixture produce the identical model and threshold."""
+    from casie_ray.learned import learn_argument_reranker
+
+    d = _write_v3(tmp_path)
+    a = learn_argument_reranker(d)
+    b = learn_argument_reranker(d)
+    assert a == b
+    assert 0.0 < a["theta"] < 1.0
+    import numpy as np
+    assert all(np.isfinite(a["w"]))
+
+
+def test_reranker_filter_is_subset_and_feats_shape(ray_session,
+                                                   tmp_path):
+    """The v3 filter only removes spans (never adds or moves), and
+    feats mode carries exactly RERANK_DIM floats per row."""
+    from casie_ray.learned import (RERANK_DIM, learn_argument_seat,
+                                   learn_argument_reranker,
+                                   predict_arguments)
+
+    d = _write_v3(tmp_path)
+    seat = learn_argument_seat(d)
+    rr = learn_argument_reranker(d)
+    base = predict_arguments(d, seat, "test").to_pandas()
+    kept = predict_arguments(d, seat, "test", reranker=rr).to_pandas()
+    key = ["conv_id", "turn_idx", "start", "end", "label"]
+    bset = set(map(tuple, base[key].itertuples(index=False)))
+    kset = set(map(tuple, kept[key].itertuples(index=False)))
+    assert kset <= bset
+    feats = predict_arguments(d, seat, "test",
+                              with_feats=True).to_pandas()
+    assert all(len(f) == RERANK_DIM for f in feats["feats"])
+
+
+def test_reranker_never_touches_held_out(ray_session, tmp_path):
+    """Nested no-leakage: changing the CONTENT of held-out docs
+    (buckets < 20) changes neither the fitted model nor the chosen
+    threshold — the reranker trains and tunes on buckets >= 20
+    only."""
+    from casie_ray.learned import learn_argument_reranker
+
+    a = learn_argument_reranker(_write_v3(tmp_path))
+    b = learn_argument_reranker(_write_v3(
+        tmp_path / "alt",
+        test_text="Totally different ransomware story, no overlap "
+                  "with the original held-out text at all."))
+    assert a == b

@@ -1751,6 +1751,96 @@ def transcript_windows(transcripts_glob: str, window: int = WINDOW_TURNS,
     return bucket_groupby(parts, windows)
 
 
+def tool_transitions(transcripts_glob: str):
+    """(tool_from, tool_to, n): counts of consecutive tool-call pairs
+    within each conversation under turn_idx order, non-tool turns
+    skipped — agent tool-usage Markov mining (which tool follows
+    which), the transcript analogue of kg_event_transitions. NULL
+    conv_id turns are excluded in engine AND twin (a transition needs
+    a conversation identity).
+
+    Shape: the read prunes to tool turns only (usually a small
+    fraction of turn mass), ONE conv-keyed bucketed exchange, fully
+    vectorized pairing per bucket (sort + shift), then a tiny
+    tool-keyed reduce over vocabulary-sized partials."""
+    import ray.data
+
+    from .bucketing import bucket_groupby, fnv1a_hashes, hash_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch.column("tool")),
+                       pc.is_valid(batch.column("conv_id")))
+        t = pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx").cast(pa.int64()),
+            "tool": batch.column("tool"),
+        }).filter(keep)
+        h = fnv1a_hashes(t.column("conv_id").to_pylist())
+        return t.append_column(
+            "bucket", pa.array(hash_bucket([h]), pa.int32()))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[
+            ("conv_id", "ascending"), ("turn_idx", "ascending")])
+        g = group.take(idx)
+        conv = g.column("conv_id").combine_chunks() \
+            .dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        tool = g.column("tool").combine_chunks()
+        empty = pa.table({
+            "tool_from": pa.array([], pa.string()),
+            "tool_to": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int32()),
+        })
+        if len(conv) < 2:
+            return empty
+        same = pa.array(conv[1:] == conv[:-1])
+        p = pa.table({
+            "tool_from": tool.slice(0, len(tool) - 1),
+            "tool_to": tool.slice(1),
+        }).filter(same)
+        if p.num_rows == 0:
+            return empty
+        c = p.group_by(["tool_from", "tool_to"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["tool_from", "tool_to", "n"])
+        h = fnv1a_hashes(c.column("tool_from").to_pylist())
+        return pa.table({
+            "tool_from": c.column("tool_from"),
+            "tool_to": c.column("tool_to"),
+            "n": c.column("n").cast(pa.int64()),
+            "bucket": pa.array(hash_bucket([h]), pa.int32()),
+        })
+
+    def reduce(group: pa.Table) -> pa.Table:
+        g = group.group_by(["tool_from", "tool_to"]) \
+            .aggregate([("n", "sum")])
+        return g.rename_columns(["tool_from", "tool_to", "n"])
+
+    ds = ray.data.read_parquet(transcripts_glob,
+                               columns=["conv_id", "turn_idx", "tool"])
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    return bucket_groupby(bucket_groupby(parts, pairs), reduce,
+                          pre_repartition=False)
+
+
+def tool_transitions_sql(transcripts_glob: str) -> str:
+    """DuckDB twin: LAG over the tool turns per conversation."""
+    return f"""
+        WITH t AS (
+          SELECT conv_id, tool,
+                 lag(tool) OVER (PARTITION BY conv_id
+                                 ORDER BY turn_idx) AS tool_from
+          FROM read_parquet('{transcripts_glob}')
+          WHERE tool IS NOT NULL AND conv_id IS NOT NULL
+        )
+        SELECT tool_from, tool AS tool_to,
+               CAST(count(*) AS BIGINT) AS n
+        FROM t WHERE tool_from IS NOT NULL
+        GROUP BY tool_from, tool"""
+
+
 def transcript_windows_sql(transcripts_glob: str,
                            window: int = WINDOW_TURNS,
                            stride: int = WINDOW_STRIDE) -> str:

@@ -92,7 +92,7 @@ SQL_CHECKED = [
     "kg_assortativity", "dedup_winnow_pairs",
     "doc_chunks", "transcript_boilerplate",
     "chunk_dup_groups", "transcript_windows",
-    "kb_typed_candidates",
+    "kb_typed_candidates", "tool_transitions",
 ]
 
 
@@ -2664,3 +2664,36 @@ def test_kb_typed_candidates_precedence(ray_session, tmp_path, ddb):
         str(d), required_types=("Organization",))).fetchdf())
     pd.testing.assert_frame_equal(req, req_sql, check_dtype=False,
                                   check_exact=True)
+
+
+def test_tool_transitions_planted(ray_session, tmp_path, ddb):
+    """Conversation isolation (no pair across convs), non-tool-turn
+    skipping (a transition spans intervening plain turns), NULL
+    conv_id exclusion, and bit-exact twin parity."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from casie_ray.ops.relational import (tool_transitions,
+                                          tool_transitions_sql)
+
+    conv = ["a", "a", "a", "a", "b", "b", None, None]
+    ti = [0, 1, 2, 3, 0, 1, 0, 1]
+    tool = ["grep", None, "sed", "grep", "awk", "grep", "cat", "cat"]
+    d = tmp_path / "sftool"
+    d.mkdir()
+    pq_.write_table(pa.table({
+        "conv_id": pa.array(conv, pa.string()),
+        "turn_idx": pa.array(ti, pa.int32()),
+        "tool": pa.array(tool, pa.string()),
+    }), str(d / "part.parquet"))
+    got = _normalize(tool_transitions(str(d)).to_pandas())
+    want = _normalize(ddb.execute(
+        tool_transitions_sql(f"{d}/*.parquet")).fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    trans = {(r.tool_from, r.tool_to): r.n for r in got.itertuples()}
+    # conv a: grep -> sed (skipping the plain turn), sed -> grep
+    # conv b: awk -> grep ; NULL conv's cat -> cat never appears
+    assert trans == {("grep", "sed"): 1, ("sed", "grep"): 1,
+                     ("awk", "grep"): 1}

@@ -371,11 +371,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # conv_profiles), every entry whose code changed in r5 (quantizer
     # family, KG flagship family, similar_docs, kg_components), and the
     # stalest r2/r3-green entries to refresh their evidence. The
-    # eleven late-round additions (doc_chunks, chunk_dup_groups,
+    # late-round additions (doc_chunks, chunk_dup_groups,
     # transcript_boilerplate, transcript_windows, kb_typed_candidates,
-    # tool_transitions, kg_sssp, kg_communities, kg_event_transitions,
-    # kg_assortativity, dedup_winnow_pairs) take slots 1-11 as
-    # never-checked; the 11 refresh entries they displace past slot 50
+    # tool_transitions, conv_opening_dup_groups, kg_sssp,
+    # kg_communities, kg_event_transitions, kg_assortativity,
+    # dedup_winnow_pairs) take the leading slots as
+    # never-checked; the refresh entries they displace past slot 50
     # (doc_lang_id, doc_fingerprint, doc_sample, vocab_top_words,
     # vocab_top_words_sketch, vocab_collocations, hll_distinct_users,
     # transcripts_split, pack_sequences, shuffled_windows,
@@ -396,6 +397,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _corpus_dir(_sf_of(d))),
         "tool_transitions": lambda d: _rel.tool_transitions(
             os.path.join(_corpus_dir(_sf_of(d)), "transcripts")),
+        "conv_opening_dup_groups": lambda d:
+            _rel.conv_opening_dup_groups(
+                os.path.join(_corpus_dir(_sf_of(d)), "transcripts")),
         "kg_sssp": lambda d: _graphx.sssp(_edges_ds(d)),
         "kg_communities": lambda d: _graphx.lp_communities(_edges_ds(d)),
         "kg_event_transitions": lambda d: _graphx.event_transitions(
@@ -1793,6 +1797,8 @@ def oracle_sql() -> dict[str, str]:
             f"{corpus_001}/transcripts/*.parquet"),
         "kb_typed_candidates": _kb.kb_typed_candidates_sql(corpus_001),
         "tool_transitions": _rel.tool_transitions_sql(
+            f"{corpus_001}/transcripts/*.parquet"),
+        "conv_opening_dup_groups": _rel.conv_opening_dup_groups_sql(
             f"{corpus_001}/transcripts/*.parquet"),
         "similar_docs": _retr.similar_docs_sql(),
         "transcripts_redact": _redact_sql(corpus_001),

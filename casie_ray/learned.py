@@ -544,6 +544,7 @@ def _turn_argument_spans(text: str, matcher: dict, gate_matcher: dict,
         return pin.get(tok.lower(), 0.0) >= ext_theta or \
             (tok[:1].isupper() and tok[:1].isalpha())
 
+    trim = bool(cfg.get("trim")) if cfg is not None else False
     out = []
     for s, e, label, src in spans:
         nug_dist = min(abs((s + e) // 2 - p) for p in nug_pos)
@@ -560,9 +561,38 @@ def _turn_argument_spans(text: str, matcher: dict, gate_matcher: dict,
         while j < len(toks) and (toks[j][1] - e) <= 1 and attach(toks[j][0]):
             e = toks[j][2]
             j += 1
+        if trim:
+            # closed-class / punctuation edge trim: dice credit is
+            # per-character, so a leading "the " or trailing " of"
+            # burns credit on every matched gold. Drop edge tokens
+            # (never interior ones) until both ends are contentful;
+            # a span that trims to nothing is discarded.
+            cover = [t for t in toks[i:j] if t[1] >= s and t[2] <= e]
+            while cover and _is_trim_token(cover[0][0]):
+                cover = cover[1:]
+            while cover and _is_trim_token(cover[-1][0]):
+                cover = cover[:-1]
+            if not cover:
+                continue
+            s, e = cover[0][1], cover[-1][2]
         out.append((s, e, label, src, (s0 - s) + (e - e0), nug_dist,
                     len(nug_pos)))
     return out, toks
+
+
+# Closed-class boundary-trim vocabulary for the v3 "trim" generation
+# mode: determiners, prepositions, conjunctions, copulas, pronouns —
+# words that carry no mention content when they sit at a span EDGE.
+ARG_TRIM_WORDS = frozenset(
+    "the a an of in on at by for to with and or as from into over "
+    "its their his her our your this that these those is are was "
+    "were be been being has have had it they which who whose where "
+    "when while but nor so than then also".split())
+
+
+def _is_trim_token(tok: str) -> bool:
+    return tok.lower() in ARG_TRIM_WORDS or \
+        not any(ch.isalnum() for ch in tok)
 
 
 def predict_turn_arguments(text: str, matcher: dict, gate_matcher: dict,
@@ -582,19 +612,26 @@ def predict_turn_arguments(text: str, matcher: dict, gate_matcher: dict,
 # global thresholds; the remaining headroom is PER-SPAN — different
 # provenances (lexicon hit / pattern channel / in-arg run) have very
 # different precision, and over-extended boundaries burn dice credit.
-# v3 scores every v2 span with a logistic model over 13 deterministic
+# v3 scores every v2 span with a logistic model over 21 deterministic
 # features (provenance one-hots, in-arg probability stats, span
-# geometry, nugget distance, capitalization, extension mass), trained
-# on the TRAIN split only (target: does the span overlap a train gold
-# argument), with the keep-threshold chosen on the same train-internal
+# geometry, nugget distance, capitalization, extension mass, plus the
+# v3.1 context block: flanking-token in-arg probabilities, left
+# preposition, digit fraction, turn shape, candidate competition),
+# trained on the TRAIN split only (target: does the span overlap a
+# train gold argument), with the keep-threshold chosen on the same
+# train-internal dev buckets and then refined PER PROVENANCE SOURCE
+# (coordinate descent on dev; v3.1 also arms closed-class boundary
+# trim as a competing generation config), all before the single
 # dev buckets (FNV % 100 in [20, 36)) v2's sweep used. The held-out
 # 20% is touched once, by the final evaluation. No RNG anywhere —
 # full-batch gradient descent from zeros is deterministic.
 # ---------------------------------------------------------------------------
 
-RERANK_DIM = 13
+RERANK_DIM = 21
 RERANK_SRCS = ("lex", "ch_cve", "ch_version", "ch_money", "ch_time",
                "run")
+RERANK_PREPS = frozenset(
+    "of in by from to at on with against for about via".split())
 
 RERANK_SCHEMA = pa.schema([
     ("conv_id", pa.string()), ("turn_idx", pa.int64()),
@@ -604,13 +641,17 @@ RERANK_SCHEMA = pa.schema([
 ])
 
 
-def _span_feature_vec(rec: tuple, toks: list, pin: dict) -> list:
-    """13 deterministic features for one provenance record from
+def _span_feature_vec(rec: tuple, toks: list, pin: dict,
+                      n_spans: int = 1, text: str = "") -> list:
+    """21 deterministic features for one provenance record from
     _turn_argument_spans. Bounded/normalized so the standardized
-    logistic is well-conditioned."""
+    logistic is well-conditioned. Features 14-21 (v3.1) add the
+    span's CONTEXT — the flanking tokens, local competition, and
+    content shape — which the 13 span-internal features could not
+    see (held-out span F1 0.4914 with 13, see BASELINE.md)."""
     import bisect
 
-    s, e, _label, src, ext, nug_dist, _n_nugs = rec
+    s, e, _label, src, ext, nug_dist, n_nugs = rec
     fv = [1.0 if src == k else 0.0 for k in RERANK_SRCS]
     starts = [t[1] for t in toks]
     i = bisect.bisect_right(starts, s) - 1
@@ -618,6 +659,7 @@ def _span_feature_vec(rec: tuple, toks: list, pin: dict) -> list:
         i = 0
     while i < len(toks) and toks[i][2] <= s:
         i += 1
+    first = i
     cover = []
     while i < len(toks) and toks[i][1] < e:
         cover.append(toks[i])
@@ -635,6 +677,21 @@ def _span_feature_vec(rec: tuple, toks: list, pin: dict) -> list:
         len(caps) / n,                         # capitalized fraction
         min(ext, 20) / 20.0,                   # boundary-extension mass
     ])
+    left = toks[first - 1][0] if first > 0 else ""
+    right = toks[i][0] if i < len(toks) else ""
+    span_text = text[s:e] if text else " ".join(t for t, _a, _b in cover)
+    digits = sum(ch.isdigit() for ch in span_text)
+    turn_end = toks[-1][2] if toks else 1
+    fv.extend([
+        pin.get(left.lower(), 0.0),            # left-neighbor in-arg P
+        pin.get(right.lower(), 0.0),           # right-neighbor in-arg P
+        1.0 if left.lower() in RERANK_PREPS else 0.0,
+        digits / max(1, len(span_text)),       # digit fraction
+        min(n_nugs, 8) / 8.0,                  # nuggets in turn
+        min(turn_end, 600) / 600.0,            # turn length (chars)
+        min(n_spans, 16) / 16.0,               # candidate competition
+        1.0 if span_text[:1].isupper() else 0.0,
+    ])
     return fv
 
 
@@ -644,6 +701,15 @@ def _reranker_prob(rr: dict, fv: list) -> float:
         z += rr["w"][j] * ((fv[j] - rr["mu"][j]) / rr["sd"][j])
     z += rr["b"]
     return 1.0 / (1.0 + np.exp(-z))
+
+
+def _theta_for(rr: dict, src: str) -> float:
+    """Keep-threshold for one provenance source: the dev-refined
+    per-source theta when shipped (v3.1), else the global theta."""
+    by_src = rr.get("theta_by_src")
+    if by_src:
+        return by_src.get(src, rr["theta"])
+    return rr["theta"]
 
 
 class ArgumentSeatPredictor:
@@ -692,10 +758,11 @@ class ArgumentSeatPredictor:
                 recs, toks = _turn_argument_spans(
                     text, self.matcher, self.gate, self.pin, self.cfg)
                 for rec in recs:
-                    fv = _span_feature_vec(rec, toks, self.pin)
+                    fv = _span_feature_vec(rec, toks, self.pin,
+                                           len(recs), text)
                     if self.reranker is not None and \
                             _reranker_prob(self.reranker, fv) < \
-                            self.reranker["theta"]:
+                            _theta_for(self.reranker, rec[3]):
                         continue
                     s, e, label = rec[0], rec[1], rec[2]
                     row = {"conv_id": doc["doc_id"], "turn_idx": ti,
@@ -817,12 +884,31 @@ def learn_argument_reranker(ann_dir: str, test_pct: int = TEST_PCT,
     prob = _apply_logistic(w, b, mu, sd, dev_preds)
     recs = dev_preds[["conv_id", "turn_idx", "start", "end",
                       "label"]].to_dict("records")
+    # provenance is recoverable from the one-hot block of the feature
+    # vector — exactly what the apply-time predictor sees
+    srcs = [RERANK_SRCS[int(np.argmax(fv[:len(RERANK_SRCS)]))]
+            for fv in dev_preds["feats"]]
     best_theta, best_f1 = 0.0, -1.0
     for theta in np.arange(0.05, 0.91, 0.05):
         kept = [m for m, p in zip(recs, prob) if p >= theta]
         f1 = span_prf(gold_dev, kept)["f1"]
         if f1 > best_f1:
             best_theta, best_f1 = float(theta), f1
+
+    # per-source refinement (v3.1): provenances differ widely in
+    # precision, so one global keep-bar under-prunes some channels
+    # and over-prunes others. Two deterministic coordinate-descent
+    # sweeps over the same dev buckets, one source at a time.
+    theta_by_src = {k: best_theta for k in RERANK_SRCS}
+    for _sweep in range(2):
+        for src in RERANK_SRCS:
+            for theta in np.arange(0.0, 0.96, 0.05):
+                trial = dict(theta_by_src, **{src: float(theta)})
+                kept = [m for m, p, sk in zip(recs, prob, srcs)
+                        if p >= trial[sk]]
+                f1 = span_prf(gold_dev, kept)["f1"]
+                if f1 > best_f1:
+                    theta_by_src, best_f1 = trial, f1
 
     # --- outer: refit on the full train split, theta carried over ---
     outer_seat = learn_argument_seat(ann_dir, test_pct, cfg)
@@ -832,6 +918,7 @@ def learn_argument_reranker(ann_dir: str, test_pct: int = TEST_PCT,
     w, b, mu, sd = _fit_span_logistic(outer_fit, gold_outer)
     return {"w": w.tolist(), "b": float(b), "mu": mu.tolist(),
             "sd": sd.tolist(), "theta": best_theta,
+            "theta_by_src": theta_by_src,
             "dev_f1": best_f1, "cfg": cfg}
 
 
@@ -844,12 +931,21 @@ ARG_CFG_WIDE_LEX = {"gate_min_prob": 0.3, "arg_min_prob": 0.05,
                     "ext_theta": ARG_EXT_THETA,
                     "prox": ARG_PROX_CHARS}
 
+# v3.1 competitors: the same generation operating points with
+# closed-class boundary trim armed (see _turn_argument_spans).
+ARG_CFG_DEFAULT_TRIM = dict(ARG_CFG_DEFAULT, trim=True)
+ARG_CFG_MID_TRIM = dict(ARG_CFG_MID, trim=True)
+ARG_CFG_PERMISSIVE_TRIM = dict(ARG_CFG_PERMISSIVE, trim=True)
+
 
 def evaluate_argument_seat_v3(ann_dir: str, test_pct: int = TEST_PCT,
                               cfgs: tuple = (ARG_CFG_DEFAULT,
                                              ARG_CFG_MID,
                                              ARG_CFG_WIDE_LEX,
-                                             ARG_CFG_PERMISSIVE)
+                                             ARG_CFG_PERMISSIVE,
+                                             ARG_CFG_DEFAULT_TRIM,
+                                             ARG_CFG_MID_TRIM,
+                                             ARG_CFG_PERMISSIVE_TRIM)
                               ) -> dict:
     """Held-out evaluation of the v3 reranked argument seat: every
     candidate generation config competes on the NESTED dev estimate

@@ -1884,3 +1884,119 @@ def transcript_windows_sql(transcripts_glob: str,
                CAST(first_turn_idx AS BIGINT) AS first_turn_idx,
                CAST(nt AS BIGINT) AS n_turns, {signed} AS window_sig
         FROM s"""
+
+
+# --- conversation-level exact dedup by opening (transcript curation) ---
+#
+# Whole-conversation exact duplicates are rare at web scale, but
+# conversations SHARING an opening (the first OPENING_TURNS turns'
+# (role, text) sequence — canned system prompts, templated kickoffs)
+# are the unit a transcript-dedup pass keys on before near-dup
+# analysis (the reference dedups emitted triples the same
+# group-on-content way, code/event_dedup.py semantics; here the
+# content key is the conversation opening).
+
+OPENING_TURNS = 3
+OPENING_MIN_CONVS = 2
+
+# field / record separators for the opening key — characters the
+# synthetic corpus never emits in role/text, so the concatenation is
+# injective over the fields it joins
+_OPEN_FS = "\x1f"
+_OPEN_RS = "\x1e"
+
+
+def conv_opening_dup_groups(transcripts_glob: str,
+                            k: int = OPENING_TURNS,
+                            min_convs: int = OPENING_MIN_CONVS):
+    """(keeper, n_convs) for every group of >= min_convs conversations
+    whose first ``k`` turns have the identical (role, text) sequence;
+    ``keeper`` is the lexicographically-least conv_id of the group
+    (the one a dedup pass would keep). NULL conv_id turns are excluded
+    (no conversation identity).
+
+    Shape: the read keeps only turn_idx < k rows (constant rows per
+    conversation cross the wire regardless of conversation length),
+    exchange 1 co-locates each conversation's opening turns by conv_id
+    and assembles the opening key VECTORIZED (sort + list-agg +
+    binary_join — no per-row Python), exchange 2 groups by opening-key
+    hash and reduces to (keeper, n_convs). A viral opening shared by
+    10^8 conversations arrives at exchange 2 as one row per exchange-1
+    bucket (per-bucket partial min/count), so hot openings never
+    concentrate on one reducer."""
+    import ray.data
+
+    from .bucketing import bucket_groupby, fnv1a_hashes, hash_bucket
+
+    def early(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less(batch.column("turn_idx").cast(pa.int64()),
+                    pa.scalar(k, pa.int64())),
+            pc.is_valid(batch.column("conv_id")))
+        t = pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx").cast(pa.int64()),
+            "piece": pc.binary_join_element_wise(
+                pc.fill_null(batch.column("role"), ""),
+                pc.fill_null(batch.column("text"), ""), _OPEN_FS),
+        }).filter(keep)
+        h = fnv1a_hashes(t.column("conv_id").to_pylist())
+        return t.append_column(
+            "bucket", pa.array(hash_bucket([h]), pa.int32()))
+
+    def openings(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[
+            ("conv_id", "ascending"), ("turn_idx", "ascending")])
+        g = group.take(idx).group_by(
+            ["conv_id"], use_threads=False).aggregate([("piece", "list")])
+        okey = pc.binary_join(g.column("piece_list"), _OPEN_RS)
+        # per-bucket partial: one row per (okey) with min conv_id +
+        # count — conversations are whole within a bucket (keyed by
+        # conv_id), so partials are disjoint and merge by min/sum
+        t = pa.table({"okey": okey, "conv_id": g.column("conv_id")})
+        p = t.group_by(["okey"]).aggregate([
+            ("conv_id", "min"), ([], "count_all")])
+        h = fnv1a_hashes(p.column("okey").to_pylist())
+        return pa.table({
+            "okey": p.column("okey"),
+            "keeper_p": p.column("conv_id_min"),
+            "n_p": p.column("count_all").cast(pa.int64()),
+            "bucket": pa.array(hash_bucket([h]), pa.int32()),
+        })
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by(["okey"]).aggregate([
+            ("keeper_p", "min"), ("n_p", "sum")])
+        g = g.filter(pc.greater_equal(
+            g.column("n_p_sum"), pa.scalar(min_convs, pa.int64())))
+        return pa.table({
+            "keeper": g.column("keeper_p_min"),
+            "n_convs": g.column("n_p_sum").cast(pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        transcripts_glob, columns=["conv_id", "turn_idx", "role", "text"])
+    parts = ds.map_batches(early, batch_format="pyarrow",
+                           batch_size=None)
+    return bucket_groupby(bucket_groupby(parts, openings), final,
+                          pre_repartition=False)
+
+
+def conv_opening_dup_groups_sql(transcripts_glob: str,
+                                k: int = OPENING_TURNS,
+                                min_convs: int = OPENING_MIN_CONVS
+                                ) -> str:
+    """DuckDB twin: the identical opening key via ordered string_agg."""
+    return f"""
+        WITH o AS (
+          SELECT conv_id,
+                 string_agg(coalesce(role, '') || chr(31) ||
+                            coalesce(text, ''), chr(30)
+                            ORDER BY turn_idx) AS okey
+          FROM read_parquet('{transcripts_glob}')
+          WHERE turn_idx < {k} AND conv_id IS NOT NULL
+          GROUP BY conv_id
+        )
+        SELECT min(conv_id) AS keeper,
+               CAST(count(*) AS BIGINT) AS n_convs
+        FROM o GROUP BY okey HAVING count(*) >= {min_convs}"""

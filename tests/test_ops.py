@@ -93,6 +93,7 @@ SQL_CHECKED = [
     "doc_chunks", "transcript_boilerplate",
     "chunk_dup_groups", "transcript_windows",
     "kb_typed_candidates", "tool_transitions",
+    "conv_opening_dup_groups",
 ]
 
 

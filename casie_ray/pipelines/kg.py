@@ -226,9 +226,12 @@ def _extract_fused_waves(out_dir, raw_root, ev_root, pending, entities_ref,
             files, entities_ref, detect_concurrency=detect_concurrency,
             conv_partitioned=True, sink=sink).take_all()
         ev_by_gid: dict[int, int] = {}
+        turns_by_gid: dict[int, int] = {}
         for r in stats:
             ev_by_gid[r["gid"]] = ev_by_gid.get(r["gid"], 0) \
                 + r["n_events"]
+            turns_by_gid[r["gid"]] = turns_by_gid.get(r["gid"], 0) \
+                + r.get("n_turns", 0)
         for gid, gfiles in wave:
             for root in roots:
                 manifest.atomic_dir_swap(
@@ -237,6 +240,7 @@ def _extract_fused_waves(out_dir, raw_root, ev_root, pending, entities_ref,
             manifest.commit(out_dir, gid, cfg, gfiles, {
                 "input_files": len(gfiles),
                 "events": ev_by_gid.get(gid, 0),
+                "turns": turns_by_gid.get(gid, 0),
             })
 
 
@@ -363,7 +367,11 @@ def run_kg_pipeline(corpus_dir: str, out_dir: str, *,
     # and no shuffle-strategy override (with its aggregator-actor pool)
     # is needed — measurably faster at this scale and deadlock-free at
     # low CPU counts
-    return _finalize(out_dir, raw_root, groups, skipped, timings, t0)
+    info = _finalize(out_dir, raw_root, groups, skipped, timings, t0)
+    turns = manifest.total_counter(out_dir, "turns")
+    if turns:
+        info["turns"] = turns
+    return info
 
 
 SMALL_FINALIZE_BYTES = 32 * 1024 * 1024
@@ -646,7 +654,27 @@ def read_triples(out_dir: str):
 
 
 def main():
+    """CLI / `ray job submit` entrypoint.
+
+    On a cluster, the Ray Jobs runtime exports RAY_ADDRESS for the
+    job driver; the default below picks it up, so the same command
+    line works both ways:
+
+        # laptop / single node
+        python -m casie_ray.pipelines.kg /data/corpus --out /data/kg
+
+        # fixed-size cluster (N or 4N nodes — the scaling protocol
+        # runs the SAME submit at both sizes and compares the
+        # turns_per_sec fields of the JSON line below)
+        ray job submit --working-dir . -- \
+            python -m casie_ray.pipelines.kg /data/corpus --out /data/kg
+
+    The run is resumable: re-submitting after a failure skips
+    finished groups via the per-partition manifests.
+    """
     import argparse
+    import json
+    import os
 
     import ray
     ap = argparse.ArgumentParser()
@@ -654,21 +682,35 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--address",
+                    default=os.environ.get("RAY_ADDRESS", "local"),
+                    help="Ray address: 'local' starts a local "
+                         "instance; under `ray job submit` the "
+                         "runtime's RAY_ADDRESS connects to the "
+                         "cluster (default: $RAY_ADDRESS or local)")
     ap.add_argument("--status", action="store_true",
                     help="print the resume-status manifest summary for "
                          "--out and exit (no Ray, no reads of row data)")
     args = ap.parse_args()
     if args.status:
-        import json
         print(json.dumps(manifest.summarize(args.out), indent=1))
         return
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+        kw = dict(include_dashboard=False, logging_level="ERROR")
+        if args.address == "local":
+            kw["num_cpus"] = args.num_cpus
+        ray.init(address=args.address, **kw)
     try:
         info = run_kg_pipeline(args.corpus_dir, args.out,
                                resume=not args.no_resume)
-        print(info)
+        info["cluster_cpus"] = int(
+            ray.cluster_resources().get("CPU", 0))
+        info["cluster_nodes"] = sum(
+            1 for n in ray.nodes() if n.get("Alive"))
+        if info.get("wall_sec") and info.get("turns"):
+            info["turns_per_sec"] = round(
+                info["turns"] / info["wall_sec"], 1)
+        print(json.dumps(info))
     finally:
         ray.shutdown()
 

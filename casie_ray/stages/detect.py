@@ -280,6 +280,7 @@ class ShardFileExtractor(ShardExtractor):
     STATS_SCHEMA = pa.schema([
         ("shard", pa.string()), ("gid", pa.int32()),
         ("n_events", pa.int64()), ("n_triples", pa.int64()),
+        ("n_turns", pa.int64()),
     ])
 
     def __init__(self, entities_ref, events_dir: str | None = None,
@@ -321,7 +322,8 @@ class ShardFileExtractor(ShardExtractor):
                                        f"{self.sink['suffix']}", base))
                 stats.append({"shard": base, "gid": gid,
                               "n_events": events.num_rows,
-                              "n_triples": trip.num_rows})
+                              "n_triples": trip.num_rows,
+                              "n_turns": tbl.num_rows})
                 continue
             if self.events_dir is not None:
                 pq.write_table(events.drop_columns(["args"]),

@@ -142,5 +142,26 @@ def summarize(out_dir: str) -> dict:
         "groups_reusable_on_resume": len(reusable),
         "events_total": sum(g["counters"].get("events", 0)
                             for g in complete),
+        "turns_total": sum(g["counters"].get("turns", 0)
+                           for g in complete),
         "groups": groups,
     }
+
+
+def total_counter(out_dir: str, key: str) -> int:
+    """Sum one counter over every complete group manifest — driver-side
+    metadata only (the CLI's turns_per_sec reads this, never row
+    data)."""
+    import glob as _glob
+
+    total = 0
+    for p in _glob.glob(os.path.join(manifest_dir(out_dir),
+                                     "group-*.json")):
+        try:
+            with open(p) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue
+        if m.get("status") == "complete":
+            total += int(m.get("counters", {}).get(key, 0))
+    return total

@@ -385,3 +385,63 @@ def test_reranker_never_touches_held_out(ray_session, tmp_path):
         test_text="Totally different ransomware story, no overlap "
                   "with the original held-out text at all."))
     assert a == b
+
+
+def test_trim_cfg_strips_closed_class_edges():
+    """v3.1 boundary trim: with a trim cfg, spans lose closed-class /
+    punctuation EDGE tokens (never interior ones) and spans that trim
+    to nothing are dropped; without trim the span is untouched."""
+    from casie_ray.learned import (ARG_CFG_DEFAULT, _turn_argument_spans,
+                                   build_surface_matcher)
+
+    text = "A breach hit the bank network today."
+    matcher = build_surface_matcher({"the bank network": "Organization"})
+    gate = build_surface_matcher({"breach": "Databreach"})
+    pin: dict = {}
+    plain, _ = _turn_argument_spans(text, matcher, gate, pin,
+                                    dict(ARG_CFG_DEFAULT))
+    trimmed, _ = _turn_argument_spans(text, matcher, gate, pin,
+                                      dict(ARG_CFG_DEFAULT, trim=True))
+    assert [text[s:e] for s, e, *_ in plain] == ["the bank network"]
+    assert [text[s:e] for s, e, *_ in trimmed] == ["bank network"]
+
+    # a span of ONLY closed-class tokens disappears under trim
+    m2 = build_surface_matcher({"the": "Data"})
+    plain2, _ = _turn_argument_spans(text, m2, gate, pin,
+                                     dict(ARG_CFG_DEFAULT))
+    trimmed2, _ = _turn_argument_spans(text, m2, gate, pin,
+                                       dict(ARG_CFG_DEFAULT, trim=True))
+    assert [text[s:e] for s, e, *_ in plain2] == ["the"]
+    assert trimmed2 == []
+
+
+def test_per_source_theta_filters_by_provenance(ray_session, tmp_path):
+    """v3.1 per-source thetas: a reranker whose theta_by_src keeps
+    everything from one provenance and nothing from another filters
+    exactly by the span's source channel."""
+    from casie_ray.learned import (RERANK_DIM, RERANK_SRCS, _theta_for,
+                                   learn_argument_seat,
+                                   predict_arguments)
+
+    assert _theta_for({"theta": 0.5}, "lex") == 0.5
+    assert _theta_for({"theta": 0.5,
+                       "theta_by_src": {"lex": 0.1}}, "lex") == 0.1
+    assert _theta_for({"theta": 0.5,
+                       "theta_by_src": {"lex": 0.1}}, "run") == 0.5
+
+    d = _write_v3(tmp_path)
+    seat = learn_argument_seat(d)
+    base = predict_arguments(d, seat, "test").to_pandas()
+    assert len(base) > 0
+    # identity model: prob = sigmoid(0) = 0.5 for every span
+    ident = {"w": [0.0] * RERANK_DIM, "b": 0.0,
+             "mu": [0.0] * RERANK_DIM, "sd": [1.0] * RERANK_DIM,
+             "theta": 0.5}
+    keep_all = dict(ident, theta_by_src={k: 0.0 for k in RERANK_SRCS})
+    drop_all = dict(ident, theta_by_src={k: 0.9 for k in RERANK_SRCS})
+    kept = predict_arguments(d, seat, "test",
+                             reranker=keep_all).to_pandas()
+    dropped = predict_arguments(d, seat, "test",
+                                reranker=drop_all).to_pandas()
+    assert len(kept) == len(base)
+    assert len(dropped) == 0

@@ -34,6 +34,7 @@ from casie_ray.ops import ann as _ann
 from casie_ray.ops import bucketing as _bucketing
 from casie_ray.ops import bpe as _bpe
 from casie_ray.ops import dedup as _dedup
+from casie_ray.ops import deps as _deps
 from casie_ray.ops import clean as _clean
 from casie_ray.ops import curation as _cur
 from casie_ray.ops import graph as _graph
@@ -321,6 +322,22 @@ def _token_features(sf_dir: str):
     return token_features(_corpus_dir(_sf_of(sf_dir)))
 
 
+def _dep_features(sf_dir: str):
+    """M6 dep-fold full-tree upgrade: rule-dependency tree per turn
+    (combineDep's gov_id/gov_words/gov_rel/gov_pos shape, reference
+    parseJsontoFeatures.py:108-139) with bounded depth + root path."""
+    from casie_ray.ops.deps import dep_features
+    return dep_features(_corpus_dir(_sf_of(sf_dir)))
+
+
+def _svo_triples(sf_dir: str):
+    """Syntactic (subject, verb, object) triples through the rule
+    dependency tree — the open-IE analogue of link_events' semantic
+    argument linking (reference code/link_coref.py:1223-1407)."""
+    from casie_ray.ops.deps import svo_triples
+    return svo_triples(_corpus_dir(_sf_of(sf_dir)))
+
+
 def _media_dedup(sf_dir: str):
     from casie_ray.stages.multimodal import media_dedup
     return media_dedup(sf_dir)
@@ -371,7 +388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # conv_profiles), every entry whose code changed in r5 (quantizer
     # family, KG flagship family, similar_docs, kg_components), and the
     # stalest r2/r3-green entries to refresh their evidence. The
-    # late-round additions (doc_chunks, chunk_dup_groups,
+    # late-round additions (turn_dep_features, turn_svo_triples,
+    # doc_chunks, chunk_dup_groups,
     # transcript_boilerplate, transcript_windows, kb_typed_candidates,
     # tool_transitions, conv_opening_dup_groups, kg_sssp,
     # kg_communities, kg_event_transitions, kg_assortativity,
@@ -383,10 +401,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # token_budget_sample) keep their earlier hash-green evidence
     # with unchanged code.
     return {
-        # --- new in r5 (never driver-checked): doc chunking +
-        # boilerplate-turn detection, weighted SSSP +
-        # label-propagation communities + multimodal near-dup family
-        # + k-core decomposition ---
+        # --- new in r5 (never driver-checked): rule-dependency
+        # features, doc chunking + boilerplate-turn detection,
+        # weighted SSSP + label-propagation communities + multimodal
+        # near-dup family + k-core decomposition ---
+        "turn_dep_features": _dep_features,
+        "turn_svo_triples": _svo_triples,
         "doc_chunks": _text.doc_chunks,
         "chunk_dup_groups": _text.chunk_dup_groups,
         "transcript_boilerplate": lambda d: _rel.transcript_boilerplate(
@@ -1425,6 +1445,8 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT conv_id FROM read_parquet(
                   '{corpus_001}/transcripts/*.parquet'))""",
         "turn_token_features": _token_features_sql(corpus_001),
+        "turn_dep_features": _deps.dep_features_sql(corpus_001),
+        "turn_svo_triples": _deps.svo_triples_sql(corpus_001),
         "doc_stats": f"""
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,

@@ -93,7 +93,7 @@ SQL_CHECKED = [
     "doc_chunks", "transcript_boilerplate",
     "chunk_dup_groups", "transcript_windows",
     "kb_typed_candidates", "tool_transitions",
-    "conv_opening_dup_groups",
+    "conv_opening_dup_groups", "turn_dep_features", "turn_svo_triples",
 ]
 
 
@@ -108,6 +108,93 @@ def test_query_matches_oracle_sql(ray_session, ddb, name):
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_dep_features_hand_checked_tree():
+    """Pin the rule-dependency arcs on a hand-derived sentence: root =
+    first verb; nsubj before / obj after the verb; right-headed
+    compound inside the noun run; nmod through the preposition; the
+    root_path truncation at 3 arcs."""
+    import pyarrow as pa
+
+    from casie_ray.ops.deps import dep_features_batch
+
+    t = pa.table({
+        "conv_id": pa.array(["c1"], pa.string()),
+        "turn_idx": pa.array([0], pa.int32()),
+        "text": pa.array(
+            ["The hackers breached the main server in March"],
+            pa.string()),
+    })
+    df = dep_features_batch(t).to_pandas().set_index("tok_idx")
+    want = {
+        1: ("DET", 2, "det", 2, "det/nsubj/root"),
+        2: ("NOUN", 3, "nsubj", 1, "nsubj/root"),
+        3: ("VERB", 0, "root", 0, "root"),
+        4: ("DET", 5, "det", 3, "det/compound/obj/+"),
+        5: ("NOUN", 6, "compound", 2, "compound/obj/root"),
+        6: ("NOUN", 3, "obj", 1, "obj/root"),
+        7: ("PREP", 8, "case", 3, "case/nmod/obj/+"),
+        8: ("NOUN", 6, "nmod", 2, "nmod/obj/root"),
+    }
+    for tok, (pos, gov, rel, depth, path) in want.items():
+        row = df.loc[tok]
+        assert (row["pos"], row["gov_id"], row["gov_rel"],
+                row["depth"], row["root_path"]) == \
+            (pos, gov, rel, depth, path), f"tok {tok}: {dict(row)}"
+    assert df.loc[3, "gov_pos"] == "ROOT" and \
+        df.loc[3, "gov_surface"] is None
+    assert df.loc[8, "gov_surface"] == "server" and \
+        df.loc[8, "gov_pos"] == "NOUN"
+
+
+def test_svo_triples_hand_checked():
+    import pyarrow as pa
+
+    from casie_ray.ops.deps import svo_triples_batch
+
+    t = pa.table({
+        "conv_id": pa.array(["c1", "c1"], pa.string()),
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "text": pa.array(
+            ["The hackers breached the main server in March",
+             "attackers stole credentials and exploited flaws"],
+            pa.string()),
+    })
+    got = svo_triples_batch(t).to_pandas()
+    trips = set(map(tuple, got[["turn_idx", "subj", "verb", "obj"]]
+                    .itertuples(index=False)))
+    assert (0, "hackers", "breached", "server") in trips
+    assert (1, "attackers", "stole", "credentials") in trips
+
+
+def test_dep_features_acyclic_and_single_root(ray_session):
+    """Structural invariants over real corpus text: exactly one gov-0
+    token per non-empty turn, every governor points at an existing
+    token of the same turn, and following governors always terminates
+    (depth -1 only for chains past the cap, which must still be
+    finite)."""
+    import collections
+
+    import __ray_entry__ as entrymod
+
+    df = entrymod.queries()["turn_dep_features"](SF_DIR).to_pandas()
+    df = df[df.conv_id.isin(df.conv_id.unique()[:40])]
+    roots = df[df.gov_id == 0].groupby(["conv_id", "turn_idx"]).size()
+    per_turn = df.groupby(["conv_id", "turn_idx"]).size()
+    assert (roots == 1).all() and len(roots) == len(per_turn)
+    by_turn = collections.defaultdict(dict)
+    for row in df.itertuples():
+        by_turn[(row.conv_id, row.turn_idx)][row.tok_idx] = row.gov_id
+    for govs in by_turn.values():
+        for tok, gov in govs.items():
+            assert gov == 0 or gov in govs
+            seen = set()
+            cur = tok
+            while cur != 0:
+                assert cur not in seen, "cycle in dep tree"
+                seen.add(cur)
+                cur = govs[cur]
 
 
 def test_grouped_hll_estimates(ray_session, ddb):

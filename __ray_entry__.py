@@ -389,7 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # family, KG flagship family, similar_docs, kg_components), and the
     # stalest r2/r3-green entries to refresh their evidence. The
     # late-round additions (turn_dep_features, turn_svo_triples,
-    # doc_chunks, chunk_dup_groups,
+    # kg_event_timeline, doc_chunks, chunk_dup_groups,
     # transcript_boilerplate, transcript_windows, kb_typed_candidates,
     # tool_transitions, conv_opening_dup_groups, kg_sssp,
     # kg_communities, kg_event_transitions, kg_assortativity,
@@ -407,6 +407,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup family + k-core decomposition ---
         "turn_dep_features": _dep_features,
         "turn_svo_triples": _svo_triples,
+        "kg_event_timeline": lambda d: _rel.kg_event_timeline(
+            _events_ds(d),
+            os.path.join(_corpus_dir(_sf_of(d)), "transcripts")),
         "doc_chunks": _text.doc_chunks,
         "chunk_dup_groups": _text.chunk_dup_groups,
         "transcript_boilerplate": lambda d: _rel.transcript_boilerplate(
@@ -1447,6 +1450,8 @@ def oracle_sql() -> dict[str, str]:
         "turn_token_features": _token_features_sql(corpus_001),
         "turn_dep_features": _deps.dep_features_sql(corpus_001),
         "turn_svo_triples": _deps.svo_triples_sql(corpus_001),
+        "kg_event_timeline": _rel.kg_event_timeline_sql(
+            f"{corpus_001}/gold_kg_events.parquet", corpus_001),
         "doc_stats": f"""
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,

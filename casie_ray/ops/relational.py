@@ -2000,3 +2000,89 @@ def conv_opening_dup_groups_sql(transcripts_glob: str,
         SELECT min(conv_id) AS keeper,
                CAST(count(*) AS BIGINT) AS n_convs
         FROM o GROUP BY okey HAVING count(*) >= {min_convs}"""
+
+
+# ---------------------------------------------------------------------------
+# KG event timelines: coref-cluster activity windows (events x ts)
+# ---------------------------------------------------------------------------
+
+def kg_event_timeline(events_ds, transcripts_dir: str):
+    """Per-coref-cluster activity window: join the materialized KG
+    events to their turns' timestamps (the reference's realis/coref
+    time features read the same doc dates, link_coref.py:364-410) and
+    aggregate first/last mention time, mention count and distinct
+    conversations per cluster.
+
+    Shape: one ``hash_join`` exchange keyed on conv_id (a conversation
+    is co-located whole, so the fused per-bucket kernel can match
+    turn_idx and pre-aggregate to (cluster, conv) rows — output mass
+    is cluster-conversation pairs, not event rows), then one small
+    keyed exchange on cluster for the final merge. At 100 TB both
+    exchanges carry aggregate-sized payloads only.
+    """
+    import ray.data
+
+    from .bucketing import N_OPS_BUCKETS, bucket_groupby, fnv1a_hashes
+    from .join import hash_join
+
+    def t_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "t_turn": b.column("turn_idx"),
+            "ts": b.column("ts"),
+        })
+
+    def e_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "e_turn": b.column("turn_idx"),
+            "cluster": b.column("cluster"),
+        })
+
+    left = ray.data.read_parquet(
+        transcripts_dir, columns=["conv_id", "turn_idx", "ts"]) \
+        .map_batches(t_rows, batch_format="pyarrow")
+    right = events_ds.map_batches(e_rows, batch_format="pyarrow")
+
+    def per_conv(j: pa.Table) -> pa.Table:
+        m = pc.equal(j.column("t_turn"), j.column("e_turn"))
+        g = j.filter(m).group_by(["cluster", "conv_id"]).aggregate(
+            [("ts", "min"), ("ts", "max"), ("ts", "count")])
+        return g
+
+    pairs = hash_join(left, right, on="conv_id", bucket_fn=per_conv)
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        b = b.drop_columns(["bucket"])
+        h = fnv1a_hashes(b.column("cluster").to_pylist()) \
+            % np.uint64(N_OPS_BUCKETS)
+        return b.append_column("bucket", pa.array(h.astype(np.int32)))
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by(["cluster"]).aggregate(
+            [("ts_min", "min"), ("ts_max", "max"), ("ts_count", "sum"),
+             ("conv_id", "count")])
+        return pa.table({
+            "cluster": g.column("cluster"),
+            "first_ts": g.column("ts_min_min"),
+            "last_ts": g.column("ts_max_max"),
+            "n_mentions": g.column("ts_count_sum"),
+            "n_convs": g.column("conv_id_count"),
+        })
+
+    return bucket_groupby(
+        pairs.map_batches(rebucket, batch_format="pyarrow"), final,
+        pre_repartition=False)
+
+
+def kg_event_timeline_sql(events_parquet: str, corpus: str) -> str:
+    return f"""
+        SELECT e.cluster,
+               min(t.ts) AS first_ts, max(t.ts) AS last_ts,
+               count(*) AS n_mentions,
+               count(DISTINCT e.conv_id) AS n_convs
+        FROM read_parquet('{events_parquet}') e
+        JOIN read_parquet('{corpus}/transcripts/*.parquet') t
+          ON t.conv_id = e.conv_id AND t.turn_idx = e.turn_idx
+        GROUP BY e.cluster
+    """

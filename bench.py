@@ -131,7 +131,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
     queries["kg_pipeline"] = kg_wall
 
     total = round(sum(queries.values()), 2)
-    return {
+    res = {
         "metric": "end-to-end seconds: KG triple extraction (headline) "
                   "+ training-data ops suite",
         "value": total, "unit": "sec", "queries": queries,
@@ -143,6 +143,25 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
         # runs (shared-VM de-noising); all individual walls reported
         "kg_pipeline_runs": kg_runs,
     }
+    # one interleaved hardware-floor sample (the --scaling protocol's
+    # same-window control): plain-multiprocessing run of the identical
+    # extraction kernel at the same worker count, so round-over-round
+    # bench comparisons can be normalized for this shared VM's clock
+    # state instead of argued about
+    if os.environ.get("GRAFT_BENCH_FLOOR", "1") != "0":
+        floor_script = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "scripts", "floor_bench.py")
+        try:
+            p = subprocess.run(
+                [sys.executable, floor_script, "--single",
+                 str(num_cpus), str(sf)],
+                check=True, capture_output=True, text=True, timeout=600)
+            res["floor_wall_extract"] = float(json.loads(
+                p.stdout.strip().splitlines()[-1])["wall"])
+        except Exception:
+            pass  # the floor is context, never a bench failure
+    return res
 
 
 def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> dict:

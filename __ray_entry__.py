@@ -389,7 +389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # family, KG flagship family, similar_docs, kg_components), and the
     # stalest r2/r3-green entries to refresh their evidence. The
     # late-round additions (turn_dep_features, turn_svo_triples,
-    # kg_event_timeline, doc_chunks, chunk_dup_groups,
+    # kg_event_timeline, kg_negative_samples, doc_chunks,
+    # chunk_dup_groups,
     # transcript_boilerplate, transcript_windows, kb_typed_candidates,
     # tool_transitions, conv_opening_dup_groups, kg_sssp,
     # kg_communities, kg_event_transitions, kg_assortativity,
@@ -410,6 +411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_event_timeline": lambda d: _rel.kg_event_timeline(
             _events_ds(d),
             os.path.join(_corpus_dir(_sf_of(d)), "transcripts")),
+        "kg_negative_samples": lambda d: _mlprep.kg_negative_samples(
+            _edges_ds(d)),
         "doc_chunks": _text.doc_chunks,
         "chunk_dup_groups": _text.chunk_dup_groups,
         "transcript_boilerplate": lambda d: _rel.transcript_boilerplate(
@@ -1309,6 +1312,46 @@ GROUP BY s.doc_id
 """
 
 
+def _kg_negative_samples_sql(gold_triples: str, k: int = 2) -> str:
+    """DuckDB twin of ops.mlprep.kg_negative_samples: same distinct
+    positives, same sorted node vocabulary, same
+    splitmix64(fnv1a(subj␟pred␟obj␟i)) mod n pick, same
+    positive-filtering anti-join."""
+    sep = "chr(31)"
+    comp = (f"subj || {sep} || pred || {sep} || obj || {sep} || "
+            f"CAST(sample_idx AS VARCHAR)")
+    mix_frag, mix_end = _mix64_sql_steps("ng", "cand0", "fk")
+    ivals = ", ".join(f"({i})" for i in range(k))
+    return f"""
+        WITH pos AS (
+          SELECT DISTINCT subj, pred, obj
+          FROM read_parquet('{gold_triples}')
+        ), vocab AS (
+          SELECT node,
+                 row_number() OVER (ORDER BY node) - 1 AS ridx
+          FROM (SELECT subj AS node FROM pos
+                UNION SELECT obj FROM pos)
+        ), nv AS (SELECT count(*) AS n FROM vocab),
+        cand0 AS (
+          SELECT subj, pred, obj, CAST(i.i AS BIGINT) AS sample_idx,
+                 {_fnv_expr(comp)} AS fk
+          FROM pos CROSS JOIN (VALUES {ivals}) i(i)
+        ), {mix_frag},
+        cand AS (
+          SELECT c.subj, c.pred, v.node AS neg_obj, c.sample_idx
+          FROM {mix_end} c
+          JOIN nv ON true
+          JOIN vocab v ON v.ridx = CAST(c.nghf %
+               CAST(nv.n AS UBIGINT) AS BIGINT)
+        )
+        SELECT c.subj, c.pred, c.neg_obj, c.sample_idx
+        FROM cand c
+        LEFT JOIN pos p ON p.subj = c.subj AND p.pred = c.pred
+             AND p.obj = c.neg_obj
+        WHERE p.subj IS NULL
+    """
+
+
 def _token_features_sql(corpus: str) -> str:
     """M6/M7 window-function twin of ops.features.token_features, plus
     the deppathtoTrigger shape as bounded governor-chain self-joins."""
@@ -1452,6 +1495,8 @@ def oracle_sql() -> dict[str, str]:
         "turn_svo_triples": _deps.svo_triples_sql(corpus_001),
         "kg_event_timeline": _rel.kg_event_timeline_sql(
             f"{corpus_001}/gold_kg_events.parquet", corpus_001),
+        "kg_negative_samples": _kg_negative_samples_sql(
+            f"{corpus_001}/gold_triples.parquet"),
         "doc_stats": f"""
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,

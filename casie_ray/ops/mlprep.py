@@ -405,3 +405,119 @@ def token_budget_sample(sf_dir: str, budget: int = TOKEN_BUDGET,
 
     ds = meta.map_batches(tag, batch_format="pyarrow", batch_size=None)
     return bucket_groupby(ds, select, coarse_per_cpu=4)
+
+
+# ---------------------------------------------------------------------------
+# KG-embedding negative sampling (deterministic, positive-filtered)
+# ---------------------------------------------------------------------------
+
+NEG_K = 2
+_NEG_SEP = "\x1f"
+
+
+def kg_negative_samples(edges_ds, k: int = NEG_K):
+    """Deterministic corrupted-object negatives for KG-embedding
+    training (the TransE-style sampling step a training pipeline runs
+    over the materialized graph): for every DISTINCT positive triple
+    (subj, pred, obj), emit ``k`` candidates with the object replaced
+    by a pseudo-random vocabulary node — ``node_sorted[splitmix64(
+    fnv1a(subj␟pred␟obj␟i)) mod n_nodes]`` — then drop candidates
+    that collide with a TRUE positive via a distributed anti-join
+    (left-outer ``hash_join`` on the corrupted key, keep unmatched).
+
+    Scale shape: one bucketed exchange for the positive distinct, a
+    driver-side sorted node vocabulary (bounded-broadcast class — the
+    entity vocabulary is catalog-sized, the same assumption the
+    canonicalizer's fuzzy index already rests on), one shuffle-free
+    candidate map, and one bucketed anti-join exchange. No stage sees
+    more than k x |distinct positives| rows.
+    """
+    import ray
+
+    from .join import hash_join
+
+    def spo(batch: pa.Table) -> pa.Table:
+        t = batch.select(["subj", "pred", "obj"])
+        g = t.group_by(["subj", "pred", "obj"]).aggregate([])
+        return g.append_column("bucket", pa.array(
+            (fnv1a_hashes(
+                [s + _NEG_SEP + p + _NEG_SEP + o
+                 for s, p, o in zip(g.column("subj").to_pylist(),
+                                    g.column("pred").to_pylist(),
+                                    g.column("obj").to_pylist())])
+             % np.uint64(256)).astype(np.int32)))
+
+    def spo_distinct(group: pa.Table) -> pa.Table:
+        return group.drop_columns(["bucket"]) \
+            .group_by(["subj", "pred", "obj"]).aggregate([])
+
+    positives = bucket_groupby(
+        edges_ds.map_batches(spo, batch_format="pyarrow"), spo_distinct)
+
+    # node vocabulary: distinct endpoint ids, sorted — vocabulary-sized
+    # (bounded broadcast, BPE-vocab / entity-catalog class)
+    def ends(batch: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([
+            batch.column("subj").combine_chunks().cast(pa.string()),
+            batch.column("obj").combine_chunks().cast(pa.string())])
+        return pa.table({"node": pa.array(
+            np.unique(np.asarray(u, dtype=object)), pa.string())})
+
+    node_parts = edges_ds.map_batches(
+        ends, batch_format="pyarrow").take_all()
+    vocab = np.unique(np.asarray([r["node"] for r in node_parts],
+                                 dtype=object))
+    vocab_ref = ray.put(vocab)
+
+    from .bucketing import mix64
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        nodes = ray.get(vocab_ref)
+        n_nodes = np.uint64(len(nodes))
+        subj = batch.column("subj").to_pylist()
+        pred = batch.column("pred").to_pylist()
+        obj = batch.column("obj").to_pylist()
+        out_s, out_p, out_neg, out_i = [], [], [], []
+        for i in range(k):
+            keys = [s + _NEG_SEP + p + _NEG_SEP + o + _NEG_SEP + str(i)
+                    for s, p, o in zip(subj, pred, obj)]
+            h = mix64([fnv1a_hashes(keys)])
+            picks = nodes[(h % n_nodes).astype(np.int64)]
+            out_s.extend(subj)
+            out_p.extend(pred)
+            out_neg.extend(picks.tolist())
+            out_i.extend([i] * len(subj))
+        return pa.table({
+            "c_key": pa.array(
+                [s + _NEG_SEP + p + _NEG_SEP + o for s, p, o in
+                 zip(out_s, out_p, out_neg)], pa.string()),
+            "subj": pa.array(out_s, pa.string()),
+            "pred": pa.array(out_p, pa.string()),
+            "neg_obj": pa.array(out_neg, pa.string()),
+            "sample_idx": pa.array(out_i, pa.int64()),
+        })
+
+    cands = positives.map_batches(candidates, batch_format="pyarrow")
+
+    def pos_keys(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_key": pa.array(
+                [s + _NEG_SEP + p + _NEG_SEP + o for s, p, o in
+                 zip(batch.column("subj").to_pylist(),
+                     batch.column("pred").to_pylist(),
+                     batch.column("obj").to_pylist())], pa.string()),
+            "hit": pa.array(np.ones(batch.num_rows, np.int8)),
+        })
+
+    marks = positives.map_batches(pos_keys, batch_format="pyarrow")
+
+    def keep_unmatched(j: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.is_null(j.column("hit"))
+        return j.filter(m).select(
+            ["subj", "pred", "neg_obj", "sample_idx"])
+
+    out = hash_join(cands, marks, on="c_key", how="left outer",
+                    bucket_fn=keep_unmatched)
+    return out.map_batches(
+        lambda b: b.drop_columns(["bucket"]), batch_format="pyarrow")

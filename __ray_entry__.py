@@ -389,7 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # family, KG flagship family, similar_docs, kg_components), and the
     # stalest r2/r3-green entries to refresh their evidence. The
     # late-round additions (turn_dep_features, turn_svo_triples,
-    # kg_event_timeline, kg_negative_samples, doc_chunks,
+    # kg_event_timeline, kg_negative_samples, sft_pairs, doc_chunks,
     # chunk_dup_groups,
     # transcript_boilerplate, transcript_windows, kb_typed_candidates,
     # tool_transitions, conv_opening_dup_groups, kg_sssp,
@@ -413,6 +413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(_corpus_dir(_sf_of(d)), "transcripts")),
         "kg_negative_samples": lambda d: _mlprep.kg_negative_samples(
             _edges_ds(d)),
+        "sft_pairs": lambda d: _mlprep.sft_pairs(
+            os.path.join(_corpus_dir(_sf_of(d)), "transcripts")),
         "doc_chunks": _text.doc_chunks,
         "chunk_dup_groups": _text.chunk_dup_groups,
         "transcript_boilerplate": lambda d: _rel.transcript_boilerplate(
@@ -1497,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
             f"{corpus_001}/gold_kg_events.parquet", corpus_001),
         "kg_negative_samples": _kg_negative_samples_sql(
             f"{corpus_001}/gold_triples.parquet"),
+        "sft_pairs": _mlprep.sft_pairs_sql(corpus_001),
         "doc_stats": f"""
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,

@@ -521,3 +521,110 @@ def kg_negative_samples(edges_ds, k: int = NEG_K):
                     bucket_fn=keep_unmatched)
     return out.map_batches(
         lambda b: b.drop_columns(["bucket"]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SFT pair export: transcripts -> (prompt, response) training rows
+# ---------------------------------------------------------------------------
+
+SFT_CONTEXT_TURNS = 4
+
+
+def sft_pairs(transcripts_dir: str, context: int = SFT_CONTEXT_TURNS):
+    """Instruction-tuning pair export over the transcripts table: one
+    row per assistant turn with at least one preceding turn — prompt =
+    the up-to-``context`` preceding turns rendered ``role: text`` and
+    newline-joined in turn order, response = the assistant turn's
+    text. The conversation-to-training-pair step every SFT data
+    pipeline runs over chat transcripts.
+
+    One conv-keyed bucketed exchange (a conversation is never split —
+    the engine's standard partitioning unit), then a per-bucket
+    vectorized sort + windowed gather; output mass is assistant-turn
+    rows, and at 100 TB the exchange carries only (conv_id, turn_idx,
+    role, text) — no wide intermediate."""
+    import ray.data
+
+    from .bucketing import bucket_groupby, fnv1a_hashes, hash_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        h = fnv1a_hashes(
+            pc.fill_null(batch.column("conv_id"), "").to_pylist())
+        return pa.table({
+            "conv_id": pc.fill_null(batch.column("conv_id"), ""),
+            "turn_idx": batch.column("turn_idx").cast(pa.int64()),
+            "role": pc.fill_null(batch.column("role"), ""),
+            "text": pc.fill_null(batch.column("text"), ""),
+            "bucket": pa.array(hash_bucket([h]), pa.int32()),
+        })
+
+    def pairs(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        order = pc.sort_indices(group, sort_keys=[
+            ("conv_id", "ascending"), ("turn_idx", "ascending")])
+        g = group.take(order)
+        conv = np.asarray(g.column("conv_id").to_pylist(), dtype=object)
+        turn = g.column("turn_idx").to_numpy(zero_copy_only=False)
+        role = g.column("role").to_pylist()
+        text = g.column("text").to_pylist()
+        n = len(conv)
+        new_conv = np.ones(n, dtype=bool)
+        if n > 1:
+            new_conv[1:] = conv[1:] != conv[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(new_conv, np.arange(n), 0))
+        is_asst = np.array([r == "assistant" for r in role], dtype=bool)
+        cand = np.nonzero(is_asst & (np.arange(n) > run_start))[0]
+        out_conv, out_turn, out_prompt, out_resp, out_nctx = \
+            [], [], [], [], []
+        lines = [f"{r}: {t}" for r, t in zip(role, text)]
+        for j in cand.tolist():
+            lo = max(int(run_start[j]), j - context)
+            # mirror the twin's turn-window semantics exactly
+            ctx = [i for i in range(lo, j)
+                   if turn[i] >= turn[j] - context]
+            if not ctx:
+                continue
+            out_conv.append(conv[j])
+            out_turn.append(int(turn[j]))
+            out_prompt.append("\n".join(lines[i] for i in ctx))
+            out_resp.append(text[j])
+            out_nctx.append(len(ctx))
+        return pa.table({
+            "conv_id": pa.array(out_conv, pa.string()),
+            "turn_idx": pa.array(out_turn, pa.int64()),
+            "prompt": pa.array(out_prompt, pa.string()),
+            "response": pa.array(out_resp, pa.string()),
+            "n_context": pa.array(out_nctx, pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        transcripts_dir, columns=["conv_id", "turn_idx", "role", "text"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    return bucket_groupby(ds, pairs)
+
+
+def sft_pairs_sql(corpus: str, context: int = SFT_CONTEXT_TURNS) -> str:
+    """DuckDB twin of sft_pairs (same role render, same turn window,
+    same newline join in turn order)."""
+    return f"""
+        WITH t AS (
+          SELECT coalesce(conv_id, '') AS conv_id,
+                 CAST(turn_idx AS BIGINT) AS turn_idx,
+                 coalesce(role, '') AS role,
+                 coalesce(text, '') AS text
+          FROM read_parquet('{corpus}/transcripts/*.parquet')
+        ), a AS (
+          SELECT * FROM t WHERE role = 'assistant'
+        )
+        SELECT a.conv_id, a.turn_idx,
+               string_agg(c.role || ': ' || c.text, chr(10)
+                          ORDER BY c.turn_idx) AS prompt,
+               a.text AS response,
+               count(*) AS n_context
+        FROM a JOIN t c ON c.conv_id = a.conv_id
+             AND c.turn_idx >= a.turn_idx - {context}
+             AND c.turn_idx < a.turn_idx
+        GROUP BY a.conv_id, a.turn_idx, a.text
+    """

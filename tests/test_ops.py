@@ -94,7 +94,7 @@ SQL_CHECKED = [
     "chunk_dup_groups", "transcript_windows",
     "kb_typed_candidates", "tool_transitions",
     "conv_opening_dup_groups", "turn_dep_features", "turn_svo_triples",
-    "kg_event_timeline", "kg_negative_samples",
+    "kg_event_timeline", "kg_negative_samples", "sft_pairs",
 ]
 
 

@@ -2786,3 +2786,66 @@ def test_tool_transitions_planted(ray_session, tmp_path, ddb):
     # conv b: awk -> grep ; NULL conv's cat -> cat never appears
     assert trans == {("grep", "sed"): 1, ("sed", "grep"): 1,
                      ("awk", "grep"): 1}
+
+
+def test_kg_negative_samples_invariants(ray_session):
+    """Structural invariants beyond the hash contract: no emitted
+    negative collides with a true positive, the corrupted object is
+    always a graph node, exactly <= k rows per positive, and the op is
+    deterministic across runs."""
+    import __ray_entry__ as entrymod
+    from casie_ray.ops.mlprep import NEG_K
+
+    q = entrymod.queries()["kg_negative_samples"]
+    neg = q(SF_DIR).to_pandas()
+    edges = entrymod.queries()["kg_edges"](SF_DIR).to_pandas()
+    pos = set(zip(edges["subj"], edges["pred"], edges["obj"]))
+    nodes = set(edges["subj"]) | set(edges["obj"])
+    assert not neg.empty
+    trips = set(zip(neg["subj"], neg["pred"], neg["neg_obj"]))
+    assert not (trips & pos), "a negative collides with a positive"
+    assert set(neg["neg_obj"]).issubset(nodes)
+    per_pos = neg.groupby(["subj", "pred", "sample_idx"]).size()
+    assert (neg["sample_idx"] < NEG_K).all()
+    assert per_pos.size > 0
+    neg2 = q(SF_DIR).to_pandas()
+    a = neg.sort_values(list(neg.columns)).reset_index(drop=True)
+    b = neg2.sort_values(list(neg.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_sft_pairs_null_and_window_edges(ray_session, tmp_path):
+    """NULL text/role fold as '' (coalesce semantics), assistant turns
+    with no prior turn are dropped, and the context window clips at
+    SFT_CONTEXT_TURNS in turn order."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casie_ray.ops.mlprep import SFT_CONTEXT_TURNS, sft_pairs
+
+    d = tmp_path / "transcripts"
+    os.makedirs(d)
+    rows = {
+        "conv_id": ["a"] * 7 + ["b"],
+        "turn_idx": list(range(7)) + [0],
+        "role": ["user", "assistant", None, "user", "tool", "user",
+                 "assistant", "assistant"],
+        "text": ["t0", "t1", "t2", None, "t4", "t5", "t6", "solo"],
+    }
+    pq.write_table(pa.table({
+        "conv_id": pa.array(rows["conv_id"], pa.string()),
+        "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+        "role": pa.array(rows["role"], pa.string()),
+        "text": pa.array(rows["text"], pa.string()),
+    }), str(d / "p.parquet"))
+    got = sft_pairs(str(d)).to_pandas().set_index("turn_idx")
+    # conv b's assistant turn 0 has no context -> dropped
+    assert set(got.index) == {1, 6}
+    assert got.loc[1, "prompt"] == "user: t0"
+    assert got.loc[1, "n_context"] == 1
+    # turn 6: exactly the 4 preceding turns, NULLs folded to ''
+    assert got.loc[6, "n_context"] == SFT_CONTEXT_TURNS
+    assert got.loc[6, "prompt"] == ": t2\nuser: \ntool: t4\nuser: t5"
+    assert got.loc[6, "response"] == "t6"

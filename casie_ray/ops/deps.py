@@ -350,7 +350,8 @@ def dep_features(corpus_dir: str):
 
 
 def _sql_set(words) -> str:
-    return "(" + ", ".join(f"'{w}'" for w in sorted(words)) + ")"
+    return "(" + ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(words)) + ")"
 
 
 def _dep_tree_cte(corpus: str) -> str:

@@ -95,6 +95,7 @@ SQL_CHECKED = [
     "kb_typed_candidates", "tool_transitions",
     "conv_opening_dup_groups", "turn_dep_features", "turn_svo_triples",
     "kg_event_timeline", "kg_negative_samples", "sft_pairs",
+    "transcripts_roundtrip",
 ]
 
 

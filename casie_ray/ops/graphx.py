@@ -347,6 +347,192 @@ def pagerank(edges_ds, iters: int = 3):
 
 
 # ---------------------------------------------------------------------------
+# Personalized PageRank (seed-restart variant of the pagerank fixed point)
+# ---------------------------------------------------------------------------
+#
+# Same all-integer fixed point as :func:`pagerank`, but the reset mass
+# returns only to a SEED set instead of uniformly: rank measures
+# proximity to the seeds (the standard PPR recommendation/expansion
+# primitive). Seeds are chosen deterministically as the ``n_seeds``
+# highest out-degree nodes (ties by node ascending) — derivable
+# identically in the engine (bounded partial top-k over the node-sized
+# out-degree table) and in the SQL twin (ORDER BY outdeg DESC, src).
+#
+#   rank0(n)  = SCALE if n in seeds else 0
+#   rank'(n)  = (BASE if n in seeds else 0)
+#               + sum over in-edges (m, n) of (rank(m)*85//100)//outdeg(m)
+#
+# Dataflow is pagerank's: two bucketed exchanges per iteration,
+# inter-round state is the node-sized rank table. The seed set is tiny
+# (n_seeds strings) and rides into the reduce kernel by closure.
+
+PPR_SEEDS = 8
+
+
+def _top_outdeg_partial(k: int):
+    def kern(batch: pa.Table) -> pa.Table:
+        t = batch.select(["node", "outdeg"])
+        idx = pc.sort_indices(t, sort_keys=[("outdeg", "descending"),
+                                            ("node", "ascending")])
+        return t.take(idx[:k])
+    return kern
+
+
+def _ppr_reduce_bucket(seed_list: list[str]):
+    seeds_arr = pa.array(sorted(seed_list), pa.string())
+
+    def kern(group: pa.Table) -> pa.Table:
+        g = group.group_by(["node"]).aggregate([("contrib", "sum"),
+                                                ("outdeg", "max")])
+        g = g.rename_columns(["node", "c", "outdeg"])
+        base = pc.if_else(
+            pc.is_in(g.column("node"), value_set=seeds_arr),
+            pa.scalar(PR_BASE, pa.int64()), pa.scalar(0, pa.int64()))
+        return pa.table({
+            "node": g.column("node"),
+            "rank": pc.add(base, g.column("c").cast(pa.int64())),
+            "outdeg": g.column("outdeg"),
+            "bucket": _str_bucket(g.column("node")),
+        })
+    return kern
+
+
+def ppr(edges_ds, iters: int = 3, n_seeds: int = PPR_SEEDS):
+    """Personalized PageRank: (node, pr) after ``iters`` iterations of
+    the seed-restart fixed point above. All-integer, bit-exact vs the
+    unrolled DuckDB twin (:func:`ppr_sql`)."""
+    ep = edges_ds.map_batches(_pr_edges_partial, batch_format="pyarrow",
+                              batch_size=None)
+    edges = bucket_groupby(ep, _pr_edges_bucket).materialize()
+
+    outdeg = bucket_groupby(edges, _pr_outdeg_bucket).materialize()
+
+    # deterministic seed set: bounded partial top-k per block, then a
+    # single tiny final merge — never the whole degree table
+    cand = outdeg.map_batches(_top_outdeg_partial(n_seeds),
+                              batch_format="pyarrow")
+    top = cand.repartition(1).map_batches(
+        _top_outdeg_partial(n_seeds), batch_format="pyarrow",
+        batch_size=None).take_all()
+    seed_list = [r["node"] for r in top]
+    seeds_arr = pa.array(sorted(seed_list), pa.string())
+
+    node_rows = edges.map_batches(_pr_nodes_partial,
+                                  batch_format="pyarrow", batch_size=None)
+
+    def as_node_row(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"),
+                         "outdeg": pa.nulls(batch.num_rows, pa.int64()),
+                         "bucket": batch.column("bucket")})
+
+    def init_bucket(group: pa.Table) -> pa.Table:
+        g = group.group_by(["node"]).aggregate([("outdeg", "max")])
+        g = g.rename_columns(["node", "outdeg"])
+        rank = pc.if_else(
+            pc.is_in(g.column("node"), value_set=seeds_arr),
+            pa.scalar(PR_SCALE, pa.int64()), pa.scalar(0, pa.int64()))
+        return pa.table({
+            "node": g.column("node"),
+            "rank": rank,
+            "outdeg": pc.fill_null(g.column("outdeg"), 0),
+            "bucket": _str_bucket(g.column("node")),
+        })
+
+    seed = node_rows.map_batches(as_node_row, batch_format="pyarrow") \
+        .union(outdeg)
+    ranks = bucket_groupby(seed, init_bucket).materialize()
+
+    def as_rank_row(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch.column("node"),
+            "dst": pa.nulls(batch.num_rows, pa.string()),
+            "rank": batch.column("rank"),
+            "outdeg": batch.column("outdeg"),
+            "bucket": batch.column("bucket"),
+        })
+
+    def as_edge_row(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "src": batch.column("src"),
+            "dst": batch.column("dst"),
+            "rank": pa.nulls(n, pa.int64()),
+            "outdeg": pa.nulls(n, pa.int64()),
+            "bucket": batch.column("bucket"),
+        })
+
+    def rebucket_node(fn):
+        def wrapped(g: pa.Table) -> pa.Table:
+            t = fn(g)
+            if "bucket" in t.column_names:
+                return t
+            return t.append_column("bucket", _str_bucket(t.column("node")))
+        return wrapped
+
+    reduce_kern = _ppr_reduce_bucket(seed_list)
+    for _ in range(iters):
+        mixed = ranks.map_batches(as_rank_row, batch_format="pyarrow") \
+            .union(edges.map_batches(as_edge_row, batch_format="pyarrow"))
+        contribs = bucket_groupby(mixed, rebucket_node(_pr_contrib_bucket))
+        ranks = bucket_groupby(contribs, reduce_kern).materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"),
+                         "pr": batch.column("rank")})
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def ppr_local(edges: list[tuple[str, str]], iters: int = 3,
+              n_seeds: int = PPR_SEEDS) -> dict[str, int]:
+    """Sequential fixed-point oracle for tests."""
+    e = sorted(set(edges))
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    outdeg: dict[str, int] = {}
+    for a, _ in e:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    seeds = set(n for n, _ in sorted(
+        outdeg.items(), key=lambda kv: (-kv[1], kv[0]))[:n_seeds])
+    rank = {n: (PR_SCALE if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        nxt = {n: (PR_BASE if n in seeds else 0) for n in nodes}
+        for a, b in e:
+            nxt[b] += (rank[a] * DAMP_NUM // DAMP_DEN) // outdeg[a]
+        rank = nxt
+    return rank
+
+
+def ppr_sql(triples_glob: str, iters: int = 3,
+            n_seeds: int = PPR_SEEDS) -> str:
+    """Unrolled DuckDB oracle for :func:`ppr` — one CTE per iteration,
+    all-integer arithmetic, bit-exact vs the engine."""
+    sql = [f"""WITH e AS (SELECT DISTINCT CAST(subj AS VARCHAR) AS src,
+                   CAST(obj AS VARCHAR) AS dst
+            FROM read_parquet('{triples_glob}')),
+ nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+ od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+ seeds AS (SELECT src AS node FROM od
+           ORDER BY outdeg DESC, src LIMIT {n_seeds}),
+ r0 AS (SELECT node, CAST(CASE WHEN node IN (SELECT node FROM seeds)
+                          THEN {PR_SCALE} ELSE 0 END AS BIGINT) AS pr
+        FROM nodes)"""]
+    for i in range(1, iters + 1):
+        sql.append(f""",
+ r{i} AS (SELECT n.node,
+          CAST(CASE WHEN n.node IN (SELECT node FROM seeds)
+               THEN {PR_BASE} ELSE 0 END
+               + coalesce(s.c, 0) AS BIGINT) AS pr
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   sum((r.pr * {DAMP_NUM} // {DAMP_DEN}) // od.outdeg) AS c
+            FROM e JOIN r{i - 1} r ON e.src = r.node
+                   JOIN od ON e.src = od.src
+            GROUP BY e.dst) s ON n.node = s.node)""")
+    sql.append(f"\nSELECT node, pr FROM r{iters}")
+    return "".join(sql)
+
+
+# ---------------------------------------------------------------------------
 # Triangle counting (degree-oriented, exact)
 # ---------------------------------------------------------------------------
 #

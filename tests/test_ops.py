@@ -96,6 +96,8 @@ SQL_CHECKED = [
     "conv_opening_dup_groups", "turn_dep_features", "turn_svo_triples",
     "kg_event_timeline", "kg_negative_samples", "sft_pairs",
     "transcripts_roundtrip",
+    # late round-5: personalized PageRank (seed-restart fixed point)
+    "kg_ppr",
 ]
 
 

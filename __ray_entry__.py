@@ -394,7 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # transcript_boilerplate, transcript_windows, kb_typed_candidates,
     # tool_transitions, conv_opening_dup_groups, kg_sssp,
     # kg_communities, kg_event_transitions, kg_assortativity,
-    # dedup_winnow_pairs, kg_ppr) take the leading slots as
+    # dedup_winnow_pairs, kg_ppr, kg_truss) take the leading slots as
     # never-checked; the refresh entries they displace past slot 50
     # (doc_lang_id, doc_fingerprint, doc_sample, vocab_top_words,
     # vocab_top_words_sketch, vocab_collocations, hll_distinct_users,
@@ -464,8 +464,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similar_docs": _retr.similar_docs,
         # --- code changed in r5: fused label-propagation rounds ---
         "kg_components": _kg_components,
-        # --- new late-r5: personalized PageRank (seed-restart) ---
+        # --- new late-r5: personalized PageRank (seed-restart) +
+        # bounded-round k-truss peel ---
         "kg_ppr": lambda d: _graphx.ppr(_edges_ds(d)),
+        "kg_truss": lambda d: _graphx.ktruss(_edges_ds(d)),
         # --- stalest driver evidence (r2/r3-green, sampled out of the
         # r4 prefix) — refreshed this round ---
         "ann_topk": _ann.ann_topk,
@@ -1837,6 +1839,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _graphx.pagerank_sql(
             f"{corpus_001}/gold_triples.parquet"),
         "kg_ppr": _graphx.ppr_sql(
+            f"{corpus_001}/gold_triples.parquet"),
+        "kg_truss": _graphx.ktruss_sql(
             f"{corpus_001}/gold_triples.parquet"),
         "kg_hits": _graphx.hits_sql(
             f"{corpus_001}/gold_triples.parquet"),

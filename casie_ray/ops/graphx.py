@@ -684,11 +684,12 @@ def _simple_graph(edges_ds):
     return e, deg
 
 
-def _triangle_core(edges_ds):
-    """Shared pipeline: returns (deg_ds, tri_ds) — the simple-graph
-    degree table and the per-node triangle counts, both keyed by node
-    with a consistent ``bucket`` column for downstream joins."""
-    e, deg = _simple_graph(edges_ds)
+def _oriented_edges(e, deg):
+    """Degree-orient a materialized canonical edge set: two tagged-union
+    bucket joins attach endpoint degrees, then src = (deg, node)-smaller
+    endpoint. Returns the materialized oriented Dataset
+    (src, dst, dst_deg, bucket) — shared by triangle counting and the
+    k-truss support rounds."""
 
     def deg_as_join_row(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -733,7 +734,15 @@ def _triangle_core(edges_ds):
     keyed_b = bucket_groupby(mixed1, join_a_bucket)
     mixed2 = keyed_b.union(
         deg.map_batches(deg_as_join_row, batch_format="pyarrow"))
-    oriented = bucket_groupby(mixed2, _tri_orient_bucket).materialize()
+    return bucket_groupby(mixed2, _tri_orient_bucket).materialize()
+
+
+def _triangle_core(edges_ds):
+    """Shared pipeline: returns (deg_ds, tri_ds) — the simple-graph
+    degree table and the per-node triangle counts, both keyed by node
+    with a consistent ``bucket`` column for downstream joins."""
+    e, deg = _simple_graph(edges_ds)
+    oriented = _oriented_edges(e, deg)
 
     wedges = bucket_groupby(oriented, _tri_wedge_bucket)
 
@@ -758,6 +767,148 @@ def triangle_counts(edges_ds):
     triangle are absent. Exact at any skew — degree orientation bounds
     wedge mass at O(m^1.5) with no hub cap."""
     return _triangle_core(edges_ds)[1]
+
+
+# ---------------------------------------------------------------------------
+# k-truss (bounded-round edge peel)
+# ---------------------------------------------------------------------------
+#
+# The k-truss of a graph is the maximal subgraph where every edge sits
+# in >= k-2 triangles OF THE SUBGRAPH — the standard cohesive-subgraph
+# / community-core primitive one notch stronger than k-core. Exact
+# trussness needs peeling to a fixpoint; this operator runs a FIXED
+# number of synchronous peel rounds (exact once converged — on the KG
+# fixtures 3 rounds converge; `rounds` is the knob), so the unrolled
+# DuckDB twin is bit-exact by construction. Each round recomputes
+# per-edge triangle support with the same degree-oriented wedge
+# machinery as triangle_counts (wedge mass O(m^1.5), no hub cap),
+# emitting the 3 edges of each triangle instead of the 3 corners.
+# Inter-round state is the surviving edge Dataset — never the driver.
+
+
+def _truss_match_bucket(group: pa.Table) -> pa.Table:
+    """One (v, w) pair bucket of wedge rows (u set) + edge rows
+    (u null): each closed wedge is a triangle; emit its 3 edges as
+    canonical (min, max) pairs for the per-edge support sum."""
+    is_edge = pc.invert(pc.is_valid(group.column("u")))
+    closers = group.filter(is_edge).select(["v", "w"]) \
+        .group_by(["v", "w"]).aggregate([])
+    wedges = group.filter(pc.invert(is_edge)).select(["v", "w", "u"])
+    tri = wedges.join(closers, keys=["v", "w"], join_type="inner")
+    u = tri.column("u").combine_chunks()
+    v = tri.column("v").combine_chunks()
+    w = tri.column("w").combine_chunks()
+    x = pa.concat_arrays([u, u, v])
+    y = pa.concat_arrays([v, w, w])
+    lt = pc.less(x, y)
+    a = pc.if_else(lt, x, y)
+    b = pc.if_else(lt, y, x)
+    return pa.table({
+        "a": a, "b": b,
+        "n": pa.array(np.ones(len(a), np.int64)),
+        "bucket": _pair_bucket(pa.chunked_array([a]),
+                               pa.chunked_array([b])),
+    })
+
+
+def _truss_reduce_bucket(group: pa.Table) -> pa.Table:
+    g = group.group_by(["a", "b"]).aggregate([("n", "sum")])
+    g = g.rename_columns(["a", "b", "support"])
+    return g.append_column("bucket", _pair_bucket(g.column("a"),
+                                                  g.column("b")))
+
+
+def _edge_support(e, deg):
+    """Per-edge triangle support over a materialized canonical edge set:
+    (a, b, support, bucket); zero-support edges are absent."""
+    oriented = _oriented_edges(e, deg)
+    wedges = bucket_groupby(oriented, _tri_wedge_bucket)
+
+    def edge_as_pair_row(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": batch.column("src"),
+            "w": batch.column("dst"),
+            "u": pa.nulls(batch.num_rows, pa.string()),
+            "bucket": _pair_bucket(batch.column("src"),
+                                   batch.column("dst")),
+        })
+
+    mixed = wedges.union(
+        oriented.map_batches(edge_as_pair_row, batch_format="pyarrow"))
+    sides = bucket_groupby(mixed, _truss_match_bucket)
+    return bucket_groupby(sides, _truss_reduce_bucket)
+
+
+def ktruss(edges_ds, k: int = 4, rounds: int = 3):
+    """Bounded-round k-truss peel (k >= 3) over the undirected distinct
+    (subj, obj) edge set: (src, dst, support) for the canonical edges
+    surviving ``rounds`` synchronous peels, with the support that
+    qualified them in the final round."""
+    thr = pa.scalar(k - 2, pa.int64())
+    e, deg = _simple_graph(edges_ds)
+    sup = None
+    for _ in range(rounds):
+        sup = _edge_support(e, deg).materialize()
+
+        def keep_edges(batch: pa.Table) -> pa.Table:
+            kept = batch.filter(
+                pc.greater_equal(batch.column("support"), thr))
+            return kept.select(["a", "b", "bucket"])
+
+        e = sup.map_batches(keep_edges, batch_format="pyarrow") \
+            .materialize()
+        dp = e.map_batches(_tri_deg_partial, batch_format="pyarrow",
+                           batch_size=None)
+        deg = bucket_groupby(dp, _tri_deg_bucket).materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(
+            pc.greater_equal(batch.column("support"), thr))
+        return pa.table({"src": kept.column("a"),
+                         "dst": kept.column("b"),
+                         "support": kept.column("support")})
+
+    return sup.map_batches(finish, batch_format="pyarrow")
+
+
+def ktruss_local(edges: list[tuple[str, str]], k: int = 4,
+                 rounds: int = 3) -> dict[tuple[str, str], int]:
+    """Sequential peel oracle for tests: canonical edge -> final-round
+    support for the surviving edges."""
+    cur = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    sup: dict[tuple[str, str], int] = {}
+    for _ in range(rounds):
+        adj: dict[str, set] = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {(a, b): len(adj[a] & adj[b]) for a, b in cur}
+        cur = {e for e, s in sup.items() if s >= k - 2}
+    return {e: s for e, s in sup.items() if s >= k - 2}
+
+
+def ktruss_sql(triples_glob: str, k: int = 4, rounds: int = 3) -> str:
+    """Unrolled DuckDB oracle for :func:`ktruss` — one support CTE per
+    peel round, bit-exact vs the engine."""
+    sql = [f"""WITH e0 AS (SELECT DISTINCT
+                 least(CAST(subj AS VARCHAR), CAST(obj AS VARCHAR)) AS a,
+                 greatest(CAST(subj AS VARCHAR), CAST(obj AS VARCHAR)) AS b
+               FROM read_parquet('{triples_glob}')
+               WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR))"""]
+    for i in range(1, rounds + 1):
+        sql.append(f""",
+ adj{i - 1} AS (SELECT a AS src, b AS dst FROM e{i - 1}
+                UNION ALL SELECT b, a FROM e{i - 1}),
+ s{i} AS (SELECT e.a, e.b, count(*) AS s
+          FROM e{i - 1} e
+          JOIN adj{i - 1} x ON x.src = e.a
+          JOIN adj{i - 1} y ON y.src = e.b AND y.dst = x.dst
+          GROUP BY e.a, e.b),
+ e{i} AS (SELECT a, b FROM s{i} WHERE s >= {k - 2})""")
+    sql.append(f"""
+SELECT a AS src, b AS dst, CAST(s AS BIGINT) AS support
+FROM s{rounds} WHERE s >= {k - 2}""")
+    return "".join(sql)
 
 
 CC_SCALE = 1_000_000

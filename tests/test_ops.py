@@ -97,7 +97,8 @@ SQL_CHECKED = [
     "kg_event_timeline", "kg_negative_samples", "sft_pairs",
     "transcripts_roundtrip",
     # late round-5: personalized PageRank (seed-restart fixed point)
-    "kg_ppr",
+    # + bounded-round k-truss peel
+    "kg_ppr", "kg_truss",
 ]
 
 
@@ -2852,3 +2853,70 @@ def test_sft_pairs_null_and_window_edges(ray_session, tmp_path):
     assert got.loc[6, "n_context"] == SFT_CONTEXT_TURNS
     assert got.loc[6, "prompt"] == ": t2\nuser: \ntool: t4\nuser: t5"
     assert got.loc[6, "response"] == "t6"
+
+
+def test_ppr_planted(ray_session):
+    """Personalized PageRank: reset mass is confined to the seed set,
+    so nodes unreachable from every seed score exactly 0 while
+    pagerank would give them the uniform base; random graph ==
+    sequential fixed-point twin."""
+    import pyarrow as pa
+    import ray.data
+
+    from casie_ray.ops.graphx import PR_SCALE, ppr, ppr_local
+
+    def run(edges, **kw):
+        ds = ray.data.from_arrow(pa.table(
+            {"subj": [a for a, _ in edges],
+             "obj": [b for _, b in edges]}))
+        return {r["node"]: r["pr"] for r in ppr(ds, **kw).take_all()}
+
+    # hub (top out-degree) is the single seed; "iso" is on a separate
+    # component -> pr exactly 0 under seed-restart
+    edges = [("hub", f"a{i}") for i in range(4)] + \
+        [("a0", "a1"), ("iso", "iso2")]
+    got = run(edges, n_seeds=1)
+    assert got["iso"] == 0 and got["iso2"] == 0
+    assert got["hub"] > 0 and got["a1"] > got["a2"]  # a1 has 2 in-paths
+    assert got == ppr_local(edges, n_seeds=1)
+    assert max(got.values()) <= 2 * PR_SCALE
+
+    rng = random.Random(41)
+    rnd = [(f"v{rng.randrange(70)}", f"v{rng.randrange(70)}")
+           for _ in range(240)]
+    rnd = [(a, b) for a, b in rnd if a != b]
+    assert run(rnd) == ppr_local(rnd)
+
+
+def test_ktruss_planted(ray_session):
+    """Bounded-round k-truss peel: a planted clique survives with
+    in-clique support, a pendant triangle chain peels away once its
+    shared edges lose support, and a random graph matches the
+    sequential peel twin exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from casie_ray.ops.graphx import ktruss, ktruss_local
+
+    def run(edges, **kw):
+        ds = ray.data.from_arrow(pa.table(
+            {"subj": [a for a, _ in edges],
+             "obj": [b for _, b in edges]}))
+        return {(r["src"], r["dst"]): r["support"]
+                for r in ktruss(ds, **kw).take_all()}
+
+    clique = [f"c{i}" for i in range(5)]
+    ce = [(clique[i], clique[j]) for i in range(5) for j in range(i + 1, 5)]
+    # a lone triangle hanging off the clique: every edge has support 1
+    # < k-2=2, so the whole triangle peels in round 1
+    tri = [("c0", "t1"), ("t1", "t2"), ("t2", "c0")]
+    got = run(ce + tri)
+    assert set(got) == {tuple(sorted(e)) for e in ce}
+    assert all(s == 3 for s in got.values())       # 5-clique: support 3
+    assert got == ktruss_local(ce + tri)
+
+    rng = random.Random(59)
+    rnd = [(f"v{rng.randrange(40)}", f"v{rng.randrange(40)}")
+           for _ in range(300)]
+    rnd = [(a, b) for a, b in rnd if a != b]
+    assert run(rnd) == ktruss_local(rnd)

@@ -394,8 +394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # transcript_boilerplate, transcript_windows, kb_typed_candidates,
     # tool_transitions, conv_opening_dup_groups, kg_sssp,
     # kg_communities, kg_event_transitions, kg_assortativity,
-    # dedup_winnow_pairs, kg_ppr, kg_truss) take the leading slots as
-    # never-checked; the refresh entries they displace past slot 50
+    # dedup_winnow_pairs, kg_ppr, kg_truss, kmv_type_overlap) take the
+    # leading slots as never-checked; the refresh entries they displace past slot 50
     # (doc_lang_id, doc_fingerprint, doc_sample, vocab_top_words,
     # vocab_top_words_sketch, vocab_collocations, hll_distinct_users,
     # transcripts_split, pack_sequences, shuffled_windows,
@@ -468,6 +468,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded-round k-truss peel ---
         "kg_ppr": lambda d: _graphx.ppr(_edges_ds(d)),
         "kg_truss": lambda d: _graphx.ktruss(_edges_ds(d)),
+        # --- new late-r5: KMV register set algebra (audience overlap) ---
+        "kmv_type_overlap": _sketch.kmv_type_overlap,
         # --- stalest driver evidence (r2/r3-green, sampled out of the
         # r4 prefix) — refreshed this round ---
         "ann_topk": _ann.ann_topk,
@@ -947,6 +949,39 @@ def _kmv_sql(k: int = 64) -> str:
         s6 AS (SELECT xor(h, h >> 31) AS h FROM s5)
         SELECT CAST((h >> 1) AS BIGINT) AS h
         FROM s6 ORDER BY h LIMIT {k}"""
+
+
+def _kmv_overlap_sql(k: int = 64) -> str:
+    """DuckDB twin of ops.sketch.kmv_type_overlap: rebuild each event
+    type's bottom-k splitmix64 register from the raw table, take the
+    per-pair union register (bottom-k of the two registers' union) and
+    count members present in both — identical integer arithmetic."""
+    mix, end = _mix64_sql_steps("ko", "tu", "a")
+    return f"""
+        WITH tu AS (SELECT DISTINCT event_type AS t,
+                           CAST(user_id AS UBIGINT) AS a FROM events),
+        {mix},
+        th AS (SELECT DISTINCT t, kohf AS h FROM {end}),
+        r AS (SELECT t, h, row_number() OVER
+                  (PARTITION BY t ORDER BY h) AS rk FROM th),
+        reg AS (SELECT t, h FROM r WHERE rk <= {k}),
+        tt AS (SELECT DISTINCT t FROM reg),
+        pairs AS (SELECT a.t AS ta, b.t AS tb
+                  FROM tt a JOIN tt b ON a.t < b.t),
+        uni AS (SELECT p.ta, p.tb, g.h, count(DISTINCT g.t) AS sides
+                FROM pairs p JOIN reg g ON g.t = p.ta OR g.t = p.tb
+                GROUP BY p.ta, p.tb, g.h),
+        ur AS (SELECT ta, tb, sides, row_number() OVER
+                  (PARTITION BY ta, tb ORDER BY h) AS urk FROM uni),
+        topu AS (SELECT * FROM ur WHERE urk <= {k})
+        SELECT ta AS type_a, tb AS type_b,
+               CAST(count(*) AS BIGINT) AS n_union_k,
+               CAST(coalesce(sum(CASE WHEN sides = 2 THEN 1 END), 0)
+                    AS BIGINT) AS n_inter,
+               CAST(1000000 * coalesce(
+                        sum(CASE WHEN sides = 2 THEN 1 END), 0)
+                    // count(*) AS BIGINT) AS jaccard_ppm
+        FROM topu GROUP BY ta, tb"""
 
 
 def _pack_sql(seq_len: int = 512, n_buckets: int = 64,
@@ -1559,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_rank": _text.DOC_LENGTH_RANK_SQL,
         "inverted_index": _retr.inverted_index_sql(),
         "kmv_distinct_users": _kmv_sql(),
+        "kmv_type_overlap": _kmv_overlap_sql(),
         "hll_users_by_type": _hll_by_type_sql(),
         # corr registers: micro-unit products summed mod 2^64 (ring
         # homomorphism — continuous engine wraps == one final SQL mod)

@@ -280,6 +280,90 @@ def kmv_estimate(values: pa.Table, k: int = KMV_K) -> float:
     return (k - 1) / kth
 
 
+def kmv_type_overlap(sf_dir: str, k: int = KMV_K):
+    """Pairwise distinct-user overlap between event types, computed
+    entirely from mergeable KMV registers — the sketch SET ALGEBRA a
+    100 TB pipeline uses to estimate audience overlap without ever
+    shuffling user sets.
+
+    Per type, the register is the k smallest splitmix64(user_id)
+    values over distinct users. The bottom-k of a UNION is derivable
+    from the two registers alone (bottomk(A ∪ B) =
+    bottomk(bottomk(A) ∪ bottomk(B))), and any union-bottom-k member
+    that belongs to A necessarily sits in bottomk(A) (it is ≤ the
+    union's k-th smallest ≤ A's k-th smallest) — so the intersection
+    indicator inside the union register is exact too. Output per type
+    pair (type_a < type_b): ``n_union_k`` (union register size, ≤ k),
+    ``n_inter`` (register members present in BOTH types), and the
+    integer estimator ``jaccard_ppm = 1e6 * n_inter // n_union_k``.
+
+    Dataflow: one streaming pass emits per-(block, type) bottom-k
+    partials (≤ k·|types| rows per block — register-sized, never user
+    rows), one single-block merge rebuilds the per-type registers and
+    evaluates all pairs. The per-type loops run over the type
+    VOCABULARY, not rows. Deterministic and integer-exact vs the
+    DuckDB twin, which recomputes the same registers from the raw
+    table."""
+    import ray.data
+
+    from .bucketing import mix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["event_type", "user_id"]) \
+            .group_by(["event_type", "user_id"]).aggregate([])
+        types = g.column("event_type").to_numpy(zero_copy_only=False)
+        ids = g.column("user_id").to_numpy(zero_copy_only=False)
+        h = mix64([ids.astype(np.uint64)])
+        out_t: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        for ty in np.unique(types):
+            hh = np.unique(h[types == ty])[:k]   # unique() sorts
+            out_t.append(np.full(len(hh), ty, dtype=object))
+            out_h.append(hh)
+        if not out_t:
+            return pa.table({"t": pa.array([], pa.string()),
+                             "h": pa.array([], pa.uint64())})
+        return pa.table({
+            "t": pa.array(np.concatenate(out_t), pa.string()),
+            "h": pa.array(np.concatenate(out_h), pa.uint64()),
+        })
+
+    def merge(batch: pa.Table) -> pa.Table:
+        types = batch.column("t").to_numpy(zero_copy_only=False)
+        h = batch.column("h").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        regs = {ty: np.unique(h[types == ty])[:k]
+                for ty in np.unique(types)}
+        tys = sorted(regs)
+        rows: dict[str, list] = {"type_a": [], "type_b": [],
+                                 "n_union_k": [], "n_inter": [],
+                                 "jaccard_ppm": []}
+        for i in range(len(tys)):
+            for j in range(i + 1, len(tys)):
+                a, b = regs[tys[i]], regs[tys[j]]
+                uni = np.unique(np.concatenate([a, b]))[:k]
+                ni = int((np.isin(uni, a) & np.isin(uni, b)).sum())
+                nu = len(uni)
+                rows["type_a"].append(tys[i])
+                rows["type_b"].append(tys[j])
+                rows["n_union_k"].append(nu)
+                rows["n_inter"].append(ni)
+                rows["jaccard_ppm"].append(1_000_000 * ni // nu)
+        return pa.table({
+            "type_a": pa.array(rows["type_a"], pa.string()),
+            "type_b": pa.array(rows["type_b"], pa.string()),
+            "n_union_k": pa.array(rows["n_union_k"], pa.int64()),
+            "n_inter": pa.array(rows["n_inter"], pa.int64()),
+            "jaccard_ppm": pa.array(rows["jaccard_ppm"], pa.int64()),
+        })
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["event_type", "user_id"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # Grouped HLL: one register table PER KEY (distinct users per
 # event_type) — the sketch-per-group shape every audience/reach

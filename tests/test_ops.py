@@ -96,9 +96,9 @@ SQL_CHECKED = [
     "conv_opening_dup_groups", "turn_dep_features", "turn_svo_triples",
     "kg_event_timeline", "kg_negative_samples", "sft_pairs",
     "transcripts_roundtrip",
-    # late round-5: personalized PageRank (seed-restart fixed point)
-    # + bounded-round k-truss peel
-    "kg_ppr", "kg_truss",
+    # late round-5: personalized PageRank (seed-restart fixed point),
+    # bounded-round k-truss peel, KMV register set algebra
+    "kg_ppr", "kg_truss", "kmv_type_overlap",
 ]
 
 
@@ -2920,3 +2920,48 @@ def test_ktruss_planted(ray_session):
            for _ in range(300)]
     rnd = [(a, b) for a, b in rnd if a != b]
     assert run(rnd) == ktruss_local(rnd)
+
+
+def test_kmv_type_overlap_planted(ray_session, tmp_path):
+    """KMV register set algebra: below k distinct users per type the
+    registers are the full sets, so n_inter / jaccard_ppm are EXACT
+    set statistics; above k the union register stays capped at k and
+    every reported intersection member is a true one (one-sided by
+    construction)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from casie_ray.ops.sketch import KMV_K, kmv_type_overlap
+
+    # type A: users 0..39, type B: users 20..59 -> |inter|=20, |union|=60
+    rows_t, rows_u = [], []
+    for u in range(40):
+        rows_t.append("A"); rows_u.append(u)
+    for u in range(20, 60):
+        rows_t.append("B"); rows_u.append(u)
+    # duplicate occurrences must not change distinct-user registers
+    rows_t += ["A"] * 10; rows_u += list(range(10))
+    pq_.write_table(pa.table({
+        "event_type": pa.array(rows_t, pa.string()),
+        "user_id": pa.array(rows_u, pa.int64()),
+    }), str(tmp_path / "events.parquet"))
+    got = kmv_type_overlap(str(tmp_path)).take_all()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["type_a"], r["type_b"]) == ("A", "B")
+    assert r["n_union_k"] == min(60, KMV_K)
+    if KMV_K >= 60:                      # exact regime
+        assert r["n_inter"] == 20
+        assert r["jaccard_ppm"] == 1_000_000 * 20 // 60
+    # capped regime sanity: over-k types still produce k-bounded unions
+    rows_t2 = ["X"] * 500 + ["Y"] * 500
+    rows_u2 = list(range(500)) + list(range(250, 750))
+    pq_.write_table(pa.table({
+        "event_type": pa.array(rows_t2, pa.string()),
+        "user_id": pa.array(rows_u2, pa.int64()),
+    }), str(tmp_path / "events.parquet"))
+    r2 = kmv_type_overlap(str(tmp_path)).take_all()[0]
+    assert r2["n_union_k"] == KMV_K
+    assert 0 < r2["n_inter"] < KMV_K
+    # the ppm estimator should land near the true Jaccard 250/750=0.333
+    assert 150_000 < r2["jaccard_ppm"] < 550_000

@@ -88,3 +88,56 @@ def test_user_exception_fails_loud_not_silent(ray_session):
     with pytest.raises(Exception) as ei:
         ds.materialize()
     assert "planted user error" in str(ei.value)
+
+
+def _crash_once_sum_kernel(sentinel: str):
+    """Per-bucket kernel whose FIRST attempt anywhere kills its worker
+    process hard (the OOM-killer shape) — exercises retry on the
+    bucketed sort-exchange path every ops.bucketing.bucket_groupby
+    operator rides, which is a different recovery surface than the
+    actor-pool stage above (task-pool task on an AllToAll output)."""
+    def kern(group: pa.Table) -> pa.Table:
+        try:
+            fd = os.open(sentinel,
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            os._exit(1)
+        except FileExistsError:
+            pass
+        g = group.group_by(["k"]).aggregate([("v", "sum")])
+        g = g.rename_columns(["k", "v"])
+        return g.sort_by("k")
+    return kern
+
+
+def test_worker_death_in_shuffle_exchange_is_retried_exactly(
+        ray_session, tmp_path):
+    """One worker dies hard INSIDE the per-bucket kernel downstream of
+    the sort exchange; Ray must replay the lost task (recovering its
+    shuffle inputs as needed) and the keyed aggregate must stay
+    byte-identical to a clean run."""
+    from casie_ray.ops.bucketing import bucket_groupby, hash_bucket
+
+    keys = np.arange(2000, dtype=np.int64) % 97
+    vals = np.arange(2000, dtype=np.int64)
+    tbl = pa.table({
+        "k": keys, "v": vals,
+        "bucket": pa.array(hash_bucket([keys.astype(np.uint64)]),
+                           pa.int32()),
+    })
+
+    def run(sentinel):
+        ds = ray_session.data.from_arrow(tbl).repartition(8)
+        fn = _crash_once_sum_kernel(sentinel) if sentinel else \
+            _crash_once_sum_kernel(os.devnull)   # devnull exists: no crash
+        out = bucket_groupby(ds, fn)
+        return pa.concat_tables(
+            ray_session.get(out.materialize().to_arrow_refs())) \
+            .sort_by([("k", "ascending")])
+
+    clean = run(None)
+    sentinel = str(tmp_path / "crash_once_shuffle")
+    faulted = run(sentinel)
+    assert os.path.exists(sentinel), "fault was never injected"
+    assert faulted.num_rows == 97
+    assert faulted.equals(clean)
